@@ -1,0 +1,39 @@
+"""Every queries() entry must match its oracle_sql() — the same check
+the driver runs at sf0.01; here at sf0.001 for speed (override with
+SPARK_GRAFT_TEST_SF).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare, duck_con
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        df = q(spark, sf_dir)
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    ok, msg = compare(q(spark, sf_dir), con, oracles[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) > 0

@@ -1,0 +1,294 @@
+"""Coreference resolution as DataFrame plans (SURVEY.md §2.3-§2.5, §2.10).
+
+Reference algorithm (src/CorefBase.groovy + {Within,Across}Doc*Coref):
+normalize mention text -> sort -> exact-match grouping -> merge
+*adjacent* names with Levenshtein distance <= 1 whose digit runs match
+-> (within-doc only) absorb a first name that prefixes exactly one
+full name -> synthesize one entity per cluster with the most common
+member name.
+
+Spark design: the sorted-neighborhood pass is a window over
+``partitionBy(scope).orderBy(name)`` — one shuffle keyed on the
+blocking scope. Because merge edges only ever connect *sort-order
+neighbors*, connected components over them degenerate to "maximal runs
+of consecutive matches" — a gaps-and-islands prefix sum over the same
+window, no iterative fixpoint needed (SURVEY.md §2.10 semantic note).
+The general fixpoint lives in ``operators/graph.py`` for arbitrary
+edge sets.
+
+Determinism deviations (documented, SURVEY.md §7): ties in
+canonical-name mode are broken by name ascending; ``num_docs`` counts
+distinct documents rather than absorbed-node count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import (
+    JUNK_RE,
+    JUNK_RE_LOCS,
+    all_numbers_match,
+    normalize_str,
+    token_count,
+)
+
+MIN_NUM_DOCS = 2  # src/AcrossDocPerCoref.groovy:51
+LEVENSHTEIN_MAX = 1  # score > -1.1 <=> distance <= 1 (src/WithinDocPerCoref.groovy:36-37)
+
+# Candidate predicates (src/AcrossDoc{Per,Org,Loc}Coref.groovy)
+CANDIDATE_RULES = {
+    "PERSON": dict(chars_min=5, tokens_min=2, tokens_max=6, charset=r"^[A-Za-z.\s]+$"),
+    "ORGANIZATION": dict(chars_min=2, tokens_min=1, tokens_max=20, charset=None),
+    "LOCATION": dict(chars_min=2, tokens_min=1, tokens_max=10, charset=None),
+}
+
+
+def junk_re_for(entity_type: str) -> str:
+    # '"' is a good char in a location (src/CorefBase.groovy:44-46)
+    return JUNK_RE_LOCS if entity_type == "LOCATION" else JUNK_RE
+
+
+def is_strong_candidate(name: Column, entity_type: str) -> Column:
+    """F4/F5/F6 — strong vs weak candidate predicate."""
+    r = CANDIDATE_RULES[entity_type]
+    cond = (
+        (F.length(name) >= r["chars_min"])
+        & token_count(name).between(r["tokens_min"], r["tokens_max"])
+    )
+    if r["charset"]:
+        cond = cond & name.rlike(r["charset"])
+    return cond
+
+
+def _islands(df: DataFrame, scope_cols: list[str], name_col: str, tiebreak_col: str) -> DataFrame:
+    """Sorted-neighborhood merge as gaps-and-islands: adds
+    ``cluster_seq`` — rows whose *adjacent* sorted names are within
+    Levenshtein 1 (digit runs equal) share a cluster (W1/J4/G1)."""
+    w = Window.partitionBy(*scope_cols).orderBy(name_col, tiebreak_col)
+    prev = F.lag(name_col).over(w)
+    merged = (
+        prev.isNotNull()
+        & (F.levenshtein(prev, F.col(name_col)) <= LEVENSHTEIN_MAX)
+        & all_numbers_match(prev, F.col(name_col))
+    )
+    is_new = F.when(merged, 0).otherwise(1)
+    return df.withColumn(
+        "cluster_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def _synthesize_entities(
+    clustered: DataFrame,
+    scope_cols: list[str],
+    created_by: Column,
+    member_id: str,
+    doc_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One entity per cluster: canonical name = mode of member names
+    (count desc, name asc — deterministic tie-break), entity_id =
+    min member id, num_mentions / num_docs rolled up (A3/A4/A5/W3)."""
+    keys = scope_cols + ["cluster_seq"]
+    weight = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    name_counts = clustered.groupBy(*keys, "norm").agg(
+        F.count(F.lit(1)).alias("name_cnt"),
+        F.sum(weight).alias("name_weight"),
+    )
+    rank_w = Window.partitionBy(*keys).orderBy(F.desc("name_cnt"), F.asc("norm"))
+    canonical = (
+        name_counts.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(*keys, F.col("norm").alias("text"))
+    )
+    stats = clustered.groupBy(*keys).agg(
+        F.min(member_id).alias("entity_id"),
+        F.sum(weight).alias("num_mentions"),
+        F.countDistinct(doc_col).alias("num_docs"),
+    )
+    return (
+        stats.join(canonical, keys)
+        .select(
+            F.col("entity_id").cast("long").alias("entity_id"),
+            F.col("type"),
+            F.col("text"),
+            created_by.alias("created_by"),
+            F.col("num_docs").cast("long").alias("num_docs"),
+            F.col("num_mentions").cast("long").alias("num_mentions"),
+            *[F.col(c) for c in keys if c not in ("type",)],
+        )
+    )
+
+
+def normalized_mentions(mentions: DataFrame, entity_type: str) -> DataFrame:
+    """F2 + F3 + C1: type filter, normalize, drop empty-after-normalize."""
+    return (
+        mentions.filter(F.col("type") == entity_type)
+        .withColumn("norm", normalize_str(F.col("text"), junk_re_for(entity_type)))
+        .filter(F.length("norm") > 0)
+    )
+
+
+def within_doc_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
+    """Within-document coref (src/WithinDocPerCoref.groovy:32-59):
+    returns entities + their mention assignment.
+
+    Output: (entity_id, type, text, created_by, num_docs, num_mentions,
+    doc_id, cluster_seq) — one row per per-document entity.
+    """
+    nm = normalized_mentions(mentions, entity_type)
+    clustered = _islands(nm, ["doc_id", "type"], "norm", "mention_id")
+    created_by = F.lit(f"within_doc_{entity_type.lower()}_coref")
+    return _synthesize_entities(
+        clustered, ["doc_id", "type"], created_by, member_id="mention_id"
+    )
+
+
+def assign_mentions_to_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
+    """J7 — mention -> entity_id assignment for the within-doc pass
+    (cluster membership is the join key)."""
+    nm = normalized_mentions(mentions, entity_type)
+    clustered = _islands(nm, ["doc_id", "type"], "norm", "mention_id")
+    entities = within_doc_entities(mentions, entity_type)
+    return clustered.join(
+        entities.select("doc_id", "cluster_seq", "entity_id"),
+        ["doc_id", "cluster_seq"],
+    ).select(
+        "mention_id", "doc_id", "entity_id", "type",
+        F.col("text"), "norm", "idx", "global_id", "text_start", "text_stop",
+    )
+
+
+def across_doc_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
+    """Across-document coref (src/AcrossDocPerCoref.groovy:46-117).
+
+    strong candidates: exact + sorted-neighborhood merge, clusters with
+    >= MIN_NUM_DOCS members kept, created_by 'across_doc_*_coref';
+    weak: exact-match grouping only, unfiltered, created_by
+    'weak_across_doc_*_coref'. Input entities are the within-doc pass
+    output; corpus-wide sort is range-partitioned by Spark's window
+    sort (one shuffle on the scope key).
+    """
+    wd = within_doc_entities(mentions, entity_type).withColumnRenamed("text", "norm")
+    wd = wd.withColumn("strong", is_strong_candidate(F.col("norm"), entity_type))
+
+    strong = _islands(
+        wd.filter(F.col("strong")), ["type", "strong"], "norm", "entity_id"
+    )
+    strong_entities = _synthesize_entities(
+        strong,
+        ["type", "strong"],
+        F.lit(f"across_doc_{entity_type.lower()}_coref"),
+        member_id="entity_id",
+        weight_col="num_mentions",
+    )
+
+    # member-count filter (F7): reference drops clusters with fewer
+    # than MIN_NUM_DOCS *members* (src/AcrossDocPerCoref.groovy:97-107)
+    member_counts = strong.groupBy("type", "strong", "cluster_seq").agg(
+        F.count(F.lit(1)).alias("num_members")
+    )
+    strong_entities = strong_entities.join(
+        member_counts, ["type", "strong", "cluster_seq"]
+    ).filter(F.col("num_members") >= MIN_NUM_DOCS)
+
+    weak = wd.filter(~F.col("strong")).withColumn(
+        "cluster_seq", F.lit(0).cast("long")
+    )
+    # weak: exact-match only -> cluster key is the name itself
+    weak_entities = (
+        weak.groupBy("type", "norm")
+        .agg(
+            F.min("entity_id").alias("entity_id"),
+            F.sum("num_mentions").alias("num_mentions"),
+            F.countDistinct("doc_id").alias("num_docs"),
+            F.count(F.lit(1)).alias("num_members"),
+        )
+        .select(
+            F.col("entity_id").cast("long"),
+            "type",
+            F.col("norm").alias("text"),
+            F.lit(f"weak_across_doc_{entity_type.lower()}_coref").alias("created_by"),
+            F.col("num_docs").cast("long"),
+            F.col("num_mentions").cast("long"),
+            F.col("num_members").cast("long"),
+        )
+    )
+
+    strong_out = strong_entities.select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions",
+        F.col("num_members").cast("long").alias("num_members"),
+    )
+    return strong_out.unionByName(weak_entities)
+
+
+def across_doc_membership(mentions: DataFrame, entity_type: str) -> DataFrame:
+    """(doc_id, within_entity_id, across_entity_id) for surviving
+    *strong* across-doc clusters — the rewired doc->entity edges the
+    reference leaves in the graph after mergeClusters
+    (src/CorefBase.groovy:243-252). Feeds the social network (G2).
+    """
+    wd = within_doc_entities(mentions, entity_type).withColumnRenamed("text", "norm")
+    wd = wd.withColumn("strong", is_strong_candidate(F.col("norm"), entity_type))
+    strong = _islands(
+        wd.filter(F.col("strong")), ["type", "strong"], "norm", "entity_id"
+    )
+    member_counts = strong.groupBy("type", "strong", "cluster_seq").agg(
+        F.count(F.lit(1)).alias("num_members"),
+        F.min("entity_id").alias("across_entity_id"),
+    )
+    surviving = member_counts.filter(F.col("num_members") >= MIN_NUM_DOCS)
+    return (
+        strong.select(
+            "doc_id",
+            F.col("entity_id").alias("within_entity_id"),
+            "type",
+            "strong",
+            "cluster_seq",
+        )
+        .join(surviving, ["type", "strong", "cluster_seq"])
+        .select(
+            "doc_id",
+            "within_entity_id",
+            F.col("across_entity_id").cast("long").alias("across_entity_id"),
+        )
+    )
+
+
+def prefix_merge_pairs(names: DataFrame, scope_cols: list[str], name_col: str = "norm") -> DataFrame:
+    """J5/W2 — firstname ⊂ fullname: a name (>= 2 chars) that is a
+    proper prefix of exactly one other name in its scope merges into
+    it (src/CorefBase.groovy:95-133). Prefix runs are contiguous in
+    sort order, so "exactly one" is computable by a self-join grouped
+    HAVING count(*) = 1 (equivalently a window count).
+    """
+    a = names.select(*scope_cols, F.col(name_col).alias("first_name")).distinct()
+    b = names.select(*scope_cols, F.col(name_col).alias("full_name")).distinct()
+    pairs = a.join(b, scope_cols).filter(
+        (F.col("full_name") != F.col("first_name"))
+        & F.col("full_name").startswith(F.col("first_name"))
+        & (F.length("first_name") >= 2)
+    )
+    uniq = (
+        pairs.groupBy(*scope_cols, "first_name")
+        .agg(F.count(F.lit(1)).alias("n_matches"), F.min("full_name").alias("full_name"))
+        .filter(F.col("n_matches") == 1)
+        .select(*scope_cols, "first_name", "full_name")
+    )
+    return uniq
+
+
+def global_id_clusters(mentions: DataFrame) -> DataFrame:
+    """A2 — cluster mentions by explicit global_id, null gids dropped
+    (src/CorefBase.groovy:157-170)."""
+    return (
+        mentions.filter(F.col("global_id").isNotNull())
+        .groupBy("global_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_mentions"),
+            F.countDistinct("doc_id").alias("num_docs"),
+            F.min("mention_id").alias("first_mention_id"),
+        )
+    )

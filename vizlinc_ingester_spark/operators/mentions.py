@@ -1,0 +1,124 @@
+"""Mention extraction (S3, SURVEY.md §2.1).
+
+The reference runs a pluggable Stanford CRF model per document and
+writes one mention row per hit (src/EntityExtractor.groovy:19-34).
+Our surface is the same shape — ``documents -> mentions`` — with the
+model pluggable; two implementations:
+
+- ``derive_mentions``: the deterministic test double used for oracle
+  checking. Tokenizes ``documents.text``, types each token by an md5
+  bucket, and injects seeded near-duplicate surface variants
+  (trailing '.', distance-1 misspellings, firstname/fullname pairs) so
+  the downstream coref operators have real work — mirroring FIXTURES.md
+  §2's requirements. Every expression is mirrored in DuckDB SQL by
+  ``oracle.py`` (same md5 buckets, same variant rule).
+- ``extract_mentions_dict``: dictionary/regex extractor over arbitrary
+  text for pipeline use (vocabulary broadcast, JVM regex — no UDF).
+
+Mention ids are ``doc_id * ID_STRIDE + token_index`` — deterministic
+and shuffle-free (a global ``row_number`` would serialize the whole
+corpus through one partition at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ID_STRIDE = 1_000_000  # > max tokens per document
+
+# md5-first-hex-char -> entity type (uniform buckets, same in oracle)
+TYPE_BUCKETS = [
+    ("012345", "PERSON"),
+    ("6789", "ORGANIZATION"),
+    ("abc", "LOCATION"),
+    ("def", "DATE"),
+]
+
+
+def _type_from_word(word):
+    h = F.substring(F.md5(word), 1, 1)
+    expr = None
+    for chars, t in TYPE_BUCKETS:
+        cond = h.isin(*list(chars))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    return expr
+
+
+def derive_mentions(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> mentions(mention_id, doc_id,
+    type, text, idx, global_id, text_start, text_stop).
+
+    Partition axis is the document (posexplode is per-row, no
+    shuffle); the only shuffle is the per-doc window for lead/offsets,
+    keyed on doc_id — uniform at any scale.
+    """
+    toks = (
+        documents.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.col("word") != "")
+        .withColumn("idx", (F.col("pos") + 1).cast("long"))
+        .drop("pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    toks = (
+        toks.withColumn("nxt", F.lead("word").over(w))
+        .withColumn(
+            "text_start",
+            F.coalesce(
+                F.sum(F.length("word") + 1).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    m = (F.col("doc_id") * 31 + F.col("idx")) % 101
+    base = F.upper("word")
+    surface = (
+        F.when(m == 0, F.concat(base, F.lit(".")))
+        .when(m == 1, F.concat(base, F.lit("X")))
+        .when((m == 2) & (F.length("word") > 3), base.substr(F.lit(1), F.length("word") - 1))
+        .when(m.between(3, 10) & F.col("nxt").isNotNull(), F.concat(base, F.lit(" "), F.upper("nxt")))
+        .otherwise(base)
+    )
+    gid = F.when(
+        F.substring(F.md5("word"), 2, 1).isin("0", "1"),
+        F.concat(F.lit("g_"), F.col("word")),
+    )
+    return toks.select(
+        (F.col("doc_id") * ID_STRIDE + F.col("idx")).cast("long").alias("mention_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _type_from_word(F.col("word")).alias("type"),
+        surface.alias("text"),
+        F.col("idx").alias("idx"),
+        gid.alias("global_id"),
+        F.col("text_start"),
+        (F.col("text_start") + F.length("word")).cast("long").alias("text_stop"),
+    )
+
+
+def extract_mentions_dict(
+    documents: DataFrame, vocabulary: DataFrame, type_col: str = "type"
+) -> DataFrame:
+    """Dictionary NER for pipeline use: find every occurrence of each
+    vocabulary term in each document (case-insensitive word-boundary
+    match). vocabulary(term, type) is broadcast; the scan side never
+    shuffles. Replaces the CRF at parity-test scale
+    (src/EntityExtractor.groovy:12-14 treats the model as pluggable).
+    """
+    hits = (
+        documents.join(F.broadcast(vocabulary), F.expr(
+            "text rlike concat('(?i)\\\\b', term, '\\\\b')"
+        ))
+        .select(
+            "doc_id",
+            F.col(type_col).alias("type"),
+            F.upper("term").alias("text"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("text")
+    return hits.withColumn("idx", F.row_number().over(w).cast("long")).withColumn(
+        "mention_id", (F.col("doc_id") * ID_STRIDE + F.col("idx")).cast("long")
+    )
