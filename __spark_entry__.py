@@ -6,9 +6,9 @@ social network -> top co-mentioned pairs, on sf0.001.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 (the **[Q]** inventory) plus the training-data
-pipeline track. Oracle strings are generated by
-``vizlinc_ingester_spark.oracle`` from the same constants the Spark
-operators use.
+pipeline track (dedup / similarity / text analysis), assembled from
+``vizlinc_ingester_spark.suite``. Oracle strings are generated from
+the same constants the Spark operators use.
 """
 
 from __future__ import annotations
@@ -22,141 +22,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vizlinc_ingester_spark import oracle
-from vizlinc_ingester_spark.operators import coref, counts, mentions, social
-
 SF0001 = "/root/testdata/sf0.001"
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-
-
-def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mentions.derive_mentions(_docs(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: top co-mentioned person pairs (scan -> extract ->
     coref -> self-join -> agg -> sort in one lazy plan)."""
-    m = _mentions(spark, SF0001)
-    doc_ent = coref.across_doc_membership(m, "PERSON").select(
-        "doc_id", F.col("across_entity_id").alias("entity_id")
-    ).dropDuplicates(["doc_id", "entity_id"])
+    from vizlinc_ingester_spark.operators import coref, mentions, social
+
+    m = mentions.derive_mentions(
+        spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+    )
+    doc_ent = (
+        coref.across_doc_membership(m, "PERSON")
+        .select("doc_id", F.col("across_entity_id").alias("entity_id"))
+        .dropDuplicates(["doc_id", "entity_id"])
+    )
     edges = social.social_network(doc_ent)
-    return edges.orderBy(F.desc("num_docs"), "src_entity_id", "dst_entity_id").limit(100)
-
-
-# ---------------------------------------------------------------------------
-# queries / oracles
-# ---------------------------------------------------------------------------
-
-def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 — deterministic mention extraction (doc -> N typed rows)."""
-    return _mentions(spark, sf_dir)
-
-
-def q_within_doc_entities_person(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return coref.within_doc_entities(_mentions(spark, sf_dir), "PERSON").select(
-        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "doc_id"
-    )
-
-
-def q_across_doc_entities_person(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return coref.across_doc_entities(_mentions(spark, sf_dir), "PERSON").select(
-        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "num_members"
-    )
-
-
-def q_social_network(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _mentions(spark, sf_dir)
-    doc_ent = coref.across_doc_membership(m, "PERSON").select(
-        "doc_id", F.col("across_entity_id").alias("entity_id")
-    ).dropDuplicates(["doc_id", "entity_id"])
-    return social.social_network(doc_ent)
-
-
-def q_social_network_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _mentions(spark, sf_dir)
-    doc_ent = coref.across_doc_membership(m, "PERSON").select(
-        "doc_id", F.col("across_entity_id").alias("entity_id")
-    ).dropDuplicates(["doc_id", "entity_id"])
-    edges = social.social_network(doc_ent)
-    node_docs = doc_ent.groupBy("entity_id").agg(
-        F.countDistinct("doc_id").cast("long").alias("num_docs")
-    )
-    return social.filter_social_network(edges, node_docs)
-
-
-def q_document_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 — per-(doc, across-entity) mention counts."""
-    m = _mentions(spark, sf_dir)
-    assigned = coref.assign_mentions_to_entities(m, "PERSON")
-    membership = coref.across_doc_membership(m, "PERSON")
-    me = assigned.join(
-        membership.withColumnRenamed("within_entity_id", "entity_id"),
-        ["doc_id", "entity_id"],
-    ).select("doc_id", F.col("across_entity_id").alias("entity_id"))
-    return counts.document_entity_counts(me)
+    return edges.orderBy(
+        F.desc("num_docs"), "src_entity_id", "dst_entity_id"
+    ).limit(100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "mentions_extract": q_mentions,
-        "within_doc_entities_person": q_within_doc_entities_person,
-        "across_doc_entities_person": q_across_doc_entities_person,
-        "social_network": q_social_network,
-        "social_network_filtered": q_social_network_filtered,
-        "document_entity_counts": q_document_entity_counts,
-    }
+    from vizlinc_ingester_spark.suite import collect_suite
+
+    q, _ = collect_suite()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    w = oracle.wrap
-    person = ("PERSON",)
-    return {
-        "mentions_extract": w(
-            "SELECT mention_id, doc_id, type, text, idx, global_id,"
-            " text_start, text_stop FROM mentions", person
-        ),
-        "within_doc_entities_person": w(
-            "SELECT entity_id, type, text, created_by, num_docs,"
-            " num_mentions, doc_id FROM wd_PERSON", person
-        ),
-        "across_doc_entities_person": w(
-            "SELECT entity_id, type, text, created_by, num_docs,"
-            " num_mentions, num_members FROM across_strong_PERSON"
-            " UNION ALL SELECT entity_id, type, text, created_by,"
-            " num_docs, num_mentions, num_members FROM across_weak_PERSON",
-            person,
-        ),
-        "social_network": w("SELECT * FROM sn_edges", person),
-        "social_network_filtered": w(
-            """
-SELECT e.src_entity_id, e.dst_entity_id, e.num_docs
-FROM sn_edges e
-JOIN (SELECT entity_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-      FROM docent_PERSON GROUP BY entity_id) ns
-  ON e.src_entity_id = ns.entity_id AND ns.nd >= 2
-JOIN (SELECT entity_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-      FROM docent_PERSON GROUP BY entity_id) nd2
-  ON e.dst_entity_id = nd2.entity_id AND nd2.nd >= 2
-WHERE e.num_docs >= 2
-""",
-            person,
-        ),
-        "document_entity_counts": w(
-            """
-SELECT me.doc_id, me.entity_id, CAST(count(*) AS BIGINT) AS num_mentions
-FROM (
-  SELECT i.doc_id, mm.across_entity_id AS entity_id
-  FROM (SELECT i0.*, w0.entity_id AS within_entity_id
-        FROM isl_PERSON i0
-        JOIN wd_PERSON w0 USING (doc_id, type, cluster_seq)) i
-  JOIN membership_PERSON mm
-    ON i.doc_id = mm.doc_id AND i.within_entity_id = mm.within_entity_id
-) me GROUP BY me.doc_id, me.entity_id
-""",
-            person,
-        ),
-    }
+    from vizlinc_ingester_spark.suite import collect_suite
+
+    _, o = collect_suite()
+    return o

@@ -55,10 +55,12 @@ def _month_case(month_expr: Column) -> Column:
 
 
 def _resolve_year(y: Column) -> Column:
-    """src/NormalizedDate.groovy:80-110 semantics."""
+    """src/NormalizedDate.groovy:80-110 semantics. try_cast: ANSI mode
+    would error on casting '' (unmatched regex) even in an untaken
+    CASE branch — & conditions are evaluated vectorized."""
     digits = F.regexp_replace(y, "[^0-9]", "")
     n = F.length(digits)
-    as_int = digits.cast("int")
+    as_int = digits.try_cast("int")
     return (
         F.when((n == 2) & (as_int <= 12), (as_int + 2000).cast("string"))
         .when((n == 2) & (as_int > 12), (as_int + 1900).cast("string"))
@@ -68,7 +70,7 @@ def _resolve_year(y: Column) -> Column:
 
 
 def _resolve_day(d: Column) -> Column:
-    return F.lpad(d.cast("int").cast("string"), 2, "0")
+    return F.lpad(d.try_cast("int").cast("string"), 2, "0")
 
 
 def normalize_date(c: Column) -> Column:

@@ -113,10 +113,12 @@ def sql_parse_lon(expr: str) -> str:
     )
 
 
-def sql_gazetteer_values() -> str:
+def sql_gazetteer_values(alias: str = "gazetteer") -> str:
     """Inline VALUES clause for the gazetteer (oracle has no extra views)."""
     rows = ", ".join(
-        f"('{name.replace(chr(39), chr(39) * 2)}', {lat}, {lon})"
+        "('{}', CAST({!r} AS DOUBLE), CAST({!r} AS DOUBLE))".format(
+            name.replace("'", "''"), lat, lon
+        )
         for name, lat, lon in gazetteer_rows()
     )
-    return f"(VALUES {rows}) AS gazetteer(country, lat, lon)"
+    return f"(VALUES {rows}) AS {alias}(country, lat, lon)"

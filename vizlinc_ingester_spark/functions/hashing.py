@@ -52,13 +52,14 @@ def simhash16(tokens_hash_col: Column) -> Column:
     bit j of the result is 1 iff sum over tokens of (2*bit_j(h) - 1) > 0.
     """
     total = F.size(tokens_hash_col).cast("long")
+
+    def bit_counter(j: int):
+        # two-arg lambda only: extra params would be misparsed by Spark
+        return lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
+
     out = F.lit(0).cast("long")
     for j in range(16):
-        ones = F.aggregate(
-            tokens_hash_col,
-            F.lit(0).cast("long"),
-            lambda acc, x, j=j: acc + F.shiftright(x, j).bitwiseAND(F.lit(1)),
-        )
+        ones = F.aggregate(tokens_hash_col, F.lit(0).cast("long"), bit_counter(j))
         bit = F.when(ones * 2 > total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         out = out + F.shiftleft(bit, j)
     return out
@@ -88,3 +89,14 @@ def sql_minhash_term(expr: str, perm: int) -> str:
 def sql_hamming16(a: str, b: str) -> str:
     terms = " + ".join(f"((xor({a}, {b}) >> {j}) & 1)" for j in range(16))
     return f"({terms})"
+
+
+def sql_simhash16(hashes_expr: str) -> str:
+    """DuckDB mirror of ``simhash16`` over a BIGINT[] expression."""
+    total = f"len({hashes_expr})"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hashes_expr}, h -> ((h >> {j}) & 1) = 1))"
+        f" > {total} THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"({bits})"

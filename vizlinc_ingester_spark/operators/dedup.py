@@ -1,0 +1,150 @@
+"""Deduplication operators for the training-data pipeline track
+(BASELINE.json north star): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point of these operators):
+- Signatures/shingles are computed as *array expressions inside the
+  row* (no explode shuffle) — a 100 TB corpus streams through the
+  scan stage embarrassingly parallel.
+- Candidate generation is LSH band-bucketing: the only shuffle is a
+  groupBy/join on the band key, whose cardinality is ~n_docs*bands —
+  never the O(n²) pair space.
+- Verification (true Jaccard / hamming) runs only on candidate pairs.
+- Generalizes the reference's sorted-neighborhood blocking
+  (src/CorefBase.groovy:176-196): sort-adjacency is one blocking
+  function; MinHash bands are another (SURVEY.md §7 step 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PERMS, P, minhash_term, simhash16, stable_hash64
+from ..functions.text import tokens
+
+N_PERMS = 16
+N_BANDS = 8  # rows-per-band r=2
+SHINGLE_K = 3
+
+
+def shingles(c: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles of a text column as an array (empty if < k
+    tokens — guarded: Spark sequence() would go descending)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles_col: Column) -> list[Column]:
+    """16 MinHash values (null if no shingles)."""
+
+    def term(i: int):
+        # single-arg lambda: a 2-arg lambda would make Spark pass the
+        # array index as the second argument
+        return lambda s: minhash_term(s, i)
+
+    return [
+        F.array_min(F.transform(shingles_col, term(i))) for i in range(N_PERMS)
+    ]
+
+
+def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, mh0..mh15); docs with no shingles dropped."""
+    sh = documents.select("doc_id", shingles(F.col(text_col)).alias("sh")).filter(
+        F.size("sh") >= 1
+    )
+    sig = minhash_signature(F.col("sh"))
+    return sh.select("doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sig)])
+
+
+def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — one row per band; docs sharing any band
+    key are near-dup candidates."""
+    bands = [
+        F.concat_ws(
+            ":", F.lit(str(b)), F.col(f"mh{2 * b}").cast("string"),
+            F.col(f"mh{2 * b + 1}").cast("string"),
+        ).alias("band_key")
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Self-join on band key -> distinct unordered candidate pairs with
+    the number of colliding bands."""
+    b = lsh_band_buckets(sigs)
+    a, bb = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify(documents: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
+    """True shingle-set Jaccard for candidate pairs only.
+    jaccard_micro = (|A∩B| * 1e6) // |A∪B| (exact integer math)."""
+    sh = (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("sh")
+        )
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    inter = (
+        pairs.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return out.select(
+        "doc_a", "doc_b", "n_shared_bands", "n_inter",
+        union.alias("n_union"),
+        F.expr("div(n_inter * 1000000, n_a + n_b - n_inter)").alias("jaccard_micro"),
+    )
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash (groups of size >= 2)."""
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash over token hashes."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: stable_hash64(t) % F.lit(P))
+    return documents.select(
+        "doc_id", simhash16(hashes).alias("simhash")
+    ).filter(F.size(toks) > 0)

@@ -1,0 +1,294 @@
+"""Dedup queries with DuckDB oracles (exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding near-dup)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_PERMS,
+    P,
+    sql_hamming16,
+    sql_minhash_term,
+    sql_simhash16,
+    sql_stable_hash64,
+)
+from ..functions.text import sql_tokens
+from ..operators import dedup as dd
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- shared SQL fragments --------------------------------------------------
+
+SQL_SHINGLES = (
+    "(CASE WHEN len({toks}) >= 3 THEN list_transform("
+    "generate_series(1, len({toks}) - 2),"
+    " i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])"
+    " ELSE [] END)"
+).format(toks=sql_tokens("text"))
+
+SQL_SIG_COLS = ", ".join(
+    f"list_min(list_transform(sh, s -> {sql_minhash_term('s', i)})) AS mh{i}"
+    for i in range(dd.N_PERMS)
+)
+
+SQL_SIGS_CTE = f"""
+sh_docs AS (
+  SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, {SQL_SIG_COLS} FROM sh_docs WHERE len(sh) >= 1
+)"""
+
+_band_rows = ", ".join(
+    f"({b}, 'b' || {b} || ':' || CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR))"
+    for b in range(dd.N_BANDS)
+)
+SQL_BANDS_CTE = f"""
+bands AS (
+  SELECT doc_id, band_key FROM sigs,
+  LATERAL (VALUES {_band_rows}) AS v(band_idx, band_key)
+)"""
+
+SQL_CAND_CTE = """
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+# --- queries ----------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dd.minhash_signatures(_docs(spark, sf_dir))
+
+
+ORACLE_MINHASH_SIGS = f"WITH {SQL_SIGS_CTE.strip()} SELECT * FROM sigs"
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Full LSH pipeline: signatures -> band buckets -> candidate
+    pairs -> exact-Jaccard verification."""
+    docs = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    return dd.jaccard_verify(docs, pairs)
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {SQL_SIGS_CTE.strip()},
+{SQL_BANDS_CTE.strip()},
+{SQL_CAND_CTE.strip()},
+doc_shingle AS (
+  SELECT DISTINCT doc_id, s AS sh
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh_docs) u
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM doc_shingle GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN doc_shingle sa ON sa.doc_id = c.doc_a
+  JOIN doc_shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       coalesce(i.n_inter, 0) AS n_inter,
+       za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS n_union,
+       coalesce(i.n_inter, 0) * 1000000 // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+         AS jaccard_micro
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: bucket by high byte, verify hamming <= 3
+    within buckets."""
+    sh = dd.simhash_docs(_docs(spark, sf_dir))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    from ..functions.hashing import hamming16
+
+    pairs = a.join(
+        b,
+        (F.shiftright(F.col("sh_a"), 8) == F.shiftright(F.col("sh_b"), 8))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return pairs.select(
+        "doc_a", "doc_b",
+        hamming16(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= 3)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH tok_docs AS (
+  SELECT doc_id,
+         list_transform({sql_tokens('text')}, t -> {sql_stable_hash64('t')} % {P}) AS hs
+  FROM documents
+),
+sims AS (
+  SELECT doc_id, {sql_simhash16('hs')} AS simhash
+  FROM tok_docs WHERE len(hs) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({sql_hamming16('a.simhash', 'b.simhash')} AS BIGINT) AS hamming
+FROM sims a JOIN sims b
+  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+WHERE {sql_hamming16('a.simhash', 'b.simhash')} <= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-bigram Jaccard over blocked pairs (block = lang +
+    length-bucket; 10% doc sample)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    from ..functions.text import tokens
+
+    toks = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dd_ = d.select(
+        "doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        bigrams.alias("bg"),
+    ).filter(F.size("bg") > 0)
+    a = dd_.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket", F.col("bg").alias("bg_a")
+    )
+    b = dd_.select(
+        F.col("doc_id").alias("doc_b"), "lang", "len_bucket", F.col("bg").alias("bg_b")
+    )
+    pairs = a.join(b, ["lang", "len_bucket"]).filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("bg_a", "bg_b")).cast("long")
+    union = F.size(F.array_union("bg_a", "bg_b")).cast("long")
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.expr(
+            "div(size(array_intersect(bg_a, bg_b)) * cast(1000000 as bigint),"
+            " size(array_union(bg_a, bg_b)))"
+        ).alias("jaccard_micro"),
+    ).filter(F.col("jaccard_micro") >= 300000)
+
+
+_SQL_BIGRAMS = (
+    "(CASE WHEN len({t}) >= 2 THEN list_distinct(list_transform("
+    "generate_series(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1]))"
+    " ELSE [] END)"
+).format(t=sql_tokens("text"))
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH bg_docs AS (
+  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         {_SQL_BIGRAMS} AS bg
+  FROM documents WHERE doc_id % 10 = 0
+),
+nonempty AS (SELECT * FROM bg_docs WHERE len(bg) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_distinct(list_intersect(a.bg, b.bg))) * 1000000
+            // len(list_distinct(list_concat(a.bg, b.bg))) AS BIGINT) AS jaccard_micro
+FROM nonempty a JOIN nonempty b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE len(list_distinct(list_intersect(a.bg, b.bg))) * 1000000
+      // len(list_distinct(list_concat(a.bg, b.bg))) >= 300000
+"""
+
+
+SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def cos_micro(a, b):
+    cos = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.floor(cos * 1000000.0).cast("long")
+
+
+def sql_cos_micro(a: str, b: str) -> str:
+    dot = SQL_DOT.format(a=a, b=b)
+    na = SQL_DOT.format(a=a, b=a)
+    nb = SQL_DOT.format(a=b, b=b)
+    return f"CAST(floor(({dot}) / (sqrt({na}) * sqrt({nb})) * 1000000.0) AS BIGINT)"
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: same-label blocking, 20% sample,
+    cosine >= 0.95."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cm = cos_micro(F.col("emb_a"), F.col("emb_b"))
+    return pairs.select(
+        "vec_a", "vec_b", F.col("label").cast("long").alias("label"),
+        cm.alias("cos_micro"),
+    ).filter(F.col("cos_micro") >= 950000)
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH sample AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(a.label AS BIGINT) AS label,
+       {sql_cos_micro('a.embedding', 'b.embedding')} AS cos_micro
+FROM sample a JOIN sample b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= 950000
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_signatures": ORACLE_MINHASH_SIGS,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+}

@@ -1,0 +1,293 @@
+"""Core relational layer (SURVEY.md §7 step 1): scan/filter/join/agg/
+window/sort over the TPC-H-ish tables, plus event-stream batch
+analytics (tumbling windows, sessionization) that mirror the
+Structured Streaming operators in ``streaming/``.
+
+Cross-engine float discipline: money aggregates are computed in
+integer cents (``CAST(round(x*100) AS BIGINT)``) — sums of doubles
+are order-dependent, integer sums are exact. Ratios are emitted as
+exact-int divisions (identical IEEE result in both engines).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
+    reader rejects; read nanos as raw int64 (runtime-settable legacy
+    conf) and do time math in integer nanoseconds. DuckDB mirrors with
+    epoch_ns() — it truncates to micros, but floor-division to
+    seconds/hours agrees on both sides."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _cents(c) -> "F.Column":
+    return F.round(c * 100).cast("long")
+
+
+CUTOFF = "1998-09-01"
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+agg: one pass, map-side combinable; the
+    filter and the 4-column projection push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+            ).alias("sum_disc_price_c4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+       CAST(count(*) AS BIGINT) AS count_order,
+       sum(l_quantity) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J1-shaped 3-hop join: lineitem ⋈ orders ⋈ customer ⋈ nation.
+    nation (25 rows) broadcasts; the big-side joins shuffle on keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Top-k with total order (revenue desc, custkey asc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_order_priority_counts(spark, sf_dir):
+    """Semi-join shaped existence test (orders having any late line)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = li.filter(F.col("l_shipdate") > F.lit(CUTOFF).cast("timestamp")).select(
+        "l_orderkey"
+    )
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '{CUTOFF}')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the event stream —
+    batch twin of the Structured Streaming windowed agg
+    (streaming/ingest.py); value summed in integer cents."""
+    e = _events(spark, sf_dir)
+    bucket = F.expr("ts div 3600000000000").cast("long")
+    return (
+        e.groupBy(bucket.alias("hour_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+            F.min(_cents(F.col("value"))).alias("min_value_cents"),
+            F.max(_cents(F.col("value"))).alias("max_value_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_WINDOW = """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_value_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: per-user islands split at >30 min gaps — the
+    batch twin of applyInPandasWithState sessionization. One shuffle
+    keyed on user_id; state never leaves the partition."""
+    e = _events(spark, sf_dir)
+    ts_s = F.expr("ts div 1000000000").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_s - F.lag(ts_s).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sess = e.withColumn("ts_s", ts_s).withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("event_id").alias("session_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        )
+        .select("user_id", "session_id", "n_events", "duration_s")
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+         lag(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) OVER w AS prev_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(min(event_id) AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON prop extraction + filter + agg (events.props is a JSON
+    string; the reference's XML parsing analog, done with built-ins)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") % 2 == 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_even"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_even,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) t
+WHERE k IS NOT NULL AND k % 2 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "order_priority_counts": q_order_priority_counts,
+    "events_tumbling_window": q_events_tumbling_window,
+    "events_sessionize": q_events_sessionize,
+    "events_json_extract": q_events_json_extract,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+    "order_priority_counts": ORACLE_ORDER_PRIORITY,
+    "events_tumbling_window": ORACLE_EVENTS_WINDOW,
+    "events_sessionize": ORACLE_SESSIONIZE,
+    "events_json_extract": ORACLE_EVENTS_JSON,
+}

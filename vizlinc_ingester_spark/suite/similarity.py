@@ -1,0 +1,150 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the correctness baseline) and an IVF-bucketed variant (the
+scale path — search only the query's nearest-centroid partition).
+
+Cosine is computed as an explicit left-fold dot product so both
+engines add in the same order; scores are emitted as
+``floor(cos * 1e6)`` micro-units with (score desc, vec_id asc)
+deterministic ranking.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import cos_micro, sql_cos_micro
+
+TOPK = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 -> query set
+CENTROID_MOD = 50  # vec_id % 50 == 0 -> IVF centroid set
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force top-k: query subset x full table. At scale the
+    inner side is the full corpus scanned once per batch of queries
+    (queries broadcast, corpus never shuffles)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id", "cand_id", cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cos_micro", "rank")
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {sql_cos_micro('q.embedding', 'c.embedding')} AS cos_micro
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_micro, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: centroid set = vec_id % {CENTROID_MOD} == 0;
+    every vector is assigned to its max-cosine centroid (deterministic
+    tie-break on centroid id); queries search only their own
+    centroid's inverted list. The shuffle is keyed on centroid_id —
+    bounded fan-out, no O(n^2) pair space."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = e.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id",
+        cos_micro(F.col("embedding"), F.col("cent_emb")).alias("cm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cm"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "centroid_id"
+    )
+    pairs = q.join(cands, "centroid_id").filter(F.col("query_id") != F.col("cand_id"))
+    scored_p = pairs.select(
+        "query_id", "cand_id", "centroid_id",
+        cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
+    return (
+        scored_p.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "centroid_id", "cos_micro", "rank")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {sql_cos_micro('e.embedding', 'c.cent_emb')} AS cm
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) x WHERE rn = 1
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.centroid_id,
+         {sql_cos_micro('q.embedding', 'c.embedding')} AS cos_micro
+  FROM assigned q JOIN assigned c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, cand_id, centroid_id, cos_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS rank
+  FROM pairs
+) r WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf": q_ann_ivf,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "ann_ivf": ORACLE_ANN_IVF,
+}

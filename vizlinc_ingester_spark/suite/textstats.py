@@ -1,0 +1,106 @@
+"""Text-analysis queries over ``documents`` (training-data pipeline
+track): language ID, quality scoring, token counting, fingerprinting.
+All JVM-side Column logic; at 100 TB these are embarrassingly
+parallel scan-only passes (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-profile language ID vs the declared lang column."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        tx.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang AS declared_lang, {tx.sql_lang_id('text')} AS predicted_lang
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.quality_score_micro(F.col("text")).alias("quality_micro"),
+        tx.whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       {tx.sql_quality_score_micro('text')} AS quality_micro,
+       CAST({tx.sql_whitespace_token_count('text')} AS BIGINT) AS ws_tokens,
+       CAST({tx.sql_bpe_ish_token_count('text')} AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint + exact content hash."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fp"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id, {tx.sql_fingerprint('text')} AS fp, md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_corpus_lang_profile(spark, sf_dir):
+    """Rollup: documents + token volume per (source, declared lang)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.whitespace_token_count(F.col("text")).cast("long")).alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_CORPUS_PROFILE = f"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST({tx.sql_whitespace_token_count('text')} AS BIGINT)) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+QUERIES = {
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprint": q_fingerprint,
+    "corpus_lang_profile": q_corpus_lang_profile,
+}
+
+ORACLES = {
+    "lang_id": ORACLE_LANG_ID,
+    "quality_scores": ORACLE_QUALITY,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "corpus_lang_profile": ORACLE_CORPUS_PROFILE,
+}

@@ -1,0 +1,409 @@
+"""Core vizlinc parity queries: mentions, coref, social network,
+counts, and the graph-shaped filters (SURVEY.md §2.2-§2.6, §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import oracle
+from ..functions.normalize import (
+    normalize_str,
+    sql_normalize_str,
+    sql_twitter_normalize_str,
+    twitter_normalize_str,
+)
+from ..operators import coref, counts, mentions, social
+
+PERSON = ("PERSON",)
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def derived_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mentions.derive_mentions(docs(spark, sf_dir))
+
+
+def person_doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = derived_mentions(spark, sf_dir)
+    return (
+        coref.across_doc_membership(m, "PERSON")
+        .select("doc_id", F.col("across_entity_id").alias("entity_id"))
+        .dropDuplicates(["doc_id", "entity_id"])
+    )
+
+
+# --- queries -------------------------------------------------------------
+
+def q_doc_scan_filter(spark, sf_dir):
+    """F1/S1 — scan + predicate + projection + deterministic order."""
+    return (
+        docs(spark, sf_dir)
+        .filter((F.col("lang") == "es") & (F.col("n_chars") >= 100))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_mention_type_filter(spark, sf_dir):
+    """F2/F3 — mentions of one type, doc-scoped counts."""
+    m = derived_mentions(spark, sf_dir)
+    nm = coref.normalized_mentions(m, "PERSON")
+    return nm.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_person_mentions"),
+        F.countDistinct("norm").cast("long").alias("n_distinct_names"),
+    )
+
+
+def q_mentions(spark, sf_dir):
+    """S3 — deterministic mention extraction (doc -> N typed rows)."""
+    return derived_mentions(spark, sf_dir)
+
+
+def q_normalize_mentions(spark, sf_dir):
+    """C1/C2 — normalization chains over raw mention surface forms."""
+    m = derived_mentions(spark, sf_dir).filter(F.col("type") == "PERSON")
+    return m.select(
+        "mention_id",
+        F.col("text").alias("raw"),
+        normalize_str(F.col("text")).alias("norm"),
+        twitter_normalize_str(F.col("text")).alias("twitter_norm"),
+    )
+
+
+def q_within_doc_entities_person(spark, sf_dir):
+    return coref.within_doc_entities(derived_mentions(spark, sf_dir), "PERSON").select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "doc_id"
+    )
+
+
+def q_within_doc_entities_location(spark, sf_dir):
+    """LOCATION variant — exercises the junk-chars-keep-quotes path."""
+    return coref.within_doc_entities(derived_mentions(spark, sf_dir), "LOCATION").select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "doc_id"
+    )
+
+
+def q_across_doc_entities_person(spark, sf_dir):
+    return coref.across_doc_entities(derived_mentions(spark, sf_dir), "PERSON").select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "num_members"
+    )
+
+
+def q_across_doc_entities_org(spark, sf_dir):
+    return coref.across_doc_entities(derived_mentions(spark, sf_dir), "ORGANIZATION").select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "num_members"
+    )
+
+
+def q_candidate_split_person(spark, sf_dir):
+    """F4 — strong/weak person-candidate predicate as a flag."""
+    wd = coref.within_doc_entities(derived_mentions(spark, sf_dir), "PERSON")
+    return wd.select(
+        "entity_id",
+        "text",
+        coref.is_strong_candidate(F.col("text"), "PERSON").alias("strong"),
+    )
+
+
+def q_created_by_filter(spark, sf_dir):
+    """F10 — provenance filter on created_by."""
+    e = coref.across_doc_entities(derived_mentions(spark, sf_dir), "PERSON")
+    return e.filter(F.col("created_by") == "across_doc_person_coref").select(
+        "entity_id", "text", "num_docs", "num_mentions"
+    )
+
+
+def q_min_docs_filter(spark, sf_dir):
+    """F7 — HAVING-style min-member filter over name clusters."""
+    nm = coref.normalized_mentions(derived_mentions(spark, sf_dir), "PERSON")
+    return (
+        nm.groupBy("norm")
+        .agg(F.countDistinct("doc_id").cast("long").alias("num_docs"))
+        .filter(F.col("num_docs") >= coref.MIN_NUM_DOCS)
+    )
+
+
+def q_adjacent_close_pairs(spark, sf_dir):
+    """J4/W1/C3/C4 — sorted-neighborhood candidate pairs (the merge
+    edges themselves, before clustering)."""
+    nm = coref.normalized_mentions(derived_mentions(spark, sf_dir), "PERSON")
+    names = nm.select("norm").distinct()
+    w = Window.orderBy("norm")
+    cand = names.withColumn("prev", F.lag("norm").over(w))
+    from ..functions.normalize import all_numbers_match
+
+    return cand.filter(
+        F.col("prev").isNotNull()
+        & (F.levenshtein(F.col("prev"), F.col("norm")) <= coref.LEVENSHTEIN_MAX)
+        & all_numbers_match(F.col("prev"), F.col("norm"))
+    ).select(F.col("prev").alias("name_a"), F.col("norm").alias("name_b"))
+
+
+def q_prefix_merge_pairs(spark, sf_dir):
+    """J5/W2/C7 — firstname ⊂ fullname unique-prefix pairs."""
+    nm = coref.normalized_mentions(derived_mentions(spark, sf_dir), "PERSON")
+    return coref.prefix_merge_pairs(nm, ["doc_id"]).select(
+        "doc_id", "first_name", "full_name"
+    )
+
+
+def q_global_id_clusters(spark, sf_dir):
+    """A2 — explicit-global-id clustering, null gids dropped."""
+    return coref.global_id_clusters(derived_mentions(spark, sf_dir)).select(
+        "global_id",
+        F.col("num_mentions").cast("long").alias("num_mentions"),
+        F.col("num_docs").cast("long").alias("num_docs"),
+        "first_mention_id",
+    )
+
+
+def q_social_network(spark, sf_dir):
+    return social.social_network(person_doc_entities(spark, sf_dir))
+
+
+def q_social_network_filtered(spark, sf_dir):
+    doc_ent = person_doc_entities(spark, sf_dir)
+    edges = social.social_network(doc_ent)
+    node_docs = doc_ent.groupBy("entity_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("num_docs")
+    )
+    return social.filter_social_network(edges, node_docs)
+
+
+def q_document_entity_counts(spark, sf_dir):
+    """A6 — per-(doc, across-entity) mention counts."""
+    m = derived_mentions(spark, sf_dir)
+    assigned = coref.assign_mentions_to_entities(m, "PERSON")
+    membership = coref.across_doc_membership(m, "PERSON")
+    me = assigned.join(
+        membership.withColumnRenamed("within_entity_id", "entity_id"),
+        ["doc_id", "entity_id"],
+    ).select("doc_id", F.col("across_entity_id").alias("entity_id"))
+    return counts.document_entity_counts(me)
+
+
+def q_top_mention_per_doc(spark, sf_dir):
+    """O4/W3 — rank-1-per-group (earliest PERSON mention per doc)."""
+    nm = coref.normalized_mentions(derived_mentions(spark, sf_dir), "PERSON")
+    w = Window.partitionBy("doc_id").orderBy("idx", "mention_id")
+    return (
+        nm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "norm", "idx")
+    )
+
+
+def q_doc_text_search(spark, sf_dir):
+    """S9 parity — full-text search reduced to pattern match."""
+    return (
+        docs(spark, sf_dir)
+        .filter(F.col("text").rlike("spark.*join|join.*spark"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_union_mentions(spark, sf_dir):
+    """§2.7 — union of two filtered mention sets (distinct)."""
+    m = derived_mentions(spark, sf_dir)
+    a = m.filter(F.col("type") == "PERSON").select("doc_id", "text")
+    b = m.filter(F.col("type") == "ORGANIZATION").select("doc_id", "text")
+    return a.union(b).distinct()
+
+
+def q_node_id_dump(spark, sf_dir):
+    """S8 — (entity_id, text) dump sorted by name, provenance-filtered
+    (src/SNNodeId.groovy:38-57)."""
+    e = coref.across_doc_entities(derived_mentions(spark, sf_dir), "PERSON")
+    return (
+        e.filter(
+            F.col("created_by").isin(
+                "across_doc_person_coref", "weak_across_doc_person_coref"
+            )
+        )
+        .select("entity_id", "text")
+        .orderBy("text", "entity_id")
+    )
+
+
+QUERIES = {
+    "doc_scan_filter": q_doc_scan_filter,
+    "mentions_extract": q_mentions,
+    "mention_type_filter": q_mention_type_filter,
+    "normalize_mentions": q_normalize_mentions,
+    "within_doc_entities_person": q_within_doc_entities_person,
+    "within_doc_entities_location": q_within_doc_entities_location,
+    "across_doc_entities_person": q_across_doc_entities_person,
+    "across_doc_entities_org": q_across_doc_entities_org,
+    "candidate_split_person": q_candidate_split_person,
+    "created_by_filter": q_created_by_filter,
+    "min_docs_filter": q_min_docs_filter,
+    "adjacent_close_pairs": q_adjacent_close_pairs,
+    "prefix_merge_pairs": q_prefix_merge_pairs,
+    "global_id_clusters": q_global_id_clusters,
+    "social_network": q_social_network,
+    "social_network_filtered": q_social_network_filtered,
+    "document_entity_counts": q_document_entity_counts,
+    "top_mention_per_doc": q_top_mention_per_doc,
+    "doc_text_search": q_doc_text_search,
+    "union_mentions": q_union_mentions,
+    "node_id_dump": q_node_id_dump,
+}
+
+
+def _sql_strong_person(name: str) -> str:
+    return oracle._sql_strong("PERSON", name)
+
+
+w = oracle.wrap
+ORACLES = {
+    "doc_scan_filter": (
+        "SELECT doc_id, lang, source, n_chars FROM documents"
+        " WHERE lang = 'es' AND n_chars >= 100 ORDER BY doc_id"
+    ),
+    "mentions_extract": w(
+        "SELECT mention_id, doc_id, type, text, idx, global_id,"
+        " text_start, text_stop FROM mentions", PERSON
+    ),
+    "mention_type_filter": w(
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_person_mentions,"
+        " CAST(count(DISTINCT norm) AS BIGINT) AS n_distinct_names"
+        " FROM nm_PERSON GROUP BY doc_id", PERSON
+    ),
+    "normalize_mentions": w(
+        f"SELECT mention_id, text AS raw, {sql_normalize_str('text')} AS norm,"
+        f" {sql_twitter_normalize_str('text')} AS twitter_norm"
+        " FROM mentions WHERE type = 'PERSON'", PERSON
+    ),
+    "within_doc_entities_person": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, doc_id FROM wd_PERSON", PERSON
+    ),
+    "within_doc_entities_location": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, doc_id FROM wd_LOCATION", ("LOCATION",)
+    ),
+    "across_doc_entities_person": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, num_members FROM across_strong_PERSON"
+        " UNION ALL SELECT entity_id, type, text, created_by,"
+        " num_docs, num_mentions, num_members FROM across_weak_PERSON",
+        PERSON,
+    ),
+    "across_doc_entities_org": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, num_members FROM across_strong_ORGANIZATION"
+        " UNION ALL SELECT entity_id, type, text, created_by,"
+        " num_docs, num_mentions, num_members FROM across_weak_ORGANIZATION",
+        ("ORGANIZATION",),
+    ),
+    "candidate_split_person": w(
+        f"SELECT entity_id, text, {_sql_strong_person('text')} AS strong"
+        " FROM wd_PERSON", PERSON
+    ),
+    "created_by_filter": w(
+        "SELECT entity_id, text, num_docs, num_mentions"
+        " FROM across_strong_PERSON"
+        " WHERE created_by = 'across_doc_person_coref'", PERSON
+    ),
+    "min_docs_filter": w(
+        "SELECT norm, CAST(count(DISTINCT doc_id) AS BIGINT) AS num_docs"
+        " FROM nm_PERSON GROUP BY norm"
+        f" HAVING count(DISTINCT doc_id) >= {coref.MIN_NUM_DOCS}", PERSON
+    ),
+    "adjacent_close_pairs": w(
+        """
+SELECT prev AS name_a, norm AS name_b FROM (
+  SELECT norm, lag(norm) OVER (ORDER BY norm) AS prev
+  FROM (SELECT DISTINCT norm FROM nm_PERSON) d
+) x
+WHERE prev IS NOT NULL AND levenshtein(prev, norm) <= 1
+  AND regexp_extract_all(prev, '\\d+') = regexp_extract_all(norm, '\\d+')
+""",
+        PERSON,
+    ),
+    "prefix_merge_pairs": w(
+        """
+SELECT doc_id, first_name, min_full AS full_name FROM (
+  SELECT a.doc_id, a.norm AS first_name, count(*) AS n_matches,
+         min(b.norm) AS min_full
+  FROM (SELECT DISTINCT doc_id, norm FROM nm_PERSON) a
+  JOIN (SELECT DISTINCT doc_id, norm FROM nm_PERSON) b
+    ON a.doc_id = b.doc_id AND b.norm <> a.norm
+   AND starts_with(b.norm, a.norm) AND len(a.norm) >= 2
+  GROUP BY a.doc_id, a.norm
+) g WHERE n_matches = 1
+""",
+        PERSON,
+    ),
+    "global_id_clusters": w(
+        "SELECT global_id, CAST(count(*) AS BIGINT) AS num_mentions,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS num_docs,"
+        " CAST(min(mention_id) AS BIGINT) AS first_mention_id"
+        " FROM mentions WHERE global_id IS NOT NULL GROUP BY global_id",
+        PERSON,
+    ),
+    "social_network": w("SELECT * FROM sn_edges", PERSON),
+    "social_network_filtered": w(
+        """
+SELECT e.src_entity_id, e.dst_entity_id, e.num_docs
+FROM sn_edges e
+JOIN (SELECT entity_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM docent_PERSON GROUP BY entity_id) ns
+  ON e.src_entity_id = ns.entity_id AND ns.nd >= 2
+JOIN (SELECT entity_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM docent_PERSON GROUP BY entity_id) nd2
+  ON e.dst_entity_id = nd2.entity_id AND nd2.nd >= 2
+WHERE e.num_docs >= 2
+""",
+        PERSON,
+    ),
+    "document_entity_counts": w(
+        """
+SELECT me.doc_id, me.entity_id, CAST(count(*) AS BIGINT) AS num_mentions
+FROM (
+  SELECT i.doc_id, mm.across_entity_id AS entity_id
+  FROM (SELECT i0.*, w0.entity_id AS within_entity_id
+        FROM isl_PERSON i0
+        JOIN wd_PERSON w0 USING (doc_id, type, cluster_seq)) i
+  JOIN membership_PERSON mm
+    ON i.doc_id = mm.doc_id AND i.within_entity_id = mm.within_entity_id
+) me GROUP BY me.doc_id, me.entity_id
+""",
+        PERSON,
+    ),
+    "top_mention_per_doc": w(
+        """
+SELECT doc_id, norm, idx FROM (
+  SELECT doc_id, norm, idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx, mention_id) AS rn
+  FROM nm_PERSON
+) x WHERE rn = 1
+""",
+        PERSON,
+    ),
+    "doc_text_search": (
+        "SELECT doc_id, lang, n_chars FROM documents"
+        " WHERE regexp_matches(text, 'spark.*join|join.*spark') ORDER BY doc_id"
+    ),
+    "union_mentions": w(
+        "SELECT DISTINCT doc_id, text FROM ("
+        "SELECT doc_id, text FROM mentions WHERE type = 'PERSON'"
+        " UNION ALL SELECT doc_id, text FROM mentions WHERE type = 'ORGANIZATION')",
+        PERSON,
+    ),
+    "node_id_dump": w(
+        "SELECT entity_id, text FROM ("
+        "SELECT entity_id, text, created_by FROM across_strong_PERSON"
+        " UNION ALL SELECT entity_id, text, created_by FROM across_weak_PERSON) u"
+        " WHERE created_by IN ('across_doc_person_coref',"
+        " 'weak_across_doc_person_coref') ORDER BY text, entity_id",
+        PERSON,
+    ),
+}
