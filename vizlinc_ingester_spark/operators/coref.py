@@ -161,17 +161,22 @@ def assign_mentions_to_entities(mentions: DataFrame, entity_type: str) -> DataFr
     )
 
 
-def across_doc_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
+def across_doc_entities(
+    mentions: DataFrame, entity_type: str, wd: DataFrame | None = None
+) -> DataFrame:
     """Across-document coref (src/AcrossDocPerCoref.groovy:46-117).
 
     strong candidates: exact + sorted-neighborhood merge, clusters with
     >= MIN_NUM_DOCS members kept, created_by 'across_doc_*_coref';
     weak: exact-match grouping only, unfiltered, created_by
     'weak_across_doc_*_coref'. Input entities are the within-doc pass
-    output; corpus-wide sort is range-partitioned by Spark's window
-    sort (one shuffle on the scope key).
+    output (pass ``wd`` to reuse a checkpointed one); corpus-wide sort
+    is range-partitioned by Spark's window sort (one shuffle on the
+    scope key).
     """
-    wd = within_doc_entities(mentions, entity_type).withColumnRenamed("text", "norm")
+    if wd is None:
+        wd = within_doc_entities(mentions, entity_type)
+    wd = wd.withColumnRenamed("text", "norm")
     wd = wd.withColumn("strong", is_strong_candidate(F.col("norm"), entity_type))
 
     strong = _islands(
@@ -224,13 +229,17 @@ def across_doc_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
     return strong_out.unionByName(weak_entities)
 
 
-def across_doc_membership(mentions: DataFrame, entity_type: str) -> DataFrame:
+def across_doc_membership(
+    mentions: DataFrame, entity_type: str, wd: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, within_entity_id, across_entity_id) for surviving
     *strong* across-doc clusters — the rewired doc->entity edges the
     reference leaves in the graph after mergeClusters
     (src/CorefBase.groovy:243-252). Feeds the social network (G2).
     """
-    wd = within_doc_entities(mentions, entity_type).withColumnRenamed("text", "norm")
+    if wd is None:
+        wd = within_doc_entities(mentions, entity_type)
+    wd = wd.withColumnRenamed("text", "norm")
     wd = wd.withColumn("strong", is_strong_candidate(F.col("norm"), entity_type))
     strong = _islands(
         wd.filter(F.col("strong")), ["type", "strong"], "norm", "entity_id"

@@ -42,26 +42,46 @@ def shingles(c: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature(shingles_col: Column) -> list[Column]:
-    """16 MinHash values (null if no shingles)."""
+def minhash_signature_array(hashes_col: Column) -> Column:
+    """array<long> of the 16 MinHash values from an array<long> of
+    shingle hashes (already reduced mod P).
 
-    def term(i: int):
-        # single-arg lambda: a 2-arg lambda would make Spark pass the
-        # array index as the second argument
-        return lambda s: minhash_term(s, i)
+    One ``aggregate`` pass with a 16-element array accumulator instead
+    of 16 separate array_min(transform(...)) projections: the latter
+    blows whole-stage codegen past janino's 64 KB method limit
+    (observed), costing ~15 s of compile+fallback on first execution.
+    """
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_PERMS])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_PERMS])
+    init = F.array_repeat(F.lit(P).cast("long"), N_PERMS)
 
-    return [
-        F.array_min(F.transform(shingles_col, term(i))) for i in range(N_PERMS)
-    ]
+    def step(acc, h):
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(N_PERMS)),
+            lambda m, j: F.least(
+                m, (F.element_at(a_arr, j) * h + F.element_at(b_arr, j)) % F.lit(P)
+            ),
+        )
+
+    return F.aggregate(hashes_col, init, step)
+
+
+def _sig_to_cols(df: DataFrame, sig_col: str = "sig") -> DataFrame:
+    """(..., sig: array<long>) -> (..., mh0..mh15); two-step select so
+    the aggregate is computed once, not per element."""
+    return df.select(
+        *[c for c in df.columns if c != sig_col],
+        *[F.element_at(sig_col, i + 1).alias(f"mh{i}") for i in range(N_PERMS)],
+    )
 
 
 def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """documents -> (doc_id, mh0..mh15); docs with no shingles dropped."""
-    sh = documents.select("doc_id", shingles(F.col(text_col)).alias("sh")).filter(
-        F.size("sh") >= 1
+    hashed = hashed_shingle_docs(documents, text_col)
+    return _sig_to_cols(
+        hashed.select("doc_id", minhash_signature_array(F.col("hs")).alias("sig"))
     )
-    sig = minhash_signature(F.col("sh"))
-    return sh.select("doc_id", *[s.alias(f"mh{i}") for i, s in enumerate(sig)])
 
 
 def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
@@ -97,21 +117,37 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(documents: DataFrame, pairs: DataFrame, text_col: str = "text") -> DataFrame:
-    """True shingle-set Jaccard for candidate pairs only.
+def hashed_shingle_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, hs: array<long>) — shingles hashed once (mod P). The
+    md5 work happens exactly once per shingle; every downstream stage
+    (signatures, banding, verification) reuses the longs.
+
+    The no-shingle filter tests *token count on the input side*, not
+    ``size(hs) >= 1``: a predicate on the computed column gets pushed
+    below the projection and evaluates the whole md5 transform twice
+    (measured 3x slowdown)."""
+    has_shingles = F.size(tokens(F.col(text_col))) >= SHINGLE_K
+    return documents.filter(has_shingles).select(
+        "doc_id",
+        F.transform(shingles(F.col(text_col)), lambda s: stable_hash64(s) % F.lit(P)).alias("hs"),
+    )
+
+
+def jaccard_verify_hashed(hs_docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """True shingle-set Jaccard for candidate pairs, over *hashed*
+    shingles (long joins, not string joins — and the oracle joins the
+    identical hashes, so results stay symmetric even in the
+    astronomically-unlikely collision case).
     jaccard_micro = (|A∩B| * 1e6) // |A∪B| (exact integer math)."""
-    sh = (
-        documents.select(
-            "doc_id", F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("sh")
-        )
-        .dropDuplicates(["doc_id", "sh"])
+    sh = hs_docs.select(
+        "doc_id", F.explode(F.array_distinct("hs")).alias("h")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
     inter = (
         pairs.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "sh"])
+        .join(b_sh, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
@@ -127,6 +163,24 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame, text_col: str = "text
         union.alias("n_union"),
         F.expr("div(n_inter * 1000000, n_a + n_b - n_inter)").alias("jaccard_micro"),
     )
+
+
+def minhash_lsh_verified(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full near-dup pipeline: hash shingles once -> signatures ->
+    band buckets -> candidate pairs -> exact-Jaccard verify. The
+    hashed-shingle relation is persisted: it feeds three branches
+    (signatures, sizes, intersection) and recomputing it would triple
+    the scan+md5 work."""
+    hs_docs = hashed_shingle_docs(documents, text_col).persist()
+    sigs = _sig_to_cols(
+        hs_docs.select("doc_id", minhash_signature_array(F.col("hs")).alias("sig"))
+    ).persist()
+    # Eagerly materialize: hs_docs/sigs feed 5 downstream branches of
+    # ONE action; an unmaterialized cache gets recomputed by each
+    # concurrently-scheduled consumer stage (observed 16 s -> ~4 s).
+    sigs.count()
+    pairs = lsh_candidate_pairs(sigs)
+    return jaccard_verify_hashed(hs_docs, pairs)
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -21,7 +21,13 @@ from ..operators import dedup as dd
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # the synthetic corpus is one small parquet file -> 1 input split;
+    # spread the per-doc hashing across cores (at real scale the file
+    # count does this for free)
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +44,9 @@ SQL_SHINGLES = (
 ).format(toks=sql_tokens("text"))
 
 SQL_SIG_COLS = ", ".join(
-    f"list_min(list_transform(sh, s -> {sql_minhash_term('s', i)})) AS mh{i}"
+    "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS mh{i}".format(
+        a=MINHASH_PERMS[i][0], b=MINHASH_PERMS[i][1], p=P, i=i
+    )
     for i in range(dd.N_PERMS)
 )
 
@@ -46,8 +54,12 @@ SQL_SIGS_CTE = f"""
 sh_docs AS (
   SELECT doc_id, {SQL_SHINGLES} AS sh FROM documents
 ),
+hashed AS (
+  SELECT doc_id, list_transform(sh, s -> {sql_stable_hash64('s')} % {P}) AS hs
+  FROM sh_docs WHERE len(sh) >= 1
+),
 sigs AS (
-  SELECT doc_id, {SQL_SIG_COLS} FROM sh_docs WHERE len(sh) >= 1
+  SELECT doc_id, {SQL_SIG_COLS} FROM hashed
 )"""
 
 _band_rows = ", ".join(
@@ -93,10 +105,7 @@ ORACLE_MINHASH_SIGS = f"WITH {SQL_SIGS_CTE.strip()} SELECT * FROM sigs"
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Full LSH pipeline: signatures -> band buckets -> candidate
     pairs -> exact-Jaccard verification."""
-    docs = _docs(spark, sf_dir)
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.lsh_candidate_pairs(sigs)
-    return dd.jaccard_verify(docs, pairs)
+    return dd.minhash_lsh_verified(_docs(spark, sf_dir))
 
 
 ORACLE_DEDUP_MINHASH = f"""
@@ -104,8 +113,8 @@ WITH {SQL_SIGS_CTE.strip()},
 {SQL_BANDS_CTE.strip()},
 {SQL_CAND_CTE.strip()},
 doc_shingle AS (
-  SELECT DISTINCT doc_id, s AS sh
-  FROM (SELECT doc_id, unnest(sh) AS s FROM sh_docs) u
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(hs) AS h FROM hashed) u
 ),
 sizes AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM doc_shingle GROUP BY doc_id
@@ -114,7 +123,7 @@ inter AS (
   SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
   FROM cand c
   JOIN doc_shingle sa ON sa.doc_id = c.doc_a
-  JOIN doc_shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  JOIN doc_shingle sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT c.doc_a, c.doc_b, c.n_shared_bands,

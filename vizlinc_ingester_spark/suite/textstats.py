@@ -15,7 +15,12 @@ from ..functions import text as tx
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # one small parquet file -> 1 input split; spread scan-heavy
+    # column work across cores
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
 
 def q_lang_id(spark, sf_dir):
