@@ -1,0 +1,149 @@
+"""Sources/sinks: directory scan, text extraction, CSV/TSV/GraphML
+round-trips, star-schema export (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.io import sinks, sources
+
+
+def _make_corpus(tmp_path):
+    root = tmp_path / "corpus"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("Maria Lopez visited Bogota.")
+    (root / "sub" / "b.txt").write_text("Jose Garcia met Maria Lopez.")
+    (root / "sub" / "skip.pdf").write_bytes(b"%PDF-1.4 junk")
+    return str(root)
+
+
+def test_scan_and_extract(spark, tmp_path):
+    corpus = _make_corpus(tmp_path)
+    scanned = sources.scan_directory(spark, corpus, "txt")
+    paths = [r["path"] for r in scanned.select("path").orderBy("path").collect()]
+    assert len(paths) == 2 and paths[0].endswith("a.txt") and paths[1].endswith("b.txt")
+
+    docs = sources.extract_text(scanned).orderBy("name").collect()
+    assert [d["name"] for d in docs] == ["a.txt", "b.txt"]
+    assert docs[0]["text"] == "Maria Lopez visited Bogota."
+    assert all(d["doc_id"] >= 0 for d in docs)
+
+
+def test_extract_unknown_extractor_raises(spark, tmp_path):
+    corpus = _make_corpus(tmp_path)
+    scanned = sources.scan_directory(spark, corpus, "txt")
+    try:
+        sources.extract_text(scanned, extractor="tika")
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
+
+
+def test_mentions_csv_roundtrip(spark, tmp_path):
+    m = spark.createDataFrame(
+        [
+            ("PERSON", 0, 11, 1, None, "MARIA LOPEZ"),
+            ("LOCATION", 20, 26, 2, "g_bog", "BOGOTA"),
+        ],
+        "type string, text_start long, text_stop long, idx long, global_id string, text string",
+    )
+    out = str(tmp_path / "ner_csv")
+    sinks.write_mentions_csv(m, out)
+    back = sources.read_mentions_csv(spark, out)
+    assert back.schema == sources.MENTION_CSV_SCHEMA
+    rows = {r["text"]: r for r in back.collect()}
+    assert rows["BOGOTA"]["global_id"] == "g_bog"
+    assert rows["MARIA LOPEZ"]["text_stop"] == 11
+
+
+def test_xml_token_tags_and_tsv(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "El senor <PERSON>Juan Perez</PERSON> vive en <LOCATION>Cali</LOCATION>.")],
+        "doc_id long, xml string",
+    )
+    toks = sources.xml_to_token_tags(df)
+    got = [
+        (r["token"], r["tag"])
+        for r in toks.orderBy("doc_id", "token_seq").collect()
+    ]
+    assert got == [
+        ("El", "O"),
+        ("senor", "O"),
+        ("Juan", "PERSON"),
+        ("Perez", "PERSON"),
+        ("vive", "O"),
+        ("en", "O"),
+        ("Cali", "LOCATION"),
+        (".", "O"),
+    ]
+    out = str(tmp_path / "tokens_tsv")
+    sinks.write_token_tsv(toks, out)
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part-"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    assert "Juan\tPERSON" in lines and "El\tO" in lines
+
+
+def test_star_schema_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "a", "/a", "x")], "doc_id long, name string, path string, text string")
+    ents = spark.createDataFrame(
+        [(10, "PERSON", "JUAN", "across_doc_person_coref", 3, 5)],
+        "entity_id long, type string, text string, created_by string, num_docs long, num_mentions long",
+    )
+    de = spark.createDataFrame(
+        [(1, 10, 2), (1, 10, 2)], "doc_id long, entity_id long, num_mentions long"
+    )
+    out = str(tmp_path / "star")
+    sinks.write_star_schema({"documents": docs, "entities": ents, "document_entity": de}, out)
+    back = sinks.read_star_schema(spark, out)
+    assert set(back) == {"documents", "entities", "document_entity"}
+    # MERGE-INTO replacement: duplicate (doc, entity) rows collapsed
+    assert back["document_entity"].count() == 1
+
+
+def test_graphml_export(spark, tmp_path):
+    ents = spark.createDataFrame(
+        [
+            (1, "PERSON", "ANA RUIZ", "across_doc_person_coref", 3, 9),
+            (2, "PERSON", "LUIS SOTO", "across_doc_person_coref", 2, 4),
+            (3, "PERSON", "RARE GUY", "across_doc_person_coref", 1, 1),  # dropped: num_docs < 2
+            (4, "PERSON", "WEAK ONE", "weak_across_doc_person_coref", 9, 9),  # dropped: created_by
+        ],
+        "entity_id long, type string, text string, created_by string, num_docs long, num_mentions long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 5), (2, 3, 1)],
+        "src_entity_id long, dst_entity_id long, num_docs long",
+    )
+    nodes, kept = sinks.social_network_for_export(ents, edges)
+    out = str(tmp_path / "sn.graphml")
+    counts = sinks.write_graphml(nodes, kept, out)
+    assert counts == {"nodes": 2, "edges": 1}  # only 1-2 survives both endpoints
+    tree = ET.parse(out)
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    xml_nodes = tree.findall(".//g:node", ns)
+    xml_edges = tree.findall(".//g:edge", ns)
+    assert {n.get("id") for n in xml_nodes} == {"n1", "n2"}
+    assert xml_edges[0].get("source") == "n1" and xml_edges[0].get("target") == "n2"
+
+
+def test_node_id_tsv(spark, tmp_path):
+    ents = spark.createDataFrame(
+        [
+            (2, "PERSON", "ZULMA", "across_doc_person_coref", 2, 2),
+            (1, "PERSON", "ANA", "across_doc_person_coref", 2, 2),
+            (3, "PERSON", "NOPE", "weak_across_doc_person_coref", 2, 2),
+        ],
+        "entity_id long, type string, text string, created_by string, num_docs long, num_mentions long",
+    )
+    out = str(tmp_path / "node_ids")
+    sinks.write_node_id_tsv(ents, out)
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part-"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    assert lines == ["1\tANA", "2\tZULMA"]

@@ -1,0 +1,193 @@
+"""Sinks (SURVEY.md §2.1 S6, S7, S8; §3.3).
+
+- S6 star-schema export: the reference's final queryable product is a
+  5-table H2 relational database written row-by-row with batched
+  commits (src/GraphDBToH2.groovy:40-165, commit every 1000 at
+  :62-64, durability off at :44). Spark-first: atomic columnar
+  Parquet writes per table (``write_star_schema``) — partitioned,
+  compressed, no per-row transactions; the JDBC variant
+  (``write_star_jdbc``) keeps the batching idea via the writer's
+  ``batchsize`` option. The edge-dedupe MERGE INTO
+  (src/GraphDBToH2.groovy:104-105) becomes ``dropDuplicates`` before
+  the write.
+- S7 GraphML export: filtered social network -> Gephi GraphML
+  (src/SNGephiGraphML.groovy:40-102). The filtered graph is small by
+  construction (num_docs >= 2 thresholds), so the XML is streamed on
+  the driver via toLocalIterator — the *filters* run distributed.
+- S8 node-id TSV (src/SNNodeId.groovy:38-57): sorted
+  (node_id <tab> entity_text) dump.
+"""
+
+from __future__ import annotations
+
+import os
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STAR_TABLES = ("documents", "entities", "mentions", "document_entity", "geolocations")
+
+# SN export thresholds (src/SNGephiGraphML.groovy:14-15)
+MIN_NODE_NUM_DOCS = 2
+MIN_EDGE_NUM_DOCS = 2
+
+
+def write_star_schema(
+    tables: dict[str, DataFrame],
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: dict[str, list[str]] | None = None,
+) -> None:
+    """S6 — write the relational star as Parquet, one directory per
+    table. ``document_entity`` is deduplicated on its key first
+    (replaces H2 MERGE INTO, src/GraphDBToH2.groovy:104-105).
+
+    ``partition_cols`` maps table -> partitioning columns for the
+    scale path (e.g. mentions by type); default unpartitioned — at
+    sf-test sizes extra directories cost more than they save.
+    """
+    partition_cols = partition_cols or {}
+    for name, df in tables.items():
+        if name == "document_entity":
+            df = df.dropDuplicates(["doc_id", "entity_id"])
+        writer = df.write.mode(mode)
+        if name in partition_cols:
+            writer = writer.partitionBy(*partition_cols[name])
+        writer.parquet(os.path.join(path, name))
+
+
+def read_star_schema(spark, path: str) -> dict[str, DataFrame]:
+    """Load every table directory present under ``path``."""
+    out = {}
+    for name in STAR_TABLES:
+        p = os.path.join(path, name)
+        if os.path.isdir(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def write_star_jdbc(
+    tables: dict[str, DataFrame],
+    url: str,
+    mode: str = "overwrite",
+    batchsize: int = 1000,
+    properties: dict | None = None,
+) -> None:
+    """S6 JDBC variant — batchsize mirrors the reference's 1000-row
+    commit cadence (src/GraphDBToH2.groovy:62-64); driver jar must be
+    on the classpath (H2 is not bundled here)."""
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batchsize))
+    for name, df in tables.items():
+        if name == "document_entity":
+            df = df.dropDuplicates(["doc_id", "entity_id"])
+        df.write.mode(mode).jdbc(url, table=name, properties=props)
+
+
+def social_network_for_export(
+    entities: DataFrame,
+    edges: DataFrame,
+    created_by: str = "across_doc_person_coref",
+    min_node_docs: int = MIN_NODE_NUM_DOCS,
+    min_edge_docs: int = MIN_EDGE_NUM_DOCS,
+) -> tuple[DataFrame, DataFrame]:
+    """F8/F9/F10/J8 — the distributed part of the GraphML export:
+    keep persons from the across-doc pass with num_docs >= 2, edges
+    with num_docs >= 2 whose BOTH endpoints survive
+    (src/SNGephiGraphML.groovy:52-84)."""
+    nodes = entities.filter(
+        (F.col("created_by") == created_by) & (F.col("num_docs") >= min_node_docs)
+    ).select("entity_id", "text", "num_docs")
+    kept = nodes.select("entity_id")
+    kept_edges = (
+        edges.filter(F.col("num_docs") >= min_edge_docs)
+        .join(
+            F.broadcast(kept.withColumnRenamed("entity_id", "src_entity_id")),
+            "src_entity_id",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(kept.withColumnRenamed("entity_id", "dst_entity_id")),
+            "dst_entity_id",
+            "left_semi",
+        )
+        .select("src_entity_id", "dst_entity_id", "num_docs")
+    )
+    return nodes, kept_edges
+
+
+def write_graphml(nodes: DataFrame, edges: DataFrame, out_path: str) -> dict:
+    """S7 — stream the (already filtered, small) graph to a Gephi
+    GraphML file on the driver. Returns {nodes: n, edges: m} counts
+    (the reference prints the same totals,
+    src/SNGephiGraphML.groovy:97-99)."""
+    n = m = 0
+    with open(out_path, "w", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        fh.write(
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+            '  <key id="label" for="node" attr.name="label" attr.type="string"/>\n'
+            '  <key id="num_docs" for="node" attr.name="num_docs" attr.type="long"/>\n'
+            '  <key id="weight" for="edge" attr.name="num_docs" attr.type="long"/>\n'
+            '  <graph id="social_network" edgedefault="undirected">\n'
+        )
+        ordered_nodes = nodes.orderBy("text", "entity_id")
+        for row in ordered_nodes.toLocalIterator():
+            fh.write(
+                f'    <node id="n{row["entity_id"]}">'
+                f'<data key="label">{escape(str(row["text"]))}</data>'
+                f'<data key="num_docs">{row["num_docs"]}</data></node>\n'
+            )
+            n += 1
+        ordered_edges = edges.orderBy("src_entity_id", "dst_entity_id")
+        for row in ordered_edges.toLocalIterator():
+            fh.write(
+                f'    <edge source="n{row["src_entity_id"]}" '
+                f'target="n{row["dst_entity_id"]}">'
+                f'<data key="weight">{row["num_docs"]}</data></edge>\n'
+            )
+            m += 1
+        fh.write("  </graph>\n</graphml>\n")
+    return {"nodes": n, "edges": m}
+
+
+def write_node_id_tsv(
+    entities: DataFrame,
+    out_dir: str,
+    created_by: str = "across_doc_person_coref",
+) -> None:
+    """S8 — (entity_id \t text) sorted by name
+    (src/SNNodeId.groovy:38-57). Distributed CSV write; pass a small
+    filtered frame for a page-sized dump or leave large — the sort is
+    a range partition either way."""
+    (
+        entities.filter(F.col("created_by") == created_by)
+        .select(F.col("entity_id").cast("string"), "text")
+        .orderBy("text")
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(out_dir)
+    )
+
+
+def write_mentions_csv(mentions: DataFrame, out_dir: str) -> None:
+    """S4 sink — mention rows in the reference's .ner.csv column order
+    (src/EntityExtractor.groovy:30)."""
+    (
+        mentions.select("type", "text_start", "text_stop", "idx", "global_id", "text")
+        .write.mode("overwrite")
+        .csv(out_dir)
+    )
+
+
+def write_token_tsv(token_tags: DataFrame, out_dir: str) -> None:
+    """S10 sink — (token \t tag) in document token order
+    (src/XMLToTSVConverter.groovy:148-159)."""
+    (
+        token_tags.orderBy("doc_id", "token_seq")
+        .select("token", "tag")
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(out_dir)
+    )

@@ -1,0 +1,158 @@
+"""Document / mention sources (SURVEY.md §2.1 S1, S2, S4, S10).
+
+Reference behavior being re-expressed:
+
+- S1 recursive directory scan: walk a tree, keep one extension, sort
+  for determinism (src/Ingester.groovy:197-207). Spark-first: the
+  ``binaryFile`` source with ``recursiveFileLookup`` — the listing is
+  distributed and the scan is split across executors, unlike the
+  reference's single-threaded walk.
+- S2 text extraction: any file -> plain text (src/TextExtractor.groovy:
+  12-28, Tika). Parity subset decodes UTF-8 bytes JVM-side; richer
+  extractors (PDF/Office) plug in as a pandas-UDF ``bytes -> text``
+  (Tika itself is not available here; the pluggable seam is the point).
+- S4 mention CSV: one row per mention, write order
+  (type, start, stop, index, global_id, text)
+  (src/EntityExtractor.groovy:21-33; read back src/Ingester.groovy:
+  244-251). Fixed schema on read — no inference pass over the data.
+- S10 XML->TSV token source: entity-tagged XML -> (token, tag) rows
+  (src/XMLToTSVConverter.groovy:70-159). Re-expressed as JVM regex
+  segmentation + posexplode (no per-row Python); PTB tokenization is
+  reduced to word/punct splitting (documented reduction, SURVEY §2.8
+  C14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# S4 — .ner.csv column order at src/EntityExtractor.groovy:30
+MENTION_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("text_start", T.LongType()),
+        T.StructField("text_stop", T.LongType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("global_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def scan_directory(spark: SparkSession, path: str, ext: str = "txt") -> DataFrame:
+    """S1 — recursive scan filtered by extension, deterministic order.
+
+    Returns (path, modificationTime, length, content) with content as
+    raw bytes. Listing parallelizes on the driver + scan splits by
+    file; ``orderBy(path)`` reproduces the reference's sorted walk
+    (src/Ingester.groovy:206) only at output time — keep it lazy so
+    downstream ops don't inherit a global sort.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", f"*.{ext}")
+        .load(path)
+    )
+
+
+def extract_text(
+    binary_docs: DataFrame, extractor: str = "utf8", id_offset: int = 0
+) -> DataFrame:
+    """S2 — binary file rows -> documents(doc_id, name, path, text).
+
+    ``extractor='utf8'`` decodes JVM-side (whole-stage codegen, no
+    Python). Any other extractor name must be registered via
+    :func:`register_extractor` (the reference treats the Tika parser
+    as a pluggable component; so do we).
+
+    doc_id is a deterministic hash of the path — stable across runs
+    and shuffle-free (a row_number would serialize the listing through
+    one partition; at 100 TB that is the difference between a metadata
+    op and a bottleneck). xxhash64 collisions at realistic corpus
+    sizes (~10^9 docs) are ~1e-2 per corpus under birthday bound —
+    acceptable for ids; callers needing certainty can use ``path``.
+    """
+    if extractor == "utf8":
+        text = F.decode(F.col("content"), "UTF-8")
+    elif extractor in _EXTRACTORS:
+        text = _EXTRACTORS[extractor](F.col("content"))
+    else:
+        raise NotImplementedError(
+            f"extractor {extractor!r} not registered; Tika-class parsers "
+            "are external components (src/TextExtractor.groovy:6)"
+        )
+    return binary_docs.select(
+        (F.abs(F.xxhash64("path")) + F.lit(id_offset)).alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("path").alias("path"),
+        text.alias("text"),
+    )
+
+
+_EXTRACTORS: dict = {}
+
+
+def register_extractor(name: str, fn) -> None:
+    """Register a ``Column -> Column`` (or pandas-UDF) text extractor."""
+    _EXTRACTORS[name] = fn
+
+
+def read_mentions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — read .ner.csv mention files with the fixed schema (no
+    inference scan)."""
+    return spark.read.csv(path, schema=MENTION_CSV_SCHEMA, header=False)
+
+
+# S10 — one <TAG>span</TAG> or a run of untagged text
+_SEGMENT_RE = r"<([A-Z]+)>(.*?)</\1>|([^<]+)"
+_TOKEN_RE = r"[A-Za-z0-9'-]+|[^\sA-Za-z0-9]"
+
+
+def xml_to_token_tags(tagged_docs: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """S10 — entity-tagged XML text -> one row per (doc, token, tag).
+
+    Tags inside <PERSON>..</PERSON>-style spans get the element name,
+    everything else 'O' (src/XMLToTSVConverter.groovy:29-40 semantics).
+    All JVM regex (regexp_extract_all + posexplode); per-doc token
+    order is preserved by (seg_pos, tok_pos) so the TSV sink can write
+    the original sequence.
+    """
+    segs = tagged_docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_SEGMENT_RE), F.lit(0))
+        ).alias("seg_pos", "segment"),
+    )
+    segs = segs.select(
+        "doc_id",
+        "seg_pos",
+        F.when(
+            F.col("segment").startswith("<"),
+            F.regexp_extract("segment", _SEGMENT_RE, 1),
+        )
+        .otherwise("O")
+        .alias("tag"),
+        F.when(
+            F.col("segment").startswith("<"),
+            F.regexp_extract("segment", _SEGMENT_RE, 2),
+        )
+        .otherwise(F.col("segment"))
+        .alias("seg_text"),
+    )
+    toks = segs.select(
+        "doc_id",
+        "seg_pos",
+        "tag",
+        F.posexplode(
+            F.regexp_extract_all(F.col("seg_text"), F.lit(_TOKEN_RE), F.lit(0))
+        ).alias("tok_pos", "token"),
+    )
+    return toks.select(
+        "doc_id",
+        "token",
+        "tag",
+        (F.col("seg_pos") * 100000 + F.col("tok_pos")).alias("token_seq"),
+    )
