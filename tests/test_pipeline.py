@@ -1,0 +1,87 @@
+"""End-to-end pipeline (SURVEY.md §3.1 Ingester.ingest parity) on
+sf0.001 documents + on a real scanned directory tree."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.plans import ingest as plan
+
+
+def test_full_pipeline_sf0001(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("name"),
+        F.concat(F.lit("/corpus/"), F.col("doc_id").cast("string")).alias("path"),
+        "text",
+    )
+    res = plan.ingest(
+        spark,
+        input_dir=None,
+        work_dir=str(tmp_path / "work"),
+        documents=docs,
+        graphml_path=str(tmp_path / "sn.graphml"),
+    )
+
+    # every stage ran and was timed (runStep parity)
+    for stage in [
+        "extract_text", "find_named_entities", "process_person",
+        "process_organization", "process_location", "social_network",
+        "geocode", "precompute_counts", "export_star",
+    ]:
+        assert stage in res.timings
+
+    assert res["documents"].count() > 0
+    assert res["mentions"].count() > 0
+    ents = res["entities"]
+    created = {r["created_by"] for r in ents.select("created_by").distinct().collect()}
+    # all three types produced within + across entities
+    for t in ("person", "organization", "location"):
+        assert f"within_doc_{t}_coref" in created
+        assert f"across_doc_{t}_coref" in created
+
+    # mentions_assigned references only existing entities
+    orphan = (
+        res["mentions"].join(
+            ents.select("entity_id").dropDuplicates(["entity_id"]),
+            "entity_id",
+            "left_anti",
+        )
+    )
+    assert orphan.count() == 0
+
+    # document_entity counts sum to the assigned mention count
+    assert (
+        res["document_entity"].agg(F.sum("num_mentions")).first()[0]
+        == res["mentions"].count()
+    )
+
+    # star schema on disk
+    star = str(tmp_path / "work" / "star")
+    assert set(os.listdir(star)) >= {
+        "documents", "entities", "mentions", "document_entity", "geolocations"
+    }
+    # GraphML written
+    assert os.path.exists(str(tmp_path / "sn.graphml"))
+    assert res["graphml_counts"]["nodes"] >= 0
+
+
+def test_pipeline_from_directory(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    # names that pass the strong-person predicate (2-6 tokens, len>=5)
+    for i in range(4):
+        (corpus / f"d{i}.txt").write_text(
+            "maria lopez partnered with ana ruiz in bogota on friday . "
+            "maria lopez leads acme corp ."
+        )
+    res = plan.ingest(
+        spark,
+        input_dir=str(corpus),
+        work_dir=str(tmp_path / "work"),
+    )
+    assert res["documents"].count() == 4
+    assert res["mentions"].count() > 0
+    assert res["entities"].count() > 0

@@ -71,9 +71,11 @@ def extract_text(
     doc_id is a deterministic hash of the path — stable across runs
     and shuffle-free (a row_number would serialize the listing through
     one partition; at 100 TB that is the difference between a metadata
-    op and a bottleneck). xxhash64 collisions at realistic corpus
-    sizes (~10^9 docs) are ~1e-2 per corpus under birthday bound —
-    acceptable for ids; callers needing certainty can use ``path``.
+    op and a bottleneck). The hash is bounded to 2^40 so downstream
+    id schemes (mention_id = doc_id * ID_STRIDE + idx,
+    operators/mentions.py) stay inside a long; collision odds at 10^9
+    docs are ~5e-4 under the birthday bound — acceptable for ids;
+    callers needing certainty can key on ``path``.
     """
     if extractor == "utf8":
         text = F.decode(F.col("content"), "UTF-8")
@@ -85,7 +87,7 @@ def extract_text(
             "are external components (src/TextExtractor.groovy:6)"
         )
     return binary_docs.select(
-        (F.abs(F.xxhash64("path")) + F.lit(id_offset)).alias("doc_id"),
+        (F.pmod(F.xxhash64("path"), F.lit(1 << 40)) + F.lit(id_offset)).alias("doc_id"),
         F.element_at(F.split("path", "/"), -1).alias("name"),
         F.col("path").alias("path"),
         text.alias("text"),
