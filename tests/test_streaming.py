@@ -1,0 +1,149 @@
+"""Structured Streaming: incremental ingest, watermarked windows,
+session windows, stateful sessionization (streaming/)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.streaming import events as sev
+from vizlinc_ingester_spark.streaming import ingest as sing
+
+
+def _write_docs(corpus, names_texts):
+    os.makedirs(corpus, exist_ok=True)
+    for name, text in names_texts:
+        with open(os.path.join(corpus, name), "w") as f:
+            f.write(text)
+
+
+def test_incremental_ingest_two_batches(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    work = str(tmp_path / "work")
+    _write_docs(corpus, [("a.txt", "maria lopez met ana ruiz"),
+                         ("b.txt", "maria lopez saw acme corp")])
+    q = sing.incremental_ingest(spark, corpus, work)
+    q.awaitTermination(120)
+    docs1 = spark.read.parquet(os.path.join(work, "documents"))
+    assert docs1.count() == 2
+    ents1 = spark.read.parquet(os.path.join(work, "entities"))
+    assert ents1.count() > 0
+
+    # second drop: only the new file is processed (file-source
+    # checkpoint), entities recomputed over the full corpus
+    _write_docs(corpus, [("c.txt", "ana ruiz joined acme corp")])
+    q2 = sing.incremental_ingest(spark, corpus, work)
+    q2.awaitTermination(120)
+    docs2 = spark.read.parquet(os.path.join(work, "documents"))
+    assert docs2.count() == 3
+    m = spark.read.parquet(os.path.join(work, "mentions"))
+    assert m.select("doc_id").distinct().count() == 3
+
+
+def _stream_events_fixture(spark, tmp_path, sf_dir):
+    """Split the sf events table into 2 files so the file stream runs
+    2 micro-batches. The source stores ns timestamps (read as raw
+    int64 via the legacy conf, see suite/relational.py); the staged
+    stream files carry true micros timestamps as a broker would."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    )
+    stream_dir = str(tmp_path / "events_stream")
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        stream_dir
+    )
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    # drop spark's _SUCCESS to keep only data files
+    return stream_dir, src
+
+
+def test_windowed_counts_match_batch(spark, tmp_path, sf_dir):
+    stream_dir, src = _stream_events_fixture(spark, tmp_path, sf_dir)
+    stream = sev.read_event_stream(spark, stream_dir)
+    agg = sev.windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT sum(n_events) AS n, sum(sum_value_cents) AS cents FROM win_counts"
+    ).first()
+    cents = F.round(F.col("value") * 100).cast("long")
+    want = src.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+    ).first()
+    assert got["n"] == want["n"] and got["cents"] == want["cents"]
+    # window grain: no window holds more than the total
+    per_win = spark.sql("SELECT max(n_events) AS m FROM win_counts").first()
+    assert per_win["m"] <= want["n"]
+
+
+def test_session_windows_stream(spark, tmp_path, sf_dir):
+    stream_dir, src = _stream_events_fixture(spark, tmp_path, sf_dir)
+    stream = sev.read_event_stream(spark, stream_dir, max_files_per_trigger=2)
+    sess = sev.session_windows(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM sessions")
+    assert out.count() > 0
+    # every event lands in exactly one session per user
+    assert (
+        out.agg(F.sum("n_events")).first()[0] == src.count()
+    )
+    # sessions for one user never overlap
+    a = out.select(*[F.col(c).alias(f"a_{c}") for c in out.columns])
+    b = out.select(*[F.col(c).alias(f"b_{c}") for c in out.columns])
+    overlaps = a.join(b, a["a_user_id"] == b["b_user_id"]).filter(
+        (F.col("a_session_id") < F.col("b_session_id"))
+        & (F.col("a_session_end") > F.col("b_session_start"))
+        & (F.col("b_session_end") > F.col("a_session_start"))
+    )
+    assert overlaps.count() == 0
+
+
+def test_sessionize_with_state(spark, tmp_path, sf_dir):
+    stream_dir, src = _stream_events_fixture(spark, tmp_path, sf_dir)
+    stream = sev.read_event_stream(spark, stream_dir, max_files_per_trigger=2)
+    out = sev.sessionize_with_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM state_sessions")
+    assert got.count() > 0
+    # closed sessions must agree with the batch gaps-and-islands twin
+    # on (user, session_id) membership for sessions fully inside the
+    # stream (open tails may still be snapshots)
+    from vizlinc_ingester_spark.suite.relational import q_events_sessionize
+
+    batch = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "n_events"
+    )
+    closed = got.filter(F.col("closed")).select("user_id", "session_id", "n_events")
+    mismatched = closed.join(batch, ["user_id", "session_id", "n_events"], "left_anti")
+    assert mismatched.count() == 0
