@@ -46,6 +46,47 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Any operator that crosses into Python (mapInPandas /
+    applyInPandas) closes over functions defined in this package;
+    cloudpickle serializes them *by reference*, so workers must be
+    able to ``import vizlinc_ingester_spark``. Locally that holds only
+    if the driver's cwd is the repo; on a real cluster it never holds.
+    The standard deployment answer either way: zip the package and
+    ``addPyFile`` it once per session (idempotent re-adds are cheap —
+    same filename is a no-op).
+    """
+    flag = "vizlinc_ingester_spark_shipped"
+    jconf = spark.sparkContext.getLocalProperty(flag)
+    if jconf == "1":
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "vizlinc_ingester_spark_pkg.zip"
+    )
+    newest_src = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith((".py", ".csv"))
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith((".py", ".csv")):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext.setLocalProperty(flag, "1")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load every synthetic table in ``sf_dir`` as a DataFrame."""
     names = [
