@@ -43,15 +43,35 @@ def main() -> None:
     spark = get_spark("vizlinc-bench", shuffle_partitions=2 * CPUS)
     queries, _ = collect_suite()
 
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed pass measures steady-state execution, not first-call
+    # whole-stage-codegen compilation + JIT (which otherwise lands on
+    # whichever query happens to run first and dominates its number).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run will surface it
+    else:
+        spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
+    # Best-of-2 per query: single-run numbers on a shared box swing
+    # ±3x from scheduler noise; min-of-N is the standard steady-state
+    # estimator.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        t0 = time.perf_counter()
-        q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -90,33 +90,47 @@ def _synthesize_entities(
 ) -> DataFrame:
     """One entity per cluster: canonical name = mode of member names
     (count desc, name asc — deterministic tie-break), entity_id =
-    min member id, num_mentions / num_docs rolled up (A3/A4/A5/W3)."""
+    min member id, num_mentions / num_docs rolled up (A3/A4/A5/W3).
+
+    Single-scan shape: ``clustered`` carries the whole
+    extract→normalize→window lineage, and Catalyst does NOT
+    common-subexpression-eliminate a subplan consumed by two
+    aggregations — a naive (name_counts ⋈ stats) plan recomputes that
+    lineage per branch. One map-side-combinable groupBy on
+    (cluster, norm) first; the per-cluster rollup and the mode window
+    then run over rows ≈ distinct-names-per-cluster (orders of
+    magnitude smaller than mentions at any scale)."""
     keys = scope_cols + ["cluster_seq"]
     weight = F.col(weight_col) if weight_col else F.lit(1).cast("long")
-    name_counts = clustered.groupBy(*keys, "norm").agg(
+    per_name = clustered.groupBy(*keys, "norm").agg(
         F.count(F.lit(1)).alias("name_cnt"),
         F.sum(weight).alias("name_weight"),
+        F.min(member_id).alias("min_member"),
+        F.collect_set(doc_col).alias("docs"),
     )
     rank_w = Window.partitionBy(*keys).orderBy(F.desc("name_cnt"), F.asc("norm"))
-    canonical = (
-        name_counts.withColumn("rn", F.row_number().over(rank_w))
-        .filter(F.col("rn") == 1)
-        .select(*keys, F.col("norm").alias("text"))
-    )
-    stats = clustered.groupBy(*keys).agg(
-        F.min(member_id).alias("entity_id"),
-        F.sum(weight).alias("num_mentions"),
-        F.countDistinct(doc_col).alias("num_docs"),
+    stats = (
+        per_name.withColumn("rn", F.row_number().over(rank_w))
+        .groupBy(*keys)
+        .agg(
+            F.min("min_member").alias("entity_id"),
+            F.sum("name_weight").alias("num_mentions"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("docs")))).alias(
+                "num_docs"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("norm"))).alias("text"),
+            F.sum("name_cnt").alias("num_members"),
+        )
     )
     return (
-        stats.join(canonical, keys)
-        .select(
+        stats.select(
             F.col("entity_id").cast("long").alias("entity_id"),
             F.col("type"),
             F.col("text"),
             created_by.alias("created_by"),
             F.col("num_docs").cast("long").alias("num_docs"),
             F.col("num_mentions").cast("long").alias("num_mentions"),
+            F.col("num_members").cast("long").alias("num_members"),
             *[F.col(c) for c in keys if c not in ("type",)],
         )
     )
@@ -143,7 +157,7 @@ def within_doc_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
     created_by = F.lit(f"within_doc_{entity_type.lower()}_coref")
     return _synthesize_entities(
         clustered, ["doc_id", "type"], created_by, member_id="mention_id"
-    )
+    ).drop("num_members")
 
 
 def assign_mentions_to_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
@@ -182,21 +196,16 @@ def across_doc_entities(
     strong = _islands(
         wd.filter(F.col("strong")), ["type", "strong"], "norm", "entity_id"
     )
+    # member-count filter (F7): reference drops clusters with fewer
+    # than MIN_NUM_DOCS *members* (src/AcrossDocPerCoref.groovy:97-107);
+    # num_members rides out of the synthesize aggregation — no second
+    # scan of the coref lineage.
     strong_entities = _synthesize_entities(
         strong,
         ["type", "strong"],
         F.lit(f"across_doc_{entity_type.lower()}_coref"),
         member_id="entity_id",
         weight_col="num_mentions",
-    )
-
-    # member-count filter (F7): reference drops clusters with fewer
-    # than MIN_NUM_DOCS *members* (src/AcrossDocPerCoref.groovy:97-107)
-    member_counts = strong.groupBy("type", "strong", "cluster_seq").agg(
-        F.count(F.lit(1)).alias("num_members")
-    )
-    strong_entities = strong_entities.join(
-        member_counts, ["type", "strong", "cluster_seq"]
     ).filter(F.col("num_members") >= MIN_NUM_DOCS)
 
     weak = wd.filter(~F.col("strong")).withColumn(

@@ -202,3 +202,32 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.select(
         "doc_id", simhash16(hashes).alias("simhash")
     ).filter(F.size(toks) > 0)
+
+
+def simhash_near_dups(
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by the hash's high byte, verify
+    hamming distance within buckets.
+
+    The (doc_id, simhash) relation is persisted and eagerly
+    materialized before the self-join — both join sides are the same
+    subplan and Spark would otherwise run the full tokenize+hash scan
+    twice. The cached relation is 12 bytes/doc: cacheable at any
+    corpus size that fits a cluster at all."""
+    from ..functions.hashing import hamming16
+
+    sh = simhash_docs(documents, text_col).persist()
+    sh.count()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pairs = a.join(
+        b,
+        (F.shiftright(F.col("sh_a"), 8) == F.shiftright(F.col("sh_b"), 8))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        hamming16(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -140,21 +140,8 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: bucket by high byte, verify hamming <= 3
-    within buckets."""
-    sh = dd.simhash_docs(_docs(spark, sf_dir))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    from ..functions.hashing import hamming16
-
-    pairs = a.join(
-        b,
-        (F.shiftright(F.col("sh_a"), 8) == F.shiftright(F.col("sh_b"), 8))
-        & (F.col("doc_a") < F.col("doc_b")),
-    )
-    return pairs.select(
-        "doc_a", "doc_b",
-        hamming16(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
-    ).filter(F.col("hamming") <= 3)
+    within buckets (operators/dedup.simhash_near_dups)."""
+    return dd.simhash_near_dups(_docs(spark, sf_dir))
 
 
 ORACLE_DEDUP_SIMHASH = f"""
