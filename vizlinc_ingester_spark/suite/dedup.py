@@ -85,13 +85,27 @@ cand AS (
 # --- queries ----------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    return dd.exact_duplicates(_docs(spark, sf_dir))
+    """Exact hash-groupBy dedup over a 're-crawl' corpus: the synthetic
+    documents have no byte-identical pairs, so every 7th document is
+    unioned back under a shifted id (the web-scale situation: the same
+    page fetched twice under different URLs). Non-degenerate output —
+    every 7th doc forms a dup group."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    return dd.exact_duplicates(d.unionByName(recrawl))
 
 
 ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
 SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_dups,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+FROM corpus GROUP BY md5(text) HAVING count(*) >= 2
 """
 
 
@@ -197,7 +211,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             "div(size(array_intersect(bg_a, bg_b)) * cast(1000000 as bigint),"
             " size(array_union(bg_a, bg_b)))"
         ).alias("jaccard_micro"),
-    ).filter(F.col("jaccard_micro") >= 300000)
+        # threshold calibrated to the synthetic corpus (bigram overlap
+        # within lang+length blocks peaks ~0.09): >= 0.025 keeps the
+        # verify path non-degenerate
+    ).filter(F.col("jaccard_micro") >= 25000)
 
 
 _SQL_BIGRAMS = (
@@ -219,7 +236,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM nonempty a JOIN nonempty b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
 WHERE len(list_distinct(list_intersect(a.bg, b.bg))) * 1000000
-      // len(list_distinct(list_concat(a.bg, b.bg))) >= 300000
+      // len(list_distinct(list_concat(a.bg, b.bg))) >= 25000
 """
 
 
@@ -258,7 +275,7 @@ def q_dedup_embedding(spark, sf_dir):
     return pairs.select(
         "vec_a", "vec_b", F.col("label").cast("long").alias("label"),
         cm.alias("cos_micro"),
-    ).filter(F.col("cos_micro") >= 950000)
+    ).filter(F.col("cos_micro") >= 200000)
 
 
 ORACLE_DEDUP_EMBEDDING = f"""
@@ -267,7 +284,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(a.label AS BIGINT) AS label,
        {sql_cos_micro('a.embedding', 'b.embedding')} AS cos_micro
 FROM sample a JOIN sample b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= 950000
+WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= 200000
 """
 
 
