@@ -1,0 +1,72 @@
+"""Scalable sorted-neighborhood clustering == single-window islands
+(operators/neighborhood.py vs coref._islands) on identical inputs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.operators import coref, mentions
+from vizlinc_ingester_spark.operators.neighborhood import (
+    levenshtein,
+    merge_pred,
+    sorted_neighborhood_clusters,
+)
+
+
+def _cluster_sets(df, id_col, cluster_col):
+    rows = df.select(id_col, cluster_col).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r[cluster_col], set()).add(r[id_col])
+    return sorted(frozenset(v) for v in by_cluster.values())
+
+
+def test_levenshtein_matches_spark(spark):
+    pairs = [("ANA", "ANB"), ("CARLOS", "CARLOS"), ("AB", "BA"), ("X", "XYZ"),
+             ("MARIA LOPEZ", "MARIA LOPES"), ("", "A")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(F.levenshtein("a", "b").alias("d")).collect()
+    for (a, b), r in zip(pairs, got):
+        assert levenshtein(a, b) == r["d"], (a, b)
+
+
+def test_chain_clusters_across_partitions(spark):
+    # 40 names in 4 chains of 10 (each adjacent pair at distance 1),
+    # spread over 8 range partitions -> guaranteed boundary merges
+    names = []
+    for c, base in enumerate(["AAAA", "MMMM", "SSSS", "ZZZZ"]):
+        for i in range(10):
+            names.append((c * 100 + i, "PERSON", base + chr(ord("a") + i)))
+    df = spark.createDataFrame(names, "id long, type string, norm string")
+    out = sorted_neighborhood_clusters(df, ["type"], "norm", "id", num_partitions=8)
+    w = coref._islands(df, ["type"], "norm", "id")
+    got = _cluster_sets(out, "id", "cluster_id")
+    want = _cluster_sets(w, "id", "cluster_seq")
+    # islands window: cluster key is (scope, cluster_seq) — same scope here
+    assert got == want
+    assert len(got) == 4 and all(len(s) == 10 for s in got)
+
+
+def test_matches_window_islands_on_real_mentions(spark, sf_dir):
+    m = mentions.derive_mentions(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    wd = coref.within_doc_entities(m, "PERSON").withColumnRenamed("text", "norm")
+    wd = wd.withColumn("strong", coref.is_strong_candidate(F.col("norm"), "PERSON"))
+    strong = wd.filter(F.col("strong")).select("entity_id", "type", "norm")
+
+    sc = sorted_neighborhood_clusters(
+        strong, ["type"], "norm", "entity_id", num_partitions=16
+    )
+    win = coref._islands(strong, ["type"], "norm", "entity_id")
+    got = _cluster_sets(sc, "entity_id", "cluster_id")
+    want = _cluster_sets(win, "entity_id", "cluster_seq")
+    assert got == want
+
+
+def test_merge_pred_digit_guard():
+    assert merge_pred("CALLE 10", "CALLE 1O") is False  # digit runs differ
+    assert merge_pred("ANA MARIA", "ANA MARIO") is True
+    assert merge_pred("ANA 12 B", "ANA 12 C") is True
