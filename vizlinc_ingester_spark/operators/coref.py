@@ -176,7 +176,10 @@ def assign_mentions_to_entities(mentions: DataFrame, entity_type: str) -> DataFr
 
 
 def across_doc_entities(
-    mentions: DataFrame, entity_type: str, wd: DataFrame | None = None
+    mentions: DataFrame,
+    entity_type: str,
+    wd: DataFrame | None = None,
+    scalable: bool = False,
 ) -> DataFrame:
     """Across-document coref (src/AcrossDocPerCoref.groovy:46-117).
 
@@ -184,18 +187,32 @@ def across_doc_entities(
     >= MIN_NUM_DOCS members kept, created_by 'across_doc_*_coref';
     weak: exact-match grouping only, unfiltered, created_by
     'weak_across_doc_*_coref'. Input entities are the within-doc pass
-    output (pass ``wd`` to reuse a checkpointed one); corpus-wide sort
-    is range-partitioned by Spark's window sort (one shuffle on the
-    scope key).
+    output (pass ``wd`` to reuse a checkpointed one).
+
+    ``scalable=False`` (default): the corpus-wide sort runs as a window
+    over the (type, strong) scope — correct, oracle-checked, but the
+    scope has ~1 distinct value, so the sort funnels through one
+    partition. Fine to ~10^7 candidates. ``scalable=True``: the same
+    clustering via operators/neighborhood.sorted_neighborhood_clusters
+    (distributed range sort + boundary stitching) — identical results
+    (tests/test_neighborhood.py), no single-partition stage; the shape
+    to use at 100 TB.
     """
     if wd is None:
         wd = within_doc_entities(mentions, entity_type)
     wd = wd.withColumnRenamed("text", "norm")
     wd = wd.withColumn("strong", is_strong_candidate(F.col("norm"), entity_type))
 
-    strong = _islands(
-        wd.filter(F.col("strong")), ["type", "strong"], "norm", "entity_id"
-    )
+    strong_in = wd.filter(F.col("strong"))
+    if scalable:
+        from .neighborhood import sorted_neighborhood_clusters
+
+        # the within-pass output carries its own cluster_seq; replace it
+        strong = sorted_neighborhood_clusters(
+            strong_in.drop("cluster_seq"), ["type", "strong"], "norm", "entity_id"
+        ).withColumnRenamed("cluster_id", "cluster_seq")
+    else:
+        strong = _islands(strong_in, ["type", "strong"], "norm", "entity_id")
     # member-count filter (F7): reference drops clusters with fewer
     # than MIN_NUM_DOCS *members* (src/AcrossDocPerCoref.groovy:97-107);
     # num_members rides out of the synthesize aggregation — no second
