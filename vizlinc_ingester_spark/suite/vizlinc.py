@@ -285,6 +285,32 @@ def q_node_id_dump(spark, sf_dir):
     )
 
 
+def q_docs_person_no_location(spark, sf_dir):
+    """§2.7 set-op coverage beyond union: documents mentioning a
+    PERSON but no LOCATION — EXCEPT semantics as a left-anti join
+    (the shape that scales: anti-join shuffles on doc_id only)."""
+    m = derived_mentions(spark, sf_dir)
+    p = m.filter(F.col("type") == "PERSON").select("doc_id").dropDuplicates()
+    loc = m.filter(F.col("type") == "LOCATION").select("doc_id").dropDuplicates()
+    return p.join(loc, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def q_token_topk(spark, sf_dir):
+    """Corpus-wide top-50 tokens: the classic two-level aggregation
+    (map-side partial count -> final merge -> TakeOrdered). Ties
+    broken by word ascending for determinism."""
+    d = docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
 QUERIES = {
     "doc_scan_filter": q_doc_scan_filter,
     "mentions_extract": q_mentions,
@@ -307,6 +333,8 @@ QUERIES = {
     "doc_text_search": q_doc_text_search,
     "union_mentions": q_union_mentions,
     "node_id_dump": q_node_id_dump,
+    "docs_person_no_location": q_docs_person_no_location,
+    "token_topk": q_token_topk,
 }
 
 
@@ -457,6 +485,18 @@ SELECT doc_id, norm, idx FROM (
         " UNION ALL SELECT entity_id, text, created_by FROM across_weak_PERSON) u"
         " WHERE created_by IN ('across_doc_person_coref',"
         " 'weak_across_doc_person_coref') ORDER BY text, entity_id",
+        PERSON,
+    ),
+    "docs_person_no_location": w(
+        "SELECT doc_id FROM ("
+        "SELECT DISTINCT doc_id FROM mentions WHERE type = 'PERSON'"
+        " EXCEPT SELECT DISTINCT doc_id FROM mentions WHERE type = 'LOCATION'"
+        ") u ORDER BY doc_id",
+        PERSON,
+    ),
+    "token_topk": w(
+        "SELECT word, CAST(count(*) AS BIGINT) AS n FROM tokens"
+        " GROUP BY word ORDER BY n DESC, word LIMIT 50",
         PERSON,
     ),
 }
