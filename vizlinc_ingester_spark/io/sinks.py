@@ -57,6 +57,44 @@ def write_star_schema(
         writer.parquet(os.path.join(path, name))
 
 
+def write_star_bucketed(
+    tables: dict[str, DataFrame],
+    path: str,
+    n_buckets: int = 32,
+    database: str | None = None,
+) -> None:
+    """S6 scale variant: persist the star as *bucketed* tables so every
+    doc_id-keyed join (mentions ⋈ document_entity ⋈ documents — the
+    hot path of every coref/count query) is co-located and runs with
+    NO shuffle exchange on either side.
+
+    Bucket keys: the FK each table is joined on. ``n_buckets`` should
+    be sized so a bucket of the largest table holds 128-512 MB at the
+    target corpus (at 100 TB of mentions, ~100k buckets). Registered
+    in the session catalog as external tables at ``path``.
+    """
+    bucket_keys = {
+        "documents": "doc_id",
+        "mentions": "doc_id",
+        "document_entity": "doc_id",
+        "entities": "entity_id",
+        "geolocations": "entity_id",
+    }
+    for name, df in tables.items():
+        if name == "document_entity":
+            df = df.dropDuplicates(["doc_id", "entity_id"])
+        key = bucket_keys.get(name)
+        table = f"{database}.{name}" if database else name
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(path, name))
+        )
+        if key is not None and key in df.columns:
+            writer = writer.bucketBy(n_buckets, key).sortBy(key)
+        writer.saveAsTable(table)
+
+
 def read_star_schema(spark, path: str) -> dict[str, DataFrame]:
     """Load every table directory present under ``path``."""
     out = {}
