@@ -16,11 +16,23 @@ from pyspark.sql import DataFrame, SparkSession
 def collect_suite() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
-    from . import dedup, multimodal, relational, scalars, similarity, textstats, vizlinc
+    from . import (
+        dedup,
+        multimodal,
+        relational,
+        scalars,
+        similarity,
+        streaming_q,
+        textstats,
+        vizlinc,
+    )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (vizlinc, scalars, relational, dedup, similarity, textstats, multimodal):
+    for mod in (
+        vizlinc, scalars, relational, dedup, similarity, textstats,
+        multimodal, streaming_q,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
