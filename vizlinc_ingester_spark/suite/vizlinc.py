@@ -148,6 +148,25 @@ def q_across_doc_entities_org(spark, sf_dir):
     )
 
 
+def q_within_doc_entities_org(spark, sf_dir):
+    """ORGANIZATION variant — F5 predicate path (1-20 tokens, no
+    charset test)."""
+    return wd_entities(spark, sf_dir, "ORGANIZATION").select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "doc_id"
+    )
+
+
+def q_across_doc_entities_location(spark, sf_dir):
+    """LOCATION variant — F6 predicate (1-10 tokens) + quote-keeping
+    normalization through the full across-doc pass."""
+    return coref.across_doc_entities(
+        derived_mentions(spark, sf_dir), "LOCATION",
+        wd=wd_entities(spark, sf_dir, "LOCATION"),
+    ).select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "num_members"
+    )
+
+
 def q_candidate_split_person(spark, sf_dir):
     """F4 — strong/weak person-candidate predicate as a flag."""
     wd = wd_entities(spark, sf_dir, "PERSON")
@@ -335,6 +354,8 @@ QUERIES = {
     "node_id_dump": q_node_id_dump,
     "docs_person_no_location": q_docs_person_no_location,
     "token_topk": q_token_topk,
+    "within_doc_entities_org": q_within_doc_entities_org,
+    "across_doc_entities_location": q_across_doc_entities_location,
 }
 
 
@@ -498,5 +519,16 @@ SELECT doc_id, norm, idx FROM (
         "SELECT word, CAST(count(*) AS BIGINT) AS n FROM tokens"
         " GROUP BY word ORDER BY n DESC, word LIMIT 50",
         PERSON,
+    ),
+    "within_doc_entities_org": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, doc_id FROM wd_ORGANIZATION", ("ORGANIZATION",)
+    ),
+    "across_doc_entities_location": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, num_members FROM across_strong_LOCATION"
+        " UNION ALL SELECT entity_id, type, text, created_by,"
+        " num_docs, num_mentions, num_members FROM across_weak_LOCATION",
+        ("LOCATION",),
     ),
 }
