@@ -139,12 +139,103 @@ FROM (
 """
 
 
+N_PLANES = 8
+
+
+def _hplane_comp(j: int):
+    """Deterministic pseudo-random hyperplane component for plane j at
+    element index i (0-based): ((j*1009 + i*9176) % 2003) - 1001.
+    Integer arithmetic — bit-identical in Spark and DuckDB."""
+    return lambda x, i: x * (
+        ((F.lit(j * 1009) + i * 9176) % 2003 - 1001).cast("double")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane (SimHash-for-vectors) LSH ANN: an 8-bit
+    signature from sign(v·h_j) buckets the corpus; queries compare
+    only within their bucket. The shuffle is keyed on the 256-value
+    bucket id — the third scale strategy next to brute-force and IVF
+    (hyperplanes are fixed pseudo-random; recall tunes via
+    bands-of-bits exactly like MinHash banding)."""
+    e = _emb(spark, sf_dir)
+
+    def signature(emb):
+        bits = []
+        for j in range(N_PLANES):
+            dot = F.aggregate(
+                F.transform(emb, _hplane_comp(j)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    q = sig.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = sig.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id", "cand_id", "bucket",
+        cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "bucket", "cos_micro", "rank")
+    )
+
+
+def _sql_dot_plane(e: str, j: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({e})), "
+        f"i -> CAST({e}[i] AS DOUBLE) * ((({j * 1009} + (i-1)*9176) % 2003) - 1001)"
+        ")), (acc, x) -> acc + x)"
+    )
+
+
+_SQL_SIG = " + ".join(
+    f"(CASE WHEN {_sql_dot_plane('embedding', j)} >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+
+ORACLE_ANN_LSH = f"""
+WITH sig AS (
+  SELECT vec_id, embedding, CAST({_SQL_SIG} AS BIGINT) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+         {sql_cos_micro('q.embedding', 'c.embedding')} AS cos_micro
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+)
+SELECT query_id, cand_id, bucket, cos_micro, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS rank
+  FROM pairs
+) r WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_lsh": ORACLE_ANN_LSH,
 }
