@@ -33,6 +33,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "lang_id",
     "doc_fingerprint",
+    "token_topk",
+    "image_decode_resize",  # the Arrow/mapInPandas path
 ]
 
 
