@@ -145,27 +145,96 @@ def normalized_mentions(mentions: DataFrame, entity_type: str) -> DataFrame:
     )
 
 
-def within_doc_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
+def within_doc_entities(
+    mentions: DataFrame, entity_type: str, prefix_merge: bool = False
+) -> DataFrame:
     """Within-document coref (src/WithinDocPerCoref.groovy:32-59):
     returns entities + their mention assignment.
+
+    ``prefix_merge=False``: exact-match + sorted-neighborhood merge
+    (combineByExactMatch + combineAdjacentClose) — the oracle-checked
+    default. ``prefix_merge=True`` adds the reference's third pass,
+    combineFirstnameFullname (src/CorefBase.groovy:95-133): a cluster
+    whose name (>= 2 chars) is a proper prefix of exactly one other
+    cluster name in its document absorbs into it. Prefix edges jump
+    arbitrary sort distance, so the closure runs through the general
+    connected-components operator (operators/graph.py) — the one
+    genuinely iterative step (SURVEY.md §2.10 G1).
 
     Output: (entity_id, type, text, created_by, num_docs, num_mentions,
     doc_id, cluster_seq) — one row per per-document entity.
     """
     nm = normalized_mentions(mentions, entity_type)
     clustered = _islands(nm, ["doc_id", "type"], "norm", "mention_id")
+    if prefix_merge:
+        clustered = _apply_prefix_merge(clustered, ["doc_id", "type"])
     created_by = F.lit(f"within_doc_{entity_type.lower()}_coref")
     return _synthesize_entities(
         clustered, ["doc_id", "type"], created_by, member_id="mention_id"
     ).drop("num_members")
 
 
-def assign_mentions_to_entities(mentions: DataFrame, entity_type: str) -> DataFrame:
+def _apply_prefix_merge(clustered: DataFrame, scope_cols: list[str]) -> DataFrame:
+    """Fold J5 prefix pairs into the island clustering: islands whose
+    representative names are linked by a unique-prefix relation join
+    one connected component; ``cluster_seq`` is rewritten to the
+    min island id of the component."""
+    from .graph import connected_components
+
+    # globally unique island node id (scope hash + island seq; islands
+    # per scope are < 1e6 at any realistic document size)
+    node = (F.abs(F.xxhash64(*scope_cols)) % F.lit(1 << 40)) * 1_000_000 + F.col(
+        "cluster_seq"
+    )
+    clustered = clustered.withColumn("island_node", node.cast("long"))
+
+    # One representative name per island: the reference's prefix pass
+    # runs over cluster KEYS after adjacent-merge
+    # (src/CorefBase.groovy:95-133 iterates the cluster map), so
+    # "ANA MARIA"/"ANA MARIE" count as ONE candidate full name. The
+    # surviving key is encounter-order-dependent in the reference; we
+    # take min(norm) per island (deterministic, SURVEY §7 tie-break
+    # rule).
+    names = clustered.groupBy(*scope_cols, "island_node").agg(
+        F.min("norm").alias("norm")
+    )
+    pairs = prefix_merge_pairs(names, scope_cols, "norm")
+    a = names.select(
+        *scope_cols, F.col("norm").alias("first_name"),
+        F.col("island_node").alias("src"),
+    )
+    b = names.select(
+        *scope_cols, F.col("norm").alias("full_name"),
+        F.col("island_node").alias("dst"),
+    )
+    edges = (
+        pairs.join(a, [*scope_cols, "first_name"])
+        .join(b, [*scope_cols, "full_name"])
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cc = connected_components(edges)
+    merged = clustered.join(
+        cc, clustered["island_node"] == cc["node"], "left"
+    ).withColumn(
+        "new_cluster", F.coalesce(F.col("component"), F.col("island_node"))
+    )
+    return merged.drop("node", "component", "island_node", "cluster_seq").withColumnRenamed(
+        "new_cluster", "cluster_seq"
+    )
+
+
+def assign_mentions_to_entities(
+    mentions: DataFrame, entity_type: str, prefix_merge: bool = False
+) -> DataFrame:
     """J7 — mention -> entity_id assignment for the within-doc pass
-    (cluster membership is the join key)."""
+    (cluster membership is the join key). ``prefix_merge`` must match
+    the flag used for ``within_doc_entities`` so cluster keys align."""
     nm = normalized_mentions(mentions, entity_type)
     clustered = _islands(nm, ["doc_id", "type"], "norm", "mention_id")
-    entities = within_doc_entities(mentions, entity_type)
+    if prefix_merge:
+        clustered = _apply_prefix_merge(clustered, ["doc_id", "type"])
+    entities = within_doc_entities(mentions, entity_type, prefix_merge=prefix_merge)
     return clustered.join(
         entities.select("doc_id", "cluster_seq", "entity_id"),
         ["doc_id", "cluster_seq"],

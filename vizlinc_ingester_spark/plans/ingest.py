@@ -97,8 +97,11 @@ def ingest(
     assigned_parts, within_parts, across_parts, membership_parts = [], [], [], []
     for etype in COREF_TYPES:
         def run_type(etype=etype):
-            wd = coref.within_doc_entities(ment, etype)
-            assigned = coref.assign_mentions_to_entities(ment, etype)
+            # firstname-prefix absorption is the person-specific third
+            # pass (combineFirstnameFullname runs in WithinDocPerCoref)
+            pm = etype == "PERSON"
+            wd = coref.within_doc_entities(ment, etype, prefix_merge=pm)
+            assigned = coref.assign_mentions_to_entities(ment, etype, prefix_merge=pm)
             across = coref.across_doc_entities(ment, etype, wd=wd)
             member = coref.across_doc_membership(ment, etype, wd=wd)
             return wd, assigned, across, member
