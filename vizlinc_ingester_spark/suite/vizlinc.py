@@ -167,6 +167,85 @@ def q_across_doc_entities_location(spark, sf_dir):
     )
 
 
+def q_within_doc_entities_person_merged(spark, sf_dir):
+    """Full within-doc algorithm incl. the firstname-prefix absorption
+    pass (combineFirstnameFullname) — exercises the iterative
+    connected-components operator under the oracle gate (the DuckDB
+    mirror runs CC as a recursive CTE). cluster ids differ between
+    engines by construction; entity_id (min mention id) is the stable
+    cluster identity compared."""
+    return coref.within_doc_entities(
+        derived_mentions(spark, sf_dir), "PERSON", prefix_merge=True
+    ).select("entity_id", "type", "text", "created_by", "num_docs", "num_mentions")
+
+
+def _oracle_within_merged() -> str:
+    reps = """
+reps AS (
+  SELECT doc_id, type, cluster_seq, min(norm) AS rep
+  FROM isl_PERSON GROUP BY doc_id, type, cluster_seq
+)"""
+    ppairs = """
+ppairs AS (
+  SELECT a.doc_id, a.type, a.cluster_seq AS src, min(b.cluster_seq) AS dst
+  FROM reps a JOIN reps b
+    ON a.doc_id = b.doc_id AND a.type = b.type
+   AND b.rep <> a.rep AND starts_with(b.rep, a.rep) AND len(a.rep) >= 2
+  GROUP BY a.doc_id, a.type, a.cluster_seq
+  HAVING count(*) = 1
+)"""
+    pedges = """
+pedges AS (
+  SELECT doc_id, type, src, dst FROM ppairs
+  UNION ALL SELECT doc_id, type, dst AS src, src AS dst FROM ppairs
+)"""
+    reach = """
+reach(doc_id, type, a, b) AS (
+  SELECT doc_id, type, src, src FROM pedges
+  UNION
+  SELECT r.doc_id, r.type, r.a, e.dst
+  FROM reach r JOIN pedges e
+    ON e.doc_id = r.doc_id AND e.type = r.type AND e.src = r.b
+)"""
+    compmap = """
+compmap AS (
+  SELECT doc_id, type, a AS cluster_seq, min(b) AS comp
+  FROM reach GROUP BY doc_id, type, a
+)"""
+    mergedisl = """
+mergedisl AS (
+  SELECT i.*, coalesce(c.comp, i.cluster_seq) AS mcluster
+  FROM isl_PERSON i LEFT JOIN compmap c USING (doc_id, type, cluster_seq)
+)"""
+    final = """
+SELECT s.entity_id, s.type, c.text,
+       'within_doc_person_coref' AS created_by,
+       s.num_docs, s.num_mentions
+FROM (
+  SELECT doc_id, type, mcluster,
+         CAST(min(mention_id) AS BIGINT) AS entity_id,
+         CAST(count(*) AS BIGINT) AS num_mentions,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS num_docs
+  FROM mergedisl GROUP BY doc_id, type, mcluster
+) s
+JOIN (
+  SELECT doc_id, type, mcluster, norm AS text FROM (
+    SELECT doc_id, type, mcluster, norm,
+           row_number() OVER (
+             PARTITION BY doc_id, type, mcluster
+             ORDER BY count(*) DESC, norm ASC) AS rn
+    FROM mergedisl GROUP BY doc_id, type, mcluster, norm
+  ) nc WHERE rn = 1
+) c USING (doc_id, type, mcluster)
+"""
+    ctes = (
+        oracle.mentions_ctes()
+        + oracle.coref_ctes("PERSON")
+        + [reps, ppairs, pedges, reach, compmap, mergedisl]
+    )
+    return "WITH RECURSIVE " + ",".join(ctes) + "\n" + final
+
+
 def q_candidate_split_person(spark, sf_dir):
     """F4 — strong/weak person-candidate predicate as a flag."""
     wd = wd_entities(spark, sf_dir, "PERSON")
@@ -356,6 +435,7 @@ QUERIES = {
     "token_topk": q_token_topk,
     "within_doc_entities_org": q_within_doc_entities_org,
     "across_doc_entities_location": q_across_doc_entities_location,
+    "within_doc_entities_person_merged": q_within_doc_entities_person_merged,
 }
 
 
@@ -531,4 +611,5 @@ SELECT doc_id, norm, idx FROM (
         " num_docs, num_mentions, num_members FROM across_weak_LOCATION",
         ("LOCATION",),
     ),
+    "within_doc_entities_person_merged": _oracle_within_merged(),
 }
