@@ -1,0 +1,48 @@
+"""Incremental MinHash dedup == batch MinHash dedup on the same
+corpus (streaming/dedup.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.operators import dedup as dd
+from vizlinc_ingester_spark.streaming import dedup as sdedup
+
+
+def test_incremental_matches_batch(spark, sf_dir, tmp_path):
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .collect()
+    )
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    work = str(tmp_path / "work")
+
+    # wave 1: ~60% of docs
+    cut = int(len(docs) * 0.6)
+    for r in docs[:cut]:
+        (corpus / f"doc{r['doc_id']}.txt").write_text(r["text"])
+    q1 = sdedup.incremental_dedup(spark, str(corpus), work)
+    q1.awaitTermination(240)
+
+    # wave 2: the rest
+    for r in docs[cut:]:
+        (corpus / f"doc{r['doc_id']}.txt").write_text(r["text"])
+    q2 = sdedup.incremental_dedup(spark, str(corpus), work)
+    q2.awaitTermination(240)
+
+    got_df = spark.read.parquet(os.path.join(work, "near_dups"))
+    accumulated = spark.read.parquet(os.path.join(work, "documents"))
+    assert accumulated.count() == len(docs)
+
+    want_df = dd.minhash_lsh_verified(accumulated)
+    cols = ["doc_a", "doc_b", "n_shared_bands", "n_inter", "n_union", "jaccard_micro"]
+    got = sorted(map(tuple, got_df.select(cols).collect()))
+    want = sorted(map(tuple, want_df.select(cols).collect()))
+    assert len(want) > 0, "fixture produced no near-dup pairs at all"
+    assert got == want
+    # no pair emitted twice across batches
+    assert got_df.select("doc_a", "doc_b").distinct().count() == got_df.count()
