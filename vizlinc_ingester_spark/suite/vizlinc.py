@@ -246,6 +246,56 @@ JOIN (
     return "WITH RECURSIVE " + ",".join(ctes) + "\n" + final
 
 
+def q_dict_ner(spark, sf_dir):
+    """S3 dictionary-NER variant under the gate: vocabulary = the 5
+    most frequent purely-alphabetic corpus tokens (so the fixture is
+    self-deriving), matched case-insensitively on word boundaries.
+    The vocabulary broadcast + rlike theta-join is the pipeline shape
+    (operators/mentions.extract_mentions_dict)."""
+    from ..operators.mentions import extract_mentions_dict
+
+    d = docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word").rlike("^[a-z]{3,}$")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .select(F.col("word").alias("term"), F.lit("KEYWORD").alias("type"))
+    )
+    return extract_mentions_dict(d, vocab).select(
+        "mention_id", "doc_id", "type", "text", "idx"
+    )
+
+
+ORACLE_DICT_NER = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word AS term FROM (
+    SELECT word, count(*) AS n FROM toks
+    WHERE regexp_matches(word, '^[a-z]{{3,}}$')
+    GROUP BY word ORDER BY n DESC, word LIMIT 5
+  ) v
+),
+hits AS (
+  SELECT d.doc_id, 'KEYWORD' AS type, upper(v.term) AS text
+  FROM documents d JOIN vocab v
+    ON regexp_matches(d.text, '(?i)\\b' || v.term || '\\b')
+)
+SELECT CAST(doc_id * 1000000 + idx AS BIGINT) AS mention_id,
+       CAST(doc_id AS BIGINT) AS doc_id, type, text, idx
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY text) AS BIGINT) AS idx
+  FROM hits
+) h
+"""
+
+
 def q_candidate_split_person(spark, sf_dir):
     """F4 — strong/weak person-candidate predicate as a flag."""
     wd = wd_entities(spark, sf_dir, "PERSON")
@@ -436,6 +486,7 @@ QUERIES = {
     "within_doc_entities_org": q_within_doc_entities_org,
     "across_doc_entities_location": q_across_doc_entities_location,
     "within_doc_entities_person_merged": q_within_doc_entities_person_merged,
+    "dict_ner": q_dict_ner,
 }
 
 
@@ -612,4 +663,5 @@ SELECT doc_id, norm, idx FROM (
         ("LOCATION",),
     ),
     "within_doc_entities_person_merged": _oracle_within_merged(),
+    "dict_ner": ORACLE_DICT_NER,
 }
