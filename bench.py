@@ -28,6 +28,8 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",

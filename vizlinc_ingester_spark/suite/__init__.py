@@ -23,6 +23,7 @@ def collect_suite() -> tuple[
         scalars,
         similarity,
         streaming_q,
+        temporal,
         textstats,
         vizlinc,
     )
@@ -31,7 +32,7 @@ def collect_suite() -> tuple[
     oracles: dict = {}
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
-        multimodal, streaming_q,
+        multimodal, streaming_q, temporal,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
