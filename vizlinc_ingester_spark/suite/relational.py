@@ -272,8 +272,43 @@ ORDER BY event_type
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90 / p99) per event type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both use linear
+    interpolation over the sorted values — on integer-cent inputs the
+    doubles agree bit-for-bit (verified), so this sits under the hash
+    gate with no tolerance. Exact percentile is a full-sort-per-group
+    aggregate; the 100 TB path swaps in approx_percentile (t-digest)
+    — see `events_approx_profile` in PLANS.md."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("cents", _cents(F.col("value")))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50_cents"),
+            F.col("p")[1].alias("p90_cents"),
+            F.col("p")[2].alias("p99_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "value_percentiles": q_value_percentiles,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "order_priority_counts": q_order_priority_counts,
@@ -284,6 +319,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "top_customers": ORACLE_TOP_CUSTOMERS,
     "order_priority_counts": ORACLE_ORDER_PRIORITY,

@@ -81,5 +81,117 @@ FROM events
 GROUP BY 1, 2
 """
 
-QUERIES = {"streaming_event_windows": q_streaming_event_windows}
-ORACLES = {"streaming_event_windows": ORACLE_STREAMING_WINDOWS}
+def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-STREAM interval join: errors and clicks consumed as
+    two file-source streams (2 micro-batches each), joined on
+    ``click_ts ∈ [err_ts − 60 s, err_ts + 60 s]`` with watermarks
+    bounding the join state on both sides — the streaming twin of the
+    batch ``events_range_join`` and checked against the SAME DuckDB
+    oracle. Matches spanning micro-batch boundaries come out of the
+    buffered state, so a hash-match proves the incremental join is
+    exact, not approximately-windowed. The final zero-match fill +
+    per-error rollup runs as a batch step over the joined pairs (the
+    oracle's LEFT JOIN semantics; chaining a second stateful agg onto
+    a stream-stream join is avoided by design)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    stage = tempfile.mkdtemp(prefix="vl_stream_rj_")
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stage
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    # Spark rejects stream-stream joins without an equality predicate,
+    # so the join is keyed on a 60 s time bin (the click side is
+    # replicated into its own bin ± 1, exactly like the batch
+    # range_join_banded) — which is also what partitions the join
+    # state sensibly on a real cluster.
+    cents = F.round(F.col("value") * 100).cast("long")
+    band_us = 60_000_000
+    errors = (
+        stream()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+            F.floor(F.unix_micros("ts") / band_us).alias("bin"),
+        )
+        .withWatermark("err_ts", "2 hours")
+    )
+    cbin = F.floor(F.unix_micros("ts") / band_us)
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("ts").alias("click_ts"),
+            cents.alias("click_cents"),
+            F.explode(F.array(cbin - 1, cbin, cbin + 1)).alias("bin"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    pairs = errors.join(
+        clicks,
+        (errors["bin"] == clicks["bin"])
+        & F.expr(
+            "click_ts >= err_ts - INTERVAL 60 SECONDS AND "
+            "click_ts <= err_ts + INTERVAL 60 SECONDS"
+        ),
+    )
+    name = f"stream_rj_{uuid.uuid4().hex[:10]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    per_err = (
+        spark.table(name)
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby_clicks"),
+            F.sum("click_cents").alias("sum_click_cents"),
+        )
+    )
+    all_errors = src.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id")
+    )
+    return all_errors.join(per_err, "err_id", "left").select(
+        "err_id",
+        F.coalesce("n_nearby_clicks", F.lit(0)).cast("long").alias("n_nearby_clicks"),
+        F.coalesce("sum_click_cents", F.lit(0)).cast("long").alias("sum_click_cents"),
+    )
+
+
+QUERIES = {
+    "streaming_event_windows": q_streaming_event_windows,
+    "streaming_range_join": q_streaming_range_join,
+}
+ORACLES = {
+    "streaming_event_windows": ORACLE_STREAMING_WINDOWS,
+    "streaming_range_join": None,  # filled below from the batch twin
+}
+
+
+def _batch_twin_oracle() -> str:
+    from .temporal import ORACLE_EVENTS_RANGE_JOIN
+
+    return ORACLE_EVENTS_RANGE_JOIN
+
+
+ORACLES["streaming_range_join"] = _batch_twin_oracle()
