@@ -20,6 +20,7 @@ def collect_suite() -> tuple[
         dedup,
         multimodal,
         relational,
+        reshape,
         scalars,
         similarity,
         streaming_q,
@@ -32,7 +33,7 @@ def collect_suite() -> tuple[
     oracles: dict = {}
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
-        multimodal, streaming_q, temporal,
+        multimodal, streaming_q, temporal, reshape,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -1,0 +1,96 @@
+"""Reshape operators: PIVOT (long→wide) and UNPIVOT (wide→long).
+
+The reference has no reshape ops (its GraphML/TSV exports are
+row-formatters, `/root/reference/src/SNGephiGraphML.groovy:64-88`);
+these are extension-track operators a training-data pipeline uses for
+feature matrices and per-category profile tables.
+
+Plan shape: ``groupBy().pivot(col, values)`` with explicit values is
+ONE hash aggregate (no extra pass to discover the pivot domain, and
+the aggregate is map-side combinable — at 100 TB never call
+``pivot(col)`` without the value list, which triggers a blocking
+distinct scan first). UNPIVOT is a zero-shuffle expression (Spark
+rewrites it to ``stack``/``posexplode``-style projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _events
+
+HOURS = list(range(24))
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    # ts is int64 nanos (nanosAsLong): hour-of-day via integer math,
+    # identical to DuckDB's hour(ts) for these positive epochs.
+    hour = F.expr("(ts div 3600000000000) % 24").cast("int")
+    return e.select("event_type", hour.alias("hod"))
+
+
+def q_events_pivot_hourly(spark, sf_dir):
+    """Per-type hourly activity profile: event_type × hour-of-day
+    count matrix via pivot with an explicit value list."""
+    out = (
+        _hourly(spark, sf_dir)
+        .groupBy("event_type")
+        .pivot("hod", HOURS)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "event_type",
+        *[F.coalesce(F.col(str(h)), F.lit(0)).cast("long").alias(f"h{h:02d}") for h in HOURS],
+    )
+    return renamed.orderBy("event_type")
+
+
+ORACLE_PIVOT_HOURLY = "SELECT event_type, " + ", ".join(
+    f"CAST(count(*) FILTER (WHERE (epoch_ns(ts) // 3600000000000) % 24 = {h}) AS BIGINT) AS h{h:02d}"
+    for h in HOURS
+) + " FROM events GROUP BY event_type ORDER BY event_type"
+
+
+def q_events_unpivot_roundtrip(spark, sf_dir):
+    """UNPIVOT the pivoted matrix back to long form; dropping the
+    zero-fill cells must reproduce the plain groupBy — a round-trip
+    proof that pivot/unpivot are exact inverses."""
+    wide = q_events_pivot_hourly(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["event_type"],
+        values=[f"h{h:02d}" for h in HOURS],
+        variableColumnName="hour_col",
+        valueColumnName="n_events",
+    )
+    return (
+        long.filter(F.col("n_events") > 0)
+        .select(
+            "event_type",
+            F.substring("hour_col", 2, 2).cast("long").alias("hod"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+ORACLE_UNPIVOT_ROUNDTRIP = """
+SELECT event_type,
+       CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, hod
+"""
+
+
+QUERIES = {
+    "events_pivot_hourly": q_events_pivot_hourly,
+    "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
+}
+
+ORACLES = {
+    "events_pivot_hourly": ORACLE_PIVOT_HOURLY,
+    "events_unpivot_roundtrip": ORACLE_UNPIVOT_ROUNDTRIP,
+}
