@@ -1,0 +1,41 @@
+"""Approx sketches (HLL++ distinct counts, approx percentiles) must
+land within their error bounds of the exact answers — the correctness
+check the hash gate can't express cross-engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.suite.relational import (
+    _cents,
+    _events,
+    q_events_approx_profile,
+    q_value_percentiles,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_profile_within_bounds(spark):
+    approx = {r["event_type"]: r for r in q_events_approx_profile(spark, SF).collect()}
+    exact_users = {
+        r["event_type"]: r["n"]
+        for r in _events(spark, SF)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_p = {r["event_type"]: r for r in q_value_percentiles(spark, SF).collect()}
+
+    assert set(approx) == set(exact_users)
+    for et, row in approx.items():
+        # HLL++ with rsd=0.02: allow 5 sigma
+        rel = abs(row["approx_users"] - exact_users[et]) / exact_users[et]
+        assert rel <= 0.10, (et, row["approx_users"], exact_users[et])
+        # percentile_approx with accuracy 10000 on ~2k rows/group is
+        # exact-rank; allow one value of slack around the interpolated
+        # exact percentile (approx returns an actual data value,
+        # exact interpolates between two).
+        assert abs(row["ap50_cents"] - exact_p[et]["p50_cents"]) <= 100
+        assert abs(row["ap99_cents"] - exact_p[et]["p99_cents"]) <= 500
+        assert row["n_events"] > 0

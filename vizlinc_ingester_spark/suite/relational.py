@@ -306,9 +306,35 @@ ORDER BY event_type
 """
 
 
+def q_events_approx_profile(spark, sf_dir):
+    """Sketch-based profile: approx_count_distinct (HyperLogLog++) and
+    approx_percentile (t-digest-style) per event type. This is the
+    100 TB replacement for `value_percentiles`/countDistinct — sketches
+    are mergeable, so the aggregate stays map-side-combinable and never
+    sorts or re-shuffles raw values. No DuckDB oracle: its
+    approx_distinct uses a different estimator, so equality is
+    meaningless across engines (driver records the rows-only check);
+    `tests/test_approx.py` asserts the estimates sit within the
+    published error bounds of the EXACT answers instead."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("cents", _cents(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("cents", 0.02).alias("approx_values"),
+            F.percentile_approx("cents", 0.5, 10000).alias("ap50_cents"),
+            F.percentile_approx("cents", 0.99, 10000).alias("ap99_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "value_percentiles": q_value_percentiles,
+    "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "order_priority_counts": q_order_priority_counts,
