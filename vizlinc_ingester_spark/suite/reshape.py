@@ -85,12 +85,54 @@ ORDER BY event_type, hod
 """
 
 
+def q_events_cube(spark, sf_dir):
+    """Full CUBE lattice over (event_type, day-of-month): all four
+    grouping-set combinations in one hash aggregate."""
+    e = _events(spark, sf_dir)
+    day = F.expr("(ts div 86400000000000)").cast("long")
+    return (
+        e.withColumn("day_idx", day)
+        .cube("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type,
+       CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_idx,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE(event_type, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT))
+"""
+
+
+def q_users_intersect(spark, sf_dir):
+    """INTERSECT set op: users who both purchased AND hit an error
+    (the §2.7 complement-split family, completed with intersect)."""
+    e = _events(spark, sf_dir)
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    erring = e.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erring).orderBy("user_id")
+
+
+ORACLE_USERS_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_pivot_hourly": q_events_pivot_hourly,
     "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
+    "events_cube": q_events_cube,
+    "users_intersect": q_users_intersect,
 }
 
 ORACLES = {
     "events_pivot_hourly": ORACLE_PIVOT_HOURLY,
     "events_unpivot_roundtrip": ORACLE_UNPIVOT_ROUNDTRIP,
+    "events_cube": ORACLE_EVENTS_CUBE,
+    "users_intersect": ORACLE_USERS_INTERSECT,
 }
