@@ -193,6 +193,43 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding 1-hour window, 30-minute slide — each event lands in
+    exactly 2 overlapping windows. Spark computes it with the native
+    ``F.window(slide=...)`` table-valued generator (the same operator
+    Structured Streaming uses); the oracle expands the two window
+    memberships explicitly. Emitted key = window start in epoch
+    seconds."""
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    return (
+        e.withColumn("ts_t", ts)
+        .groupBy(
+            F.window("ts_t", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW = """
+SELECT CAST((epoch_ns(ts) // 1000000000 // 1800 - off) * 1800 AS BIGINT) AS win_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) offs
+GROUP BY 1, 2
+"""
+
+
 SESSION_GAP_S = 1800
 
 
@@ -339,6 +376,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "order_priority_counts": q_order_priority_counts,
     "events_tumbling_window": q_events_tumbling_window,
+    "events_sliding_window": q_events_sliding_window,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
 }
@@ -350,6 +388,7 @@ ORACLES = {
     "top_customers": ORACLE_TOP_CUSTOMERS,
     "order_priority_counts": ORACLE_ORDER_PRIORITY,
     "events_tumbling_window": ORACLE_EVENTS_WINDOW,
+    "events_sliding_window": ORACLE_SLIDING_WINDOW,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_json_extract": ORACLE_EVENTS_JSON,
 }
