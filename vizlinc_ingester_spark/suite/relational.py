@@ -108,6 +108,38 @@ ORDER BY n_name
 """
 
 
+def q_revenue_by_nation_salted(spark, sf_dir):
+    """The same 3-hop revenue rollup with the lineitem⋈orders join
+    running SALTED (operators/skew.py) — the manual skew mitigation
+    for shapes AQE can't split, proven semantics-preserving by
+    hash-matching the identical oracle as `revenue_by_nation`. Salt
+    spreads each hot l_orderkey over 8 reducers; orders' projected
+    columns are duplicated 8×. (The no-broadcast plan shape is
+    asserted in tests/test_skew.py.)"""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    lo = salted_join(li, o, on=["l_orderkey"], buckets=8)
+    return (
+        lo.join(c, lo["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_top_customers(spark, sf_dir):
     """Top-k with total order (revenue desc, custkey asc)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -373,6 +405,7 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
+    "revenue_by_nation_salted": q_revenue_by_nation_salted,
     "top_customers": q_top_customers,
     "order_priority_counts": q_order_priority_counts,
     "events_tumbling_window": q_events_tumbling_window,
@@ -385,6 +418,7 @@ ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
     "top_customers": ORACLE_TOP_CUSTOMERS,
     "order_priority_counts": ORACLE_ORDER_PRIORITY,
     "events_tumbling_window": ORACLE_EVENTS_WINDOW,
