@@ -123,7 +123,52 @@ ORDER BY user_id
 """
 
 
+def q_users_full_outer(spark, sf_dir):
+    """FULL OUTER join (absent from the reference's join inventory,
+    SURVEY §2.3 — completes the family): per-user purchase vs error
+    totals, keeping users who only have one side."""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    buys = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("buy_cents"))
+    )
+    errs = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        buys.join(errs, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("buy_cents", F.lit(0)).cast("long").alias("buy_cents"),
+            F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USERS_FULL_OUTER = """
+WITH buys AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS buy_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+errs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT coalesce(buys.user_id, errs.user_id) AS user_id,
+       CAST(coalesce(buy_cents, 0) AS BIGINT) AS buy_cents,
+       CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors
+FROM buys FULL OUTER JOIN errs ON buys.user_id = errs.user_id
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "users_full_outer": q_users_full_outer,
     "events_pivot_hourly": q_events_pivot_hourly,
     "events_unpivot_roundtrip": q_events_unpivot_roundtrip,
     "events_cube": q_events_cube,
@@ -131,6 +176,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "users_full_outer": ORACLE_USERS_FULL_OUTER,
     "events_pivot_hourly": ORACLE_PIVOT_HOURLY,
     "events_unpivot_roundtrip": ORACLE_UNPIVOT_ROUNDTRIP,
     "events_cube": ORACLE_EVENTS_CUBE,
