@@ -169,6 +169,35 @@ LIMIT 20
 """
 
 
+def q_orders_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery semantics ('orders pricier than their
+    customer's average'), expressed Spark-side as ONE window pass over
+    the orders scan — the decorrelated plan Catalyst would aim for;
+    the oracle keeps the correlated form to prove equivalence."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        o.withColumn("cents", cents)
+        .withColumn("avg_cents", F.avg("cents").over(w))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ABOVE_CUSTOMER_AVG = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above_avg
+FROM orders o
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+      (SELECT avg(CAST(round(i.o_totalprice * 100) AS BIGINT))
+       FROM orders i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_order_priority_counts(spark, sf_dir):
     """Semi-join shaped existence test (orders having any late line)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -408,6 +437,7 @@ QUERIES = {
     "revenue_by_nation_salted": q_revenue_by_nation_salted,
     "top_customers": q_top_customers,
     "order_priority_counts": q_order_priority_counts,
+    "orders_above_customer_avg": q_orders_above_customer_avg,
     "events_tumbling_window": q_events_tumbling_window,
     "events_sliding_window": q_events_sliding_window,
     "events_sessionize": q_events_sessionize,
@@ -421,6 +451,7 @@ ORACLES = {
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
     "top_customers": ORACLE_TOP_CUSTOMERS,
     "order_priority_counts": ORACLE_ORDER_PRIORITY,
+    "orders_above_customer_avg": ORACLE_ABOVE_CUSTOMER_AVG,
     "events_tumbling_window": ORACLE_EVENTS_WINDOW,
     "events_sliding_window": ORACLE_SLIDING_WINDOW,
     "events_sessionize": ORACLE_SESSIONIZE,
