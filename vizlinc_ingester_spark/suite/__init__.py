@@ -18,6 +18,7 @@ def collect_suite() -> tuple[
 ]:
     from . import (
         dedup,
+        graph_q,
         multimodal,
         relational,
         reshape,
@@ -33,7 +34,7 @@ def collect_suite() -> tuple[
     oracles: dict = {}
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
-        multimodal, streaming_q, temporal, reshape,
+        multimodal, streaming_q, temporal, reshape, graph_q,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

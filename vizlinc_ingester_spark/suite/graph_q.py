@@ -1,0 +1,206 @@
+"""Graph analytics over the social network (extension track).
+
+The reference stops at building the person-person co-occurrence graph
+and filtering it by degree (src/SocialNetworkDCO.groovy:50-84,
+src/SNGephiGraphML.groovy:40-102). A user of that graph immediately
+wants the classic analyses on top: degree centrality, triangle/
+clustering structure, and PageRank-style importance. Each is
+expressed as pure DataFrame ops over the ``sn_edges`` table and
+hash-checked against a DuckDB oracle.
+
+Determinism note: PageRank is computed in **int64 fixed-point**
+(scale 1e12, integer division everywhere). Integer arithmetic is
+associative/commutative, so partial aggregation order — Spark's
+parallel hash agg vs DuckDB's sequential agg — cannot change a
+single bit, which makes an iterative numeric algorithm safe under
+the order-insensitive value-hash gate. (A double-precision PageRank
+can never be cross-engine hash-stable: FP addition is
+order-sensitive and the error compounds per iteration.)
+
+Scale notes (100 TB design point):
+- Degrees: one shuffle on entity_id; map-side combine applies.
+- Triangles: the wedge join is keyed on the shared vertex and the
+  closing check on (a, c) — both equi-joins, no theta join. At
+  scale, degree-ordering the edge list (orient edges low-degree ->
+  high-degree) bounds the wedge fan-out by the graph's arboricity;
+  here edges are already id-oriented (src < dst) which matches the
+  reference's pair generation (SocialNetworkDCO.groovy:63-78).
+- PageRank: each iteration is contribution-join + sum keyed on the
+  vertex id — the standard Pregel-style plan. The edge table is
+  persisted once and reused; ranks stay (vertex, long) rows. On a
+  real cluster the edge table would be bucketed by vertex id so no
+  iteration re-shuffles the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import oracle
+from ..operators import social
+from .vizlinc import PERSON, _stage, person_doc_entities
+
+PR_SCALE = 10**12
+PR_ITERS = 6
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def sn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Social-network edge list (src < dst, weight = num_docs),
+    persisted per session: the three graph queries re-read it."""
+    return _stage(
+        spark, sf_dir, "sn_edges",
+        lambda: social.social_network(person_doc_entities(spark, sf_dir)),
+    )
+
+
+def _bi(e: DataFrame) -> DataFrame:
+    """Undirected edge list -> both-direction adjacency rows."""
+    return e.select(
+        F.col("src_entity_id").alias("u"), F.col("dst_entity_id").alias("v"),
+        "num_docs",
+    ).unionAll(
+        e.select(
+            F.col("dst_entity_id").alias("u"),
+            F.col("src_entity_id").alias("v"),
+            "num_docs",
+        )
+    )
+
+
+def q_sn_degrees(spark, sf_dir):
+    """Degree + weighted degree (sum of shared-doc counts) per person
+    node — degree centrality, the direct generalization of the
+    reference's num_docs >= 2 node filter (SNGephiGraphML.groovy:52)."""
+    bi = _bi(sn_edges(spark, sf_dir))
+    return bi.groupBy(F.col("u").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("num_docs").cast("long").alias("weighted_degree"),
+    )
+
+
+ORACLE_DEGREES = oracle.wrap(
+    """
+SELECT u AS entity_id, CAST(count(*) AS BIGINT) AS degree,
+       CAST(sum(num_docs) AS BIGINT) AS weighted_degree
+FROM (SELECT src_entity_id AS u, num_docs FROM sn_edges
+      UNION ALL SELECT dst_entity_id AS u, num_docs FROM sn_edges) b
+GROUP BY u
+""",
+    PERSON,
+)
+
+
+def q_sn_triangles(spark, sf_dir):
+    """Triangle enumeration (a < b < c). Because every stored edge is
+    id-oriented (src < dst), wedge join (a,b)x(b,c) already yields
+    a < b < c exactly once; the left-semi against (a,c) closes it."""
+    e = sn_edges(spark, sf_dir).select("src_entity_id", "dst_entity_id")
+    ab = e.select(F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b"))
+    bc = e.select(F.col("src_entity_id").alias("b"), F.col("dst_entity_id").alias("c"))
+    ac = e.select(F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+ORACLE_TRIANGLES = oracle.wrap(
+    """
+SELECT e1.src_entity_id AS a, e1.dst_entity_id AS b, e2.dst_entity_id AS c
+FROM sn_edges e1
+JOIN sn_edges e2 ON e1.dst_entity_id = e2.src_entity_id
+JOIN sn_edges e3 ON e3.src_entity_id = e1.src_entity_id
+               AND e3.dst_entity_id = e2.dst_entity_id
+""",
+    PERSON,
+)
+
+
+def q_sn_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank: PR_ITERS synchronous iterations,
+    damping PR_DAMP_NUM/PR_DAMP_DEN, rank mass scaled by PR_SCALE
+    (int64 throughout; see module docstring for why that makes an
+    iterative numeric algorithm hash-exact across engines)."""
+    bi = _bi(sn_edges(spark, sf_dir)).select("u", "v")
+    deg = bi.groupBy(F.col("u").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # One scalar driver-side count: the vertex count parameterizes the
+    # teleport term. (At 100 TB this is one cheap count on a persisted
+    # 1-column table, not a per-row collect.)
+    n = deg.count()
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    ranks = deg.select(
+        "entity_id", F.lit(PR_SCALE // n).cast("long").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        share = ranks.join(deg, "entity_id").select(
+            F.col("entity_id").alias("u"),
+            F.expr("rank div deg").cast("long").alias("share"),
+        )
+        s = (
+            share.join(bi, "u")
+            .groupBy(F.col("v").alias("entity_id"))
+            .agg(F.sum("share").cast("long").alias("s"))
+        )
+        ranks = (
+            deg.select("entity_id")
+            .join(s, "entity_id", "left")
+            .select(
+                "entity_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select("entity_id", F.col("rank").alias("rank_scaled"))
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""
+bi AS (SELECT src_entity_id AS u, dst_entity_id AS v FROM sn_edges
+       UNION ALL SELECT dst_entity_id AS u, src_entity_id AS v FROM sn_edges),
+deg AS (SELECT u AS entity_id, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY u),
+nn AS (SELECT count(*) AS c FROM deg),
+r0 AS (SELECT entity_id, CAST({PR_SCALE} // c AS BIGINT) AS rank
+       FROM deg CROSS JOIN nn)"""
+    ]
+    for i in range(PR_ITERS):
+        parts.append(
+            f"""
+r{i + 1} AS (
+  SELECT d.entity_id,
+         CAST(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) // ({PR_DAMP_DEN} * nn.c)
+              + ({PR_DAMP_NUM} * coalesce(cb.s, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT b.v AS entity_id, CAST(sum(r.rank // dg.deg) AS BIGINT) AS s
+    FROM r{i} r
+    JOIN deg dg USING (entity_id)
+    JOIN bi b ON b.u = r.entity_id
+    GROUP BY b.v
+  ) cb ON cb.entity_id = d.entity_id
+)"""
+        )
+    final = f"\nSELECT entity_id, rank AS rank_scaled FROM r{PR_ITERS}"
+    return "," + ",".join(parts) + final
+
+
+ORACLE_PAGERANK = oracle.wrap(_pagerank_oracle(), PERSON)
+
+
+QUERIES = {
+    "sn_degrees": q_sn_degrees,
+    "sn_triangles": q_sn_triangles,
+    "sn_pagerank": q_sn_pagerank,
+}
+
+ORACLES = {
+    "sn_degrees": ORACLE_DEGREES,
+    "sn_triangles": ORACLE_TRIANGLES,
+    "sn_pagerank": ORACLE_PAGERANK,
+}
