@@ -23,6 +23,7 @@ def collect_suite() -> tuple[
         relational,
         reshape,
         scalars,
+        search_q,
         similarity,
         streaming_q,
         temporal,
@@ -34,7 +35,7 @@ def collect_suite() -> tuple[
     oracles: dict = {}
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
-        multimodal, streaming_q, temporal, reshape, graph_q,
+        multimodal, streaming_q, temporal, reshape, graph_q, search_q,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

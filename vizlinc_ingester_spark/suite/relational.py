@@ -429,8 +429,51 @@ def q_events_approx_profile(spark, sf_dir):
     )
 
 
+def q_customer_value_quartiles(spark, sf_dir):
+    """Ranking-window family in one pass: ntile(4) spend quartile,
+    percent_rank, and cume_dist over per-customer revenue. The ratio
+    functions divide exact int64 ranks/counts once in double —
+    bit-identical cross-engine.
+
+    Scale note: a global ORDER BY window range-partitions the sort in
+    Spark but evaluates ntile in a single partition; at 100 TB the
+    same quartile assignment would come from approx percentile
+    boundaries (events_approx_profile's t-digest path) + a broadcast
+    bucket join. At customer-table cardinality (150k rows/SF) the
+    exact window is the right plan."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents")
+    )
+    w = Window.orderBy(F.desc("total_cents"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "total_cents",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORACLE_CUSTOMER_QUARTILES = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_cents,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM per_cust
+WINDOW w AS (ORDER BY total_cents DESC, o_custkey ASC)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "customer_value_quartiles": q_customer_value_quartiles,
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
@@ -446,6 +489,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "customer_value_quartiles": ORACLE_CUSTOMER_QUARTILES,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,

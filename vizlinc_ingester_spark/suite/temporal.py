@@ -183,11 +183,87 @@ FROM monthly
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (MATCH_RECOGNIZE-lite): per user, the
+    earliest signup, the earliest click strictly after it, and the
+    earliest purchase strictly after that; ``stage`` = how deep the
+    user got (1..3). All comparisons in exact integer microseconds.
+
+    Plan shape: three conditional-filter aggregations, each keyed on
+    user_id — every join is a co-partitioned equi-join on the same
+    key, so at scale this is ONE shuffle of the events table by
+    user_id reused across stages (AQE coalesces the tiny right
+    sides to broadcasts at low SF)."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts div 1000").cast("long").alias("us")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_us",
+            "click_us",
+            "purchase_us",
+            (
+                F.lit(1)
+                + F.when(F.col("click_us").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("purchase_us").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("stage"),
+        )
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.signup_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_us, c.click_us, p.purchase_us,
+       CAST(1 + (CASE WHEN c.click_us IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p.purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS INT) AS stage
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_rollup": q_events_rollup,
     "orders_running_revenue": q_orders_running_revenue,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -195,4 +271,5 @@ ORACLES = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "orders_running_revenue": ORACLE_RUNNING_REVENUE,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
 }
