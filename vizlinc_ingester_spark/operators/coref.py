@@ -225,16 +225,26 @@ def _apply_prefix_merge(clustered: DataFrame, scope_cols: list[str]) -> DataFram
 
 
 def assign_mentions_to_entities(
-    mentions: DataFrame, entity_type: str, prefix_merge: bool = False
+    mentions: DataFrame,
+    entity_type: str,
+    prefix_merge: bool = False,
+    wd: DataFrame | None = None,
 ) -> DataFrame:
     """J7 — mention -> entity_id assignment for the within-doc pass
     (cluster membership is the join key). ``prefix_merge`` must match
-    the flag used for ``within_doc_entities`` so cluster keys align."""
+    the flag used for ``within_doc_entities`` so cluster keys align.
+    Pass a precomputed/persisted ``wd`` (same mentions + flag) to
+    avoid re-deriving the entity table — Catalyst does not CSE the
+    shared subplan."""
     nm = normalized_mentions(mentions, entity_type)
     clustered = _islands(nm, ["doc_id", "type"], "norm", "mention_id")
     if prefix_merge:
         clustered = _apply_prefix_merge(clustered, ["doc_id", "type"])
-    entities = within_doc_entities(mentions, entity_type, prefix_merge=prefix_merge)
+    entities = (
+        wd
+        if wd is not None
+        else within_doc_entities(mentions, entity_type, prefix_merge=prefix_merge)
+    )
     return clustered.join(
         entities.select("doc_id", "cluster_seq", "entity_id"),
         ["doc_id", "cluster_seq"],

@@ -31,7 +31,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # same single-row-group spread as _docs: the cosine fold is the
+    # dominant per-row cost and must not run in one task
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
 
 
 # --- shared SQL fragments --------------------------------------------------

@@ -27,7 +27,11 @@ _BUCKETS = [
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # spread the single-split parquet so mapInPandas gets one Arrow
+    # stream per core, not one serial stream
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     b = F.col("doc_id") % 4
     magic = None
     for i, (hx, _) in enumerate(_BUCKETS):

@@ -23,7 +23,14 @@ CENTROID_MOD = 50  # vec_id % 50 == 0 -> IVF centroid set
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # The parquet is one row group -> one input split; without this
+    # the cosine fold (a per-element higher-order function, the
+    # dominant cost) runs in a single task. Spreading the corpus side
+    # means each task scores its slice against the broadcast queries.
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):

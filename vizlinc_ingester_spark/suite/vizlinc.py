@@ -375,9 +375,18 @@ def q_social_network_filtered(spark, sf_dir):
 
 
 def q_document_entity_counts(spark, sf_dir):
-    """A6 — per-(doc, across-entity) mention counts."""
+    """A6 — per-(doc, across-entity) mention counts. The J7
+    mention->entity assignment is a pipeline checkpoint like
+    mentions/wd/membership (the reference persists these as graph
+    edges, src/CorefBase.groovy:24,39,252), so it lives in the stage
+    cache; the cached wd feeds it instead of a re-derivation."""
     m = derived_mentions(spark, sf_dir)
-    assigned = coref.assign_mentions_to_entities(m, "PERSON")
+    assigned = _stage(
+        spark, sf_dir, "assigned_PERSON",
+        lambda: coref.assign_mentions_to_entities(
+            m, "PERSON", wd=wd_entities(spark, sf_dir, "PERSON")
+        ),
+    )
     mem = membership(spark, sf_dir, "PERSON")
     me = assigned.join(
         mem.withColumnRenamed("within_entity_id", "entity_id"),
