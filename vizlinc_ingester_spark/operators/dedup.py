@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MINHASH_PERMS, P, minhash_term, simhash16, stable_hash64
+from ..functions.hashing import MINHASH_PERMS, P, stable_hash64
 from ..functions.text import tokens
 
 N_PERMS = 16
@@ -28,10 +28,16 @@ N_BANDS = 8  # rows-per-band r=2
 SHINGLE_K = 3
 
 
-def shingles(c: Column, k: int = SHINGLE_K) -> Column:
-    """k-word shingles of a text column as an array (empty if < k
-    tokens — guarded: Spark sequence() would go descending)."""
-    toks = tokens(c)
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token-array column
+    (empty if < k tokens — guarded: Spark sequence() would go
+    descending).
+
+    Pass an *attribute* (a projected column), not the tokenize
+    expression itself: the ``element_at`` lambda references its input
+    once per shingle element, so an inlined ``split(...)`` would be
+    re-evaluated O(tokens) times per row — measured ~2x on the whole
+    MinHash pipeline at sf0.1."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     mk = lambda i: F.concat_ws(  # noqa: E731
@@ -40,6 +46,13 @@ def shingles(c: Column, k: int = SHINGLE_K) -> Column:
     return F.when(n >= k, F.transform(idx, mk)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(c: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles of a text column (tokenizes inline — prefer
+    ``shingles_from_tokens`` over a projected token column in hot
+    paths; see its docstring)."""
+    return shingles_from_tokens(tokens(c), k)
 
 
 def minhash_signature_array(hashes_col: Column) -> Column:
@@ -125,11 +138,22 @@ def hashed_shingle_docs(documents: DataFrame, text_col: str = "text") -> DataFra
     The no-shingle filter tests *token count on the input side*, not
     ``size(hs) >= 1``: a predicate on the computed column gets pushed
     below the projection and evaluates the whole md5 transform twice
-    (measured 3x slowdown)."""
-    has_shingles = F.size(tokens(F.col(text_col))) >= SHINGLE_K
-    return documents.filter(has_shingles).select(
+    (measured 3x slowdown).
+
+    Tokens are materialized by a dedicated projection before the
+    shingle/hash expression so the per-element lambdas reference an
+    attribute, not a re-evaluated split() (see shingles_from_tokens).
+    CollapseProject keeps the two selects separate because the alias
+    is non-cheap and multiply-referenced."""
+    with_toks = documents.filter(
+        F.size(tokens(F.col(text_col))) >= SHINGLE_K
+    ).select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    return with_toks.select(
         "doc_id",
-        F.transform(shingles(F.col(text_col)), lambda s: stable_hash64(s) % F.lit(P)).alias("hs"),
+        F.transform(
+            shingles_from_tokens(F.col("_toks")),
+            lambda s: stable_hash64(s) % F.lit(P),
+        ).alias("hs"),
     )
 
 
@@ -196,12 +220,42 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash over token hashes."""
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: stable_hash64(t) % F.lit(P))
-    return documents.select(
-        "doc_id", simhash16(hashes).alias("simhash")
-    ).filter(F.size(toks) > 0)
+    """(doc_id, simhash) — 16-bit SimHash over token hashes.
+
+    One aggregate pass with a 16-counter array accumulator instead of
+    16 independent folds (simhash16's Column form re-walks the hash
+    array per bit). Each stage materializes through a projection so
+    lambdas reference attributes, never re-evaluated subtrees. Bit j
+    of a hash is extracted as floor(h / 2^j) % 2 — h < 2^32 makes the
+    double division by a power of two exact (zip_with lambdas can't
+    take Python-literal shift amounts)."""
+    with_toks = documents.select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    hashed = with_toks.select(
+        "doc_id",
+        F.transform("_toks", lambda t: stable_hash64(t) % F.lit(P)).alias("_h"),
+        F.size("_toks").cast("long").alias("_n"),
+    )
+    pw = F.array(*[F.lit(1 << j).cast("long") for j in range(16)])
+    ones = F.aggregate(
+        F.col("_h"),
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, x: F.zip_with(
+            acc,
+            pw,
+            lambda m, p: m + F.floor(x / p).cast("long").bitwiseAND(F.lit(1)),
+        ),
+    )
+    counted = hashed.select("doc_id", "_n", ones.alias("_ones"))
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        bit = F.when(
+            F.element_at("_ones", j + 1) * 2 > F.col("_n"),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = sim + F.shiftleft(bit, j)
+    return counted.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_dups(
