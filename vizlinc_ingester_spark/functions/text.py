@@ -35,18 +35,29 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda x: F.array_contains(words, x)))
 
 
-def lang_id(c: Column) -> Column:
-    """Pick the language whose stopword profile hits most tokens
-    (ties broken by language code ascending; 'und' if zero hits)."""
-    toks = tokens(c)
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Language pick from per-language hit-count columns (ties broken
+    by language code ascending; 'und' if zero hits). Pass *projected
+    attributes* in hot paths: the chain references each count twice,
+    which would double-evaluate an inlined filter expression."""
     best_lang = F.lit("und")
     best_hits = F.lit(0)
-    for lang in sorted(STOPWORDS):  # ascending => first max wins ties
-        hits = stopword_hits(toks, lang)
-        take = hits > best_hits
+    for lang in sorted(hits):  # ascending => first max wins ties
+        h = hits[lang]
+        take = h > best_hits
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(take, hits).otherwise(best_hits)
+        best_hits = F.when(take, h).otherwise(best_hits)
     return best_lang
+
+
+def lang_id(c: Column) -> Column:
+    """Pick the language whose stopword profile hits most tokens
+    (Column-in/Column-out convenience; the suite query projects token
+    and hit columns first — see lang_id_from_hits)."""
+    toks = tokens(c)
+    return lang_id_from_hits(
+        {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    )
 
 
 def whitespace_token_count(c: Column) -> Column:

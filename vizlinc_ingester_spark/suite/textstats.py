@@ -24,12 +24,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark, sf_dir):
-    """Stopword-profile language ID vs the declared lang column."""
+    """Stopword-profile language ID vs the declared lang column.
+    Tokenize once, project per-language hit counts, then pick — each
+    stage references attributes so nothing re-evaluates (the naive
+    single-expression form re-splits the text per language)."""
     d = _docs(spark, sf_dir)
-    return d.select(
+    toked = d.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
-        tx.lang_id(F.col("text")).alias("predicted_lang"),
+        tx.tokens(F.col("text")).alias("_toks"),
+    )
+    langs = sorted(tx.STOPWORDS)
+    hit_cols = toked.select(
+        "doc_id",
+        "declared_lang",
+        *[
+            tx.stopword_hits(F.col("_toks"), lang).alias(f"_h_{lang}")
+            for lang in langs
+        ],
+    )
+    pick = tx.lang_id_from_hits({lang: F.col(f"_h_{lang}") for lang in langs})
+    return hit_cols.select(
+        "doc_id", "declared_lang", pick.alias("predicted_lang")
     )
 
 
