@@ -79,7 +79,7 @@ DRIVER_WINDOW = [
     # multimodal
     "media_metadata", "image_decode_resize",
     # structured streaming under the oracle gate
-    "streaming_event_windows", "streaming_range_join",
+    "streaming_sessionize", "streaming_range_join",
     # temporal joins / windows
     "events_asof_join", "events_range_join", "orders_running_revenue",
     "events_funnel",

@@ -178,9 +178,110 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` STREAMING sessionization, hash-checked
+    against the SAME oracle as the batch gaps-and-islands twin
+    (``events_sessionize``) — a cross-paradigm equivalence proof:
+    incremental state-merging sessions == one-pass window SQL.
+
+    Semantics alignment: the batch twin truncates to integer seconds
+    and merges when gap <= 1800 s; ``session_window`` also merges
+    INCLUSIVELY (next <= last + g — verified empirically: g=1801
+    swallowed the corpus's one exact-1801 s gap), so feeding
+    second-truncated timestamps with g = 1800 s makes the two
+    definitions identical (duration = window.end − 1800 − window.start).
+
+    Completeness: append mode only emits sessions the watermark has
+    passed, so the stage dir gets a third file (forced newest mtime =
+    processed last) holding one far-future sentinel event; it pushes
+    the final watermark beyond every real session and is filtered
+    from the result. Events of one user arrive split across the first
+    two micro-batches in interleaved event-time order — a hash-match
+    proves cross-batch session state merging is exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = raw.select(
+        "user_id",
+        "event_id",
+        F.timestamp_seconds(F.expr("ts div 1000000000").cast("long")).alias("tss"),
+    )
+    max_s = src.agg(F.max(F.unix_timestamp("tss")).alias("m")).collect()[0].m
+    stage = tempfile.mkdtemp(prefix="vl_stream_sess_")
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    before = set(os.listdir(stage))
+    sentinel = spark.createDataFrame(
+        [(-1, -1)], "user_id long, event_id long"
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_seconds(F.lit(max_s + 46 * 24 * 3600).cast("long")).alias("tss"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(stage)
+    # The file source processes oldest-mtime first; the sentinel must
+    # be the LAST micro-batch (processed first it would mark all real
+    # events late). Writes are sequential so mtimes already order, but
+    # pin it explicitly against coarse filesystem timestamps.
+    import time as _time
+
+    bump = _time.time() + 60
+    for fn in set(os.listdir(stage)) - before:
+        if not fn.startswith("_"):
+            os.utime(os.path.join(stage, fn), (bump, bump))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    # Delay > the whole corpus event-time span (31 d): the parity
+    # split is by event_id, not time, so micro-batch 2 carries events
+    # arbitrarily far behind batch 1's max — a tighter watermark
+    # silently drops them as late (observed: exactly one session short
+    # at sf0.01 with a 1 h delay). The sentinel sits at +46 d so the
+    # final watermark still clears every real session end.
+    sess = (
+        stream.withWatermark("tss", "45 days")
+        .groupBy(F.session_window("tss", "1800 seconds").alias("win"), "user_id")
+        .agg(
+            F.min("event_id").alias("session_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:10]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("session_id").cast("long"),
+            F.col("n_events").cast("long"),
+            (
+                F.unix_timestamp("win.end")
+                - F.lit(1800)
+                - F.unix_timestamp("win.start")
+            ).cast("long").alias("duration_s"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_event_windows": q_streaming_event_windows,
     "streaming_range_join": q_streaming_range_join,
+    "streaming_sessionize": q_streaming_sessionize,
 }
 ORACLES = {
     "streaming_event_windows": ORACLE_STREAMING_WINDOWS,
@@ -195,3 +296,12 @@ def _batch_twin_oracle() -> str:
 
 
 ORACLES["streaming_range_join"] = _batch_twin_oracle()
+
+
+def _sessionize_oracle() -> str:
+    from .relational import ORACLE_SESSIONIZE
+
+    return ORACLE_SESSIONIZE
+
+
+ORACLES["streaming_sessionize"] = _sessionize_oracle()
