@@ -429,6 +429,86 @@ def q_events_approx_profile(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem
+    with date predicates on both fact scans, top-10 open orders by
+    revenue. Both date filters reach the parquet scans (PushedFilters)
+    and the segment-filtered customer side broadcasts; top-k is
+    TakeOrdered, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    cut = "1995-03-15"
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cut))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cut))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H q10 shape: revenue lost to returned items per customer
+    (l_returnflag = 'R'), 4-table join, top-20. The returnflag
+    predicate prunes the fact scan; nation broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(rev).alias("lost_revenue_c4"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue_c4"), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS lost_revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY lost_revenue_c4 DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_customer_value_quartiles(spark, sf_dir):
     """Ranking-window family in one pass: ntile(4) spend quartile,
     percent_rank, and cume_dist over per-customer revenue. The ratio
@@ -474,6 +554,8 @@ WINDOW w AS (ORDER BY total_cents DESC, o_custkey ASC)
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "customer_value_quartiles": q_customer_value_quartiles,
+    "shipping_priority": q_shipping_priority,
+    "returned_customers": q_returned_customers,
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
@@ -490,6 +572,8 @@ QUERIES = {
 ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "customer_value_quartiles": ORACLE_CUSTOMER_QUARTILES,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "returned_customers": ORACLE_RETURNED_CUSTOMERS,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
