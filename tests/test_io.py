@@ -147,3 +147,25 @@ def test_node_id_tsv(spark, tmp_path):
         if f.startswith("part-"):
             lines += open(os.path.join(out, f)).read().splitlines()
     assert lines == ["1\tANA", "2\tZULMA"]
+
+
+def test_partitioned_star_prunes(spark, sf_dir, tmp_path):
+    """S6 partitioned layout: a type-partitioned mentions export must
+    answer a type-filtered query from ONE partition directory — the
+    plan carries the predicate as a PartitionFilter (metadata-only
+    pruning), not a data Filter over all rows."""
+    from vizlinc_ingester_spark.operators import mentions as mops
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    m = mops.derive_mentions(docs)
+    out = str(tmp_path / "star_part")
+    sinks.write_star_schema(
+        {"mentions": m}, out, partition_cols={"mentions": ["type"]}
+    )
+    back = spark.read.parquet(os.path.join(out, "mentions"))
+    q = back.filter(F.col("type") == "PERSON")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "PERSON" in plan.split("PartitionFilters:")[1].split("]")[0]
+    expected = m.filter(F.col("type") == "PERSON").count()
+    assert q.count() == expected
