@@ -60,7 +60,7 @@ DRIVER_WINDOW = [
     # vizlinc core: mentions -> coref -> social network -> counts
     "mentions_extract", "normalize_mentions",
     "within_doc_entities_person", "within_doc_entities_person_merged",
-    "across_doc_entities_person", "adjacent_close_pairs",
+    "streaming_incremental_coref", "adjacent_close_pairs",
     "prefix_merge_pairs", "global_id_clusters", "candidate_split_person",
     "social_network", "social_network_filtered", "document_entity_counts",
     "doc_text_search", "token_topk", "docs_person_no_location",

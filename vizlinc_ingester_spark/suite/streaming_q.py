@@ -278,10 +278,70 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PIPELINE run incrementally: documents arrive as
+    a file-source stream (2 micro-batches), mention extraction streams
+    as a stateless projection appending to a mentions table, and each
+    micro-batch re-clusters across-doc PERSON coref over the
+    accumulated mentions inside ``foreachBatch`` (the stream-to-batch
+    handoff for corpus-global algorithms — streaming/ingest.py's
+    design with the synthetic corpus's real doc_ids). The FINAL entity
+    table must hash-match the one-shot batch oracle — proving
+    incremental maintenance converges to exactly the batch answer.
+
+    Exactly-once: file-source checkpoint + full overwrite of the
+    derived entity table per batch (idempotent)."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = tempfile.mkdtemp(prefix="vl_stream_coref_")
+    work = tempfile.mkdtemp(prefix="vl_stream_coref_work_")
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stage
+    )
+
+    from ..operators import coref, mentions as mops
+
+    mentions_path = os.path.join(work, "mentions")
+    entities_path = os.path.join(work, "entities")
+
+    def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        if batch_docs.isEmpty():
+            return
+        mops.derive_mentions(
+            batch_docs.repartition(batch_docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        ).write.mode("append").parquet(mentions_path)
+        acc = batch_docs.sparkSession.read.parquet(mentions_path)
+        coref.across_doc_entities(acc, "PERSON").write.mode(
+            "overwrite"
+        ).parquet(entities_path)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(entities_path).select(
+        "entity_id", "type", "text", "created_by",
+        F.col("num_docs").cast("long"),
+        F.col("num_mentions").cast("long"),
+        F.col("num_members").cast("long"),
+    )
+
+
 QUERIES = {
     "streaming_event_windows": q_streaming_event_windows,
     "streaming_range_join": q_streaming_range_join,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_incremental_coref": q_streaming_incremental_coref,
 }
 ORACLES = {
     "streaming_event_windows": ORACLE_STREAMING_WINDOWS,
@@ -305,3 +365,12 @@ def _sessionize_oracle() -> str:
 
 
 ORACLES["streaming_sessionize"] = _sessionize_oracle()
+
+
+def _across_doc_oracle() -> str:
+    from .vizlinc import ORACLES as VIZ_ORACLES
+
+    return VIZ_ORACLES["across_doc_entities_person"]
+
+
+ORACLES["streaming_incremental_coref"] = _across_doc_oracle()
