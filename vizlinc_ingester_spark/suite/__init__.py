@@ -70,7 +70,7 @@ DRIVER_WINDOW = [
     "pricing_summary", "revenue_by_nation_salted", "events_sessionize",
     "events_json_extract", "customer_value_quartiles",
     # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding",
     # similarity search
     "ann_cosine_topk", "ann_ivf",

@@ -293,6 +293,85 @@ WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= 200000
 """
 
 
+DUP_THRESH_MICRO = 600_000  # verified-Jaccard cut for "same document"
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup pipeline's actionable output: near-dup CLUSTERS.
+    Verified LSH pairs above the Jaccard threshold become edges;
+    connected components (pointer-doubling min-label fixpoint,
+    operators/graph.py) assigns each document its cluster; the
+    minimum doc_id in a cluster is the keeper, the rest are drops.
+    The oracle mirrors the fixpoint with a recursive CTE — the second
+    iterative algorithm under the cross-engine hash gate."""
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_verified(docs).filter(
+        F.col("jaccard_micro") >= DUP_THRESH_MICRO
+    )
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SQL_SIGS_CTE.strip()},
+{SQL_BANDS_CTE.strip()},
+{SQL_CAND_CTE.strip()},
+doc_shingle AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(hs) AS h FROM hashed) u
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM doc_shingle GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN doc_shingle sa ON sa.doc_id = c.doc_a
+  JOIN doc_shingle sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+  GROUP BY c.doc_a, c.doc_b
+),
+dedges AS (
+  SELECT c.doc_a AS src, c.doc_b AS dst
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes za ON za.doc_id = c.doc_a
+  JOIN sizes zb ON zb.doc_id = c.doc_b
+  WHERE coalesce(i.n_inter, 0) * 1000000
+        // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= {DUP_THRESH_MICRO}
+),
+sym AS (
+  SELECT src, dst FROM dedges UNION ALL SELECT dst AS src, src AS dst FROM dedges
+),
+reach(a, b) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+csize AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY cluster_id
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       s.cluster_size,
+       c.doc_id = c.cluster_id AS is_keeper
+FROM comp c JOIN csize s USING (cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -300,6 +379,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -309,4 +389,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }
