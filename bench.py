@@ -63,14 +63,15 @@ def main() -> None:
     else:
         spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
-    # Best-of-2 per query: single-run numbers on a shared box swing
+    # Best-of-3 per query: single-run numbers on a shared box swing
     # ±3x from scheduler noise; min-of-N is the standard steady-state
-    # estimator.
+    # estimator (the extra pass costs ~11 s total at sf0.1 — cheap
+    # insurance against the recorded run landing on a noise spike).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
