@@ -113,20 +113,31 @@ def lsh_band_buckets(sigs: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Self-join on band key -> distinct unordered candidate pairs with
-    the number of colliding bands."""
+    """Band buckets -> distinct unordered candidate pairs with the
+    number of colliding bands.
+
+    Shape: groupBy(band_key) collecting the (sorted) bucket, then
+    in-bucket pair expansion as an array expression — ONE shuffle on
+    the band key and the signature input is consumed once. The
+    equivalent self-join reads the signature subplan twice (forcing a
+    persist barrier) and shuffles both sides. Bucket sizes are bounded
+    by near-dup group size, so the expansion is cheap; a pathological
+    giant bucket means the banding parameters are wrong, not the plan."""
     b = lsh_band_buckets(sigs)
-    a, bb = b.alias("a"), b.alias("b")
-    return (
-        a.join(
-            bb,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    buckets = b.groupBy("band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_bands")
     )
 
 
@@ -196,13 +207,17 @@ def minhash_lsh_verified(documents: DataFrame, text_col: str = "text") -> DataFr
     (signatures, sizes, intersection) and recomputing it would triple
     the scan+md5 work."""
     hs_docs = hashed_shingle_docs(documents, text_col).persist()
+    # Eagerly materialize the hashed shingles: they feed the signature
+    # pass AND the three verify branches of ONE action; an
+    # unmaterialized cache gets recomputed by each concurrently-
+    # scheduled consumer stage (observed 16 s -> ~4 s). The signature
+    # relation itself is consumed exactly once since candidate
+    # generation became a groupBy (no self-join), so it needs no
+    # persist barrier anymore.
+    hs_docs.count()
     sigs = _sig_to_cols(
         hs_docs.select("doc_id", minhash_signature_array(F.col("hs")).alias("sig"))
-    ).persist()
-    # Eagerly materialize: hs_docs/sigs feed 5 downstream branches of
-    # ONE action; an unmaterialized cache gets recomputed by each
-    # concurrently-scheduled consumer stage (observed 16 s -> ~4 s).
-    sigs.count()
+    )
     pairs = lsh_candidate_pairs(sigs)
     return jaccard_verify_hashed(hs_docs, pairs)
 
