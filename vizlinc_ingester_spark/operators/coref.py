@@ -181,12 +181,18 @@ def _apply_prefix_merge(clustered: DataFrame, scope_cols: list[str]) -> DataFram
     min island id of the component."""
     from .graph import connected_components
 
-    # globally unique island node id (scope hash + island seq; islands
-    # per scope are < 1e6 at any realistic document size)
-    node = (F.abs(F.xxhash64(*scope_cols)) % F.lit(1 << 40)) * 1_000_000 + F.col(
-        "cluster_seq"
+    # Collision-free island node id: the (scope, cluster_seq) struct
+    # itself. A hashed numeric id collides at the birthday bound over
+    # the corpus (certain at ~1e9 docs in a 2^40 bucket space), and a
+    # collision lets CC union components across unrelated documents.
+    # connected_components only needs equality + a total order, both of
+    # which Spark structs provide; since prefix edges never cross a
+    # scope, every component stays within one scope and the component
+    # min's cluster_seq field IS the scope-local min island id.
+    node = F.struct(
+        *[F.col(c) for c in scope_cols], F.col("cluster_seq")
     )
-    clustered = clustered.withColumn("island_node", node.cast("long"))
+    clustered = clustered.withColumn("island_node", node)
 
     # One representative name per island: the reference's prefix pass
     # runs over cluster KEYS after adjacent-merge
@@ -217,7 +223,10 @@ def _apply_prefix_merge(clustered: DataFrame, scope_cols: list[str]) -> DataFram
     merged = clustered.join(
         cc, clustered["island_node"] == cc["node"], "left"
     ).withColumn(
-        "new_cluster", F.coalesce(F.col("component"), F.col("island_node"))
+        "new_cluster",
+        F.coalesce(
+            F.col("component").getField("cluster_seq"), F.col("cluster_seq")
+        ),
     )
     return merged.drop("node", "component", "island_node", "cluster_seq").withColumnRenamed(
         "new_cluster", "cluster_seq"

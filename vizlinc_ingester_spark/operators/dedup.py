@@ -276,8 +276,14 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_near_dups(
     documents: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: bucket by the hash's high byte, verify
-    hamming distance within buckets.
+    """SimHash near-dup pairs with GUARANTEED recall for
+    ``max_hamming <= 3``: band the 16-bit hash into 4 disjoint 4-bit
+    blocks and equi-join per band — a pair differing in <= 3 bits has
+    at least one identical band (pigeonhole), so no true near-dup can
+    be missed. (A single-block bucketing, e.g. the high byte, silently
+    drops pairs whose differing bits all fall inside the block.)
+    Candidates surfacing in several bands are deduped before the
+    hamming verification.
 
     The (doc_id, simhash) relation is persisted and eagerly
     materialized before the self-join — both join sides are the same
@@ -286,14 +292,37 @@ def simhash_near_dups(
     corpus size that fits a cluster at all."""
     from ..functions.hashing import hamming16
 
+    n_bands, band_bits = 4, 4
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming < {n_bands}"
+        )
     sh = simhash_docs(documents, text_col).persist()
     sh.count()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    pairs = a.join(
-        b,
-        (F.shiftright(F.col("sh_a"), 8) == F.shiftright(F.col("sh_b"), 8))
-        & (F.col("doc_a") < F.col("doc_b")),
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), band_bits * i).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band", "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band", "bval",
+    )
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.select(
         "doc_a",

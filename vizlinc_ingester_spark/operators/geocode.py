@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import geo
@@ -63,6 +63,19 @@ def resolve_locations(
         F.broadcast(sfx),
         locs["place"].endswith(F.concat(F.lit(" "), sfx["s_country"])),
         "left",
+    )
+    # Suffix-nested gazetteer names ('COREA' vs 'REPUBLICA DE COREA')
+    # can both match one place; the reference resolver returns ONE
+    # location per entity (src/Geocoder.groovy:154-187), so keep only
+    # the most specific (longest) matching suffix. entity_id is the
+    # entity-table key, so the window dedupes per input row.
+    sfx_rank = Window.partitionBy("entity_id").orderBy(
+        F.length("s_country").desc_nulls_last(), F.col("s_country").asc_nulls_last()
+    )
+    locs = (
+        locs.withColumn("__sfx_rn", F.row_number().over(sfx_rank))
+        .filter(F.col("__sfx_rn") == 1)
+        .drop("__sfx_rn")
     )
 
     p_lat, p_lon = geo.parse_lat(F.col("place")), geo.parse_lon(F.col("place"))

@@ -102,15 +102,22 @@ def derive_mentions(documents: DataFrame) -> DataFrame:
 def extract_mentions_dict(
     documents: DataFrame, vocabulary: DataFrame, type_col: str = "type"
 ) -> DataFrame:
-    """Dictionary NER for pipeline use: find every occurrence of each
-    vocabulary term in each document (case-insensitive word-boundary
-    match). vocabulary(term, type) is broadcast; the scan side never
-    shuffles. Replaces the CRF at parity-test scale
+    """Dictionary NER for pipeline use: one mention per vocabulary
+    term found in each document (case-insensitive word-boundary
+    match; ``idx`` is the term's alphabetical rank within the doc,
+    not a character offset). vocabulary(term, type) is broadcast; the
+    scan side never shuffles. Replaces the CRF at parity-test scale
     (src/EntityExtractor.groovy:12-14 treats the model as pluggable).
+
+    Terms are regex-escaped before matching, so vocabulary entries
+    containing metacharacters ('c++', 'a.b') match literally instead
+    of throwing PatternSyntaxException / silently wildcarding.
     """
     hits = (
         documents.join(F.broadcast(vocabulary), F.expr(
-            "text rlike concat('(?i)\\\\b', term, '\\\\b')"
+            "text rlike concat('(?i)(?<!\\\\w)', "
+            "regexp_replace(term, '([^a-zA-Z0-9 ])', '\\\\\\\\$1'), "
+            "'(?!\\\\w)')"
         ))
         .select(
             "doc_id",

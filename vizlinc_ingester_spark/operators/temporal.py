@@ -89,16 +89,27 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
+    # Carry the right row as ONE struct so every value column comes from
+    # the same right row — per-column last(ignorenulls) would stitch
+    # fields from different rows whenever a right value is NULL.
+    carry_cols = [
         F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True)
         .over(w)
-        .alias("__matched_ts"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in val_cols
-        ],
-    )
+        .alias("__matched_ts")
+    ]
+    if val_cols:
+        carry_cols.append(
+            F.last(
+                F.when(
+                    F.col(_SIDE) == 0,
+                    F.struct(*[F.col(c).alias(c) for c in val_cols]),
+                ),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias("__carry")
+        )
+    carried = unioned.select("*", *carry_cols)
 
     out = carried.filter(F.col(_SIDE) == 1)
     dist = F.abs(F.col(_TS) - F.col("__matched_ts"))
@@ -108,12 +119,12 @@ def asof_join(
         else F.col("__matched_ts").isNotNull() & (dist <= F.lit(int(tolerance)))
     )
     for c in val_cols:
-        out = out.withColumn(c, F.when(keep, F.col(f"__carry_{c}")))
+        out = out.withColumn(c, F.when(keep, F.col(f"__carry.{c}")))
     out = out.withColumn(
         f"{right_ts}_matched", F.when(keep, F.col("__matched_ts"))
     )
     return out.drop(
-        _TS, _SIDE, "__matched_ts", *[f"__carry_{c}" for c in val_cols]
+        _TS, _SIDE, "__matched_ts", *(["__carry"] if val_cols else [])
     )
 
 

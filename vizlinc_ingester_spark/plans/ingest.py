@@ -101,7 +101,9 @@ def ingest(
             # pass (combineFirstnameFullname runs in WithinDocPerCoref)
             pm = etype == "PERSON"
             wd = coref.within_doc_entities(ment, etype, prefix_merge=pm)
-            assigned = coref.assign_mentions_to_entities(ment, etype, prefix_merge=pm)
+            assigned = coref.assign_mentions_to_entities(
+                ment, etype, prefix_merge=pm, wd=wd
+            )
             across = coref.across_doc_entities(ment, etype, wd=wd)
             member = coref.across_doc_membership(ment, etype, wd=wd)
             return wd, assigned, across, member

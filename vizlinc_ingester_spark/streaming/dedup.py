@@ -22,11 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
-from .ingest import stream_documents
+from .ingest import idempotent_append, read_accumulated, stream_documents
 
 
 def _find_new_pairs(
-    spark: SparkSession, batch_docs: DataFrame, work_dir: str
+    spark: SparkSession, batch_docs: DataFrame, work_dir: str, batch_id: int
 ) -> DataFrame | None:
     hs_path = os.path.join(work_dir, "hs")
     bands_path = os.path.join(work_dir, "bands")
@@ -35,14 +35,14 @@ def _find_new_pairs(
     if hs_new.isEmpty():
         hs_new.unpersist()
         return None
-    hs_new.write.mode("append").parquet(hs_path)
+    idempotent_append(hs_new, batch_id, hs_path)
     sigs_new = dd._sig_to_cols(
         hs_new.select("doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig"))
     )
     bands_new = dd.lsh_band_buckets(sigs_new).persist()
-    bands_new.write.mode("append").parquet(bands_path)
+    idempotent_append(bands_new, batch_id, bands_path)
 
-    band_all = spark.read.parquet(bands_path)
+    band_all = read_accumulated(spark, bands_path)
     joined = band_all.alias("a").join(
         bands_new.alias("b"),
         (F.col("a.band_key") == F.col("b.band_key"))
@@ -66,7 +66,7 @@ def _find_new_pairs(
         (pairs["doc_a"] == new_ids["nid"]) | (pairs["doc_b"] == new_ids["nid"]),
         "left_semi",
     )
-    hs_all = spark.read.parquet(hs_path)
+    hs_all = read_accumulated(spark, hs_path)
     verified = dd.jaccard_verify_hashed(hs_all, pairs)
     out = verified.persist()
     out.count()
@@ -95,10 +95,10 @@ def incremental_dedup(
     def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
             return
-        batch_docs.write.mode("append").parquet(docs_path)
-        pairs = _find_new_pairs(spark, batch_docs, work_dir)
+        idempotent_append(batch_docs, batch_id, docs_path)
+        pairs = _find_new_pairs(spark, batch_docs, work_dir, batch_id)
         if pairs is not None:
-            pairs.write.mode("append").parquet(dups_path)
+            idempotent_append(pairs, batch_id, dups_path)
             pairs.unpersist()
 
     writer = (

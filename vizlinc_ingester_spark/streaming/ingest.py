@@ -30,6 +30,29 @@ from ..operators import coref, mentions
 COREF_TYPES = ("PERSON", "ORGANIZATION", "LOCATION")
 
 
+def idempotent_append(df: DataFrame, batch_id: int, path: str) -> None:
+    """Replay-safe accumulation for ``foreachBatch``: the foreachBatch
+    contract is at-least-once (a crash between the write and the
+    checkpoint commit re-runs the same batch_id), so a plain
+    ``mode("append")`` duplicates rows forever. Writing each batch
+    into its own ``batch_id=`` partition with DYNAMIC partition
+    overwrite makes the replay rewrite that partition instead —
+    append-or-replace per batch == effectively-once output."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_accumulated(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a table accumulated via ``idempotent_append``,
+    hiding the bookkeeping partition column."""
+    return spark.read.parquet(path).drop("batch_id")
+
+
 def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
     """S1/S2 streaming twin: one row per newly-arrived .txt file.
 
@@ -78,10 +101,10 @@ def incremental_ingest(
     def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
         if batch_docs.isEmpty():
             return
-        batch_docs.write.mode("append").parquet(docs_path)
-        ext(batch_docs).write.mode("append").parquet(mentions_path)
+        idempotent_append(batch_docs, batch_id, docs_path)
+        idempotent_append(ext(batch_docs), batch_id, mentions_path)
 
-        all_mentions = spark.read.parquet(mentions_path)
+        all_mentions = read_accumulated(spark, mentions_path)
         parts = []
         for etype in coref_types:
             wd = coref.within_doc_entities(all_mentions, etype)

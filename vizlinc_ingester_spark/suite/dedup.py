@@ -158,8 +158,12 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: bucket by high byte, verify hamming <= 3
-    within buckets (operators/dedup.simhash_near_dups)."""
+    """SimHash near-dup: 4x4-bit banded candidate join, verify
+    hamming <= 3 (operators/dedup.simhash_near_dups). The banding is
+    recall-lossless for hamming <= 3 (pigeonhole), so the oracle is
+    the EXHAUSTIVE pair join — the hash match proves the banded plan
+    finds every qualifying pair, not merely that both engines share a
+    bucketing heuristic."""
     return dd.simhash_near_dups(_docs(spark, sf_dir))
 
 
@@ -176,7 +180,7 @@ sims AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST({sql_hamming16('a.simhash', 'b.simhash')} AS BIGINT) AS hamming
 FROM sims a JOIN sims b
-  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+  ON a.doc_id < b.doc_id
 WHERE {sql_hamming16('a.simhash', 'b.simhash')} <= 3
 """
 

@@ -258,6 +258,16 @@ def q_geo_resolver_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         locs["place"].endswith(F.concat(F.lit(" "), sfx["s_country"])),
         "left",
     )
+    # first-hit-wins like the reference resolver: keep only the most
+    # specific (longest) matching suffix per location row
+    sfx_rank = Window.partitionBy("loc_id").orderBy(
+        F.length("s_country").desc_nulls_last(), F.col("s_country").asc_nulls_last()
+    )
+    locs = (
+        locs.withColumn("sfx_rn", F.row_number().over(sfx_rank))
+        .filter(F.col("sfx_rn") == 1)
+        .drop("sfx_rn")
+    )
     lat = F.coalesce(geo.parse_lat(F.col("place")), F.col("x_lat"), F.col("s_lat"))
     lon = F.coalesce(geo.parse_lon(F.col("place")), F.col("x_lon"), F.col("s_lon"))
     source = (
@@ -295,6 +305,10 @@ resolved AS (
   FROM locs l
   LEFT JOIN {geo.sql_gazetteer_values('x')} ON l.place = x.country
   LEFT JOIN {geo.sql_gazetteer_values('s')} ON ends_with(l.place, ' ' || s.country)
+  QUALIFY row_number() OVER (
+    PARTITION BY l.loc_id
+    ORDER BY length(s.country) DESC NULLS LAST, s.country ASC NULLS LAST
+  ) = 1
 )
 SELECT loc_id, place,
        coalesce(p_lat, x_lat, s_lat) AS lat,
