@@ -17,6 +17,8 @@ Scale design (the whole point of these operators):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -318,11 +320,28 @@ def simhash_near_dups(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
         "band", "bval",
     )
+    # Emit each candidate pair only in its FIRST shared band: for the
+    # matched band k, require every earlier band to differ. This is a
+    # row-local filter on (sh_a, sh_b, band) — it replaces a
+    # dropDuplicates (a full extra shuffle of the candidate set) with
+    # free scan-stage arithmetic.
+    def band_of(col, i):
+        return F.shiftright(col, band_bits * i).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    first_shared = reduce(
+        lambda x, y: x & y,
+        [
+            (F.lit(i) >= F.col("band"))
+            | (band_of(F.col("sh_a"), i) != band_of(F.col("sh_b"), i))
+            for i in range(n_bands)
+        ],
+    )
     pairs = (
         a.join(b, ["band", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_shared)
         .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.select(
         "doc_a",
