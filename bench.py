@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_vec",
     "lang_id",
     "doc_fingerprint",
     "token_topk",

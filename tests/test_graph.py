@@ -56,3 +56,23 @@ def test_matches_islands_for_adjacent_edges(spark):
     assert comps["ANA"] == comps["ANB"] == comps["ANC"]
     assert comps["CARLOS"] == comps["CARLOSX"]
     assert comps["ZOE"] not in (comps["ANA"], comps["CARLOS"])
+
+
+def test_degree_oriented_triangles_k4_and_star(spark):
+    """K4 has exactly 4 triangles; a star has none. The degree
+    orientation must neither lose nor duplicate any."""
+    from pyspark.sql import functions as F
+
+    from vizlinc_ingester_spark.operators.graph import triangles
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    got = sorted((r.a, r.b, r.c) for r in triangles(k4).collect())
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+    star = spark.createDataFrame(
+        [(1, k) for k in range(2, 9)], "src long, dst long"
+    )
+    assert triangles(star).count() == 0

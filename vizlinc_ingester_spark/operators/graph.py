@@ -110,3 +110,46 @@ def cluster_by_edges(
         .drop("node")
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
     )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree-oriented triangle enumeration (cf. Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orient every undirected edge toward the higher (degree, id)
+    endpoint, build wedges at each vertex over its OUT-neighbors only,
+    and close them with a semi-join. Out-degree in the oriented graph
+    is bounded by O(sqrt(edges)) (arboricity), so a celebrity vertex
+    with degree d contributes O(arboricity * d) wedges instead of
+    O(d^2) — the difference between a skewed 100 TB graph finishing or
+    one reducer exploding. Output is canonical ``(a, b, c)`` with
+    a < b < c, one row per triangle — byte-identical to the id-oriented
+    formulation, so both share one oracle.
+
+    ``edges`` is the canonical undirected edge list (src < dst, no
+    duplicates).
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    bi = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = bi.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # key = (deg, id): a total order; orient x -> y iff key(x) < key(y)
+    dx = deg.select(F.col("v").alias("x"), F.struct("deg", "v").alias("kx"))
+    dy = deg.select(F.col("v").alias("y"), F.struct("deg", "v").alias("ky"))
+    keyed = e.join(dx, "x").join(dy, "y")
+    oriented = keyed.select(
+        F.when(F.col("kx") < F.col("ky"), F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(F.col("kx") < F.col("ky"), F.col("y")).otherwise(F.col("x")).alias("w"),
+        F.when(F.col("kx") < F.col("ky"), F.col("ky")).otherwise(F.col("kx")).alias("kw"),
+    )
+    lo = oriented.select("u", F.col("w").alias("v"), F.col("kw").alias("kv"))
+    hi = oriented.select("u", "w", "kw")
+    wedges = lo.join(hi, "u").filter(F.col("kv") < F.col("kw"))
+    closing = oriented.select(F.col("u").alias("v"), "w")
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    ids = F.array_sort(F.array("u", "v", "w"))
+    return tri.select(
+        F.element_at(ids, 1).alias("a"),
+        F.element_at(ids, 2).alias("b"),
+        F.element_at(ids, 3).alias("c"),
+    )

@@ -61,7 +61,7 @@ DRIVER_WINDOW = [
     "mentions_extract", "normalize_mentions",
     "within_doc_entities_person", "within_doc_entities_person_merged",
     "streaming_incremental_coref", "adjacent_close_pairs",
-    "prefix_merge_pairs", "global_id_clusters", "candidate_split_person",
+    "global_id_clusters", "candidate_split_person",
     "social_network", "social_network_filtered", "document_entity_counts",
     "doc_text_search", "token_topk", "docs_person_no_location",
     "node_id_dump", "dict_ner", "gazetteer_join", "geo_resolver_chain",
@@ -73,7 +73,7 @@ DRIVER_WINDOW = [
     "dedup_clusters", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding",
     # similarity search
-    "ann_cosine_topk", "ann_ivf",
+    "ann_cosine_topk", "ann_cosine_topk_vec", "ann_ivf",
     # text analysis
     "lang_id", "quality_scores", "doc_fingerprint",
     # multimodal

@@ -193,14 +193,31 @@ r{i + 1} AS (
 ORACLE_PAGERANK = oracle.wrap(_pagerank_oracle(), PERSON)
 
 
+def q_sn_triangles_degree(spark, sf_dir):
+    """Degree-oriented triangle enumeration
+    (operators/graph.py::triangles) — the skew-proof 100 TB
+    formulation: wedge fan-out bounded by arboricity instead of max
+    degree. Canonical (a,b,c) output makes it hash-identical to the
+    id-oriented plan, so BOTH share the exhaustive oracle — the match
+    proves the orientation trick loses/duplicates no triangle."""
+    from ..operators.graph import triangles
+
+    e = sn_edges(spark, sf_dir).select(
+        F.col("src_entity_id").alias("src"), F.col("dst_entity_id").alias("dst")
+    )
+    return triangles(e)
+
+
 QUERIES = {
     "sn_degrees": q_sn_degrees,
     "sn_triangles": q_sn_triangles,
+    "sn_triangles_degree": q_sn_triangles_degree,
     "sn_pagerank": q_sn_pagerank,
 }
 
 ORACLES = {
     "sn_degrees": ORACLE_DEGREES,
     "sn_triangles": ORACLE_TRIANGLES,
+    "sn_triangles_degree": ORACLE_TRIANGLES,
     "sn_pagerank": ORACLE_PAGERANK,
 }

@@ -235,14 +235,122 @@ FROM (
 """
 
 
+VEC_SCALE = 1 << 20  # quantization scale for the vectorized path
+
+
+def q_ann_cosine_topk_vec(spark, sf_dir):
+    """Brute-force top-k, VECTORIZED: per-partition numpy matmul via
+    ``mapInPandas`` with a broadcast query matrix, emitting each
+    partition's local top-k only — the true 100 TB shape (the
+    interpreted per-pair cosine fold costs ~µs/pair; one BLAS matmul
+    scores a whole Arrow batch at memory bandwidth, and the shuffle
+    carries partitions x queries x k rows, not the pair space).
+
+    Cross-engine exactness: embeddings are quantized to integer-valued
+    doubles (floor(x * 2^20 + 0.5)); with dim 64 and |x| < 1 every
+    product is < 2^40 and every partial sum < 2^53, so float64 dot
+    products are EXACT and order-independent — numpy matmul, the
+    DuckDB fold, and any BLAS kernel agree bit-for-bit. The final
+    score floor(1e6 * dot / (sqrt(nq) * sqrt(nc))) is the same IEEE
+    op sequence in both engines."""
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    # The query batch is collected + broadcast: it is the small side
+    # by construction (a serving batch), never the corpus.
+    q_rows = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.floor(
+        np.array([r.embedding for r in q_rows], dtype=np.float64) * VEC_SCALE
+        + 0.5
+    )
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+
+    def score(batches):
+        import pandas as pd
+
+        bqids, bQ, bqn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * VEC_SCALE
+                + 0.5
+            )
+            cn = np.sqrt((C * C).sum(axis=1))
+            dots = bQ @ C.T
+            scores = np.floor(
+                (1e6 * dots) / (bqn[:, None] * cn[None, :])
+            ).astype(np.int64)
+            out_q, out_c, out_s = [], [], []
+            k = TOPK
+            for qi in range(len(bqids)):
+                mask = cids != bqids[qi]
+                sc, cc = scores[qi][mask], cids[mask]
+                # local top-k under the SAME total order as the global
+                # window: (score desc, cand_id asc)
+                order = np.lexsort((cc, -sc))[:k]
+                out_q.extend([bqids[qi]] * len(order))
+                out_c.extend(cc[order])
+                out_s.extend(sc[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "cos_micro": out_s}
+            )
+
+    local = e.mapInPandas(
+        score, "query_id long, cand_id long, cos_micro long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("cand_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "cand_id", "cos_micro", "rank")
+    )
+
+
+ORACLE_ANN_TOPK_VEC = f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {VEC_SCALE} + 0.5)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(floor(1000000.0 * list_dot_product(q.v, c.v) /
+              (sqrt(list_dot_product(q.v, q.v)) *
+               sqrt(list_dot_product(c.v, c.v)))) AS BIGINT) AS cos_micro
+  FROM iv q JOIN iv c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_micro, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "ann_cosine_topk_vec": ORACLE_ANN_TOPK_VEC,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_lsh": ORACLE_ANN_LSH,
 }
