@@ -128,6 +128,9 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
                 sid, n, start = int(event_id), 1, ts_s
             else:
                 n += 1
+                # session id = MIN event id in the session (same rule
+                # as the batch gaps-and-islands twin), not first-by-ts
+                sid = min(sid, int(event_id))
             last_ts = ts_s
     if last_ts is not None:
         state.update((last_ts, sid, n, start))
@@ -146,6 +149,12 @@ def sessionize_with_state(events: DataFrame) -> DataFrame:
     True when the 30-min gap or the processing-time timeout closes the
     session. Arrow-batched; state is one tuple per live user.
     """
+    from ..session import ship_package
+
+    # cloudpickle serializes _sessionize_fn by module reference; the
+    # Python workers must be able to import the package regardless of
+    # the driver's cwd
+    ship_package(events.sparkSession)
     prepared = events.select(
         "user_id",
         "event_id",

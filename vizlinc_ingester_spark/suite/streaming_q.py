@@ -337,10 +337,102 @@ def q_streaming_incremental_coref(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM-stateful streaming sessionization
+    (``applyInPandasWithState``, streaming/events.py::
+    sessionize_with_state) under the same oracle as the batch
+    gaps-and-islands twin — the third sessionization implementation
+    (window SQL / native session_window / Arrow-batched GroupState)
+    proven equivalent by hash.
+
+    Staging: events split into 2 micro-batch files BY TIME (the
+    GroupState accumulator is an in-order operator: unlike
+    session_window it has no watermark buffer to reorder events
+    across batches, so event-time-ordered arrival is its documented
+    contract). Sessions spanning the cut prove cross-batch state
+    carry. A third file adds one far-future sentinel event per user
+    (event_id = -1), forcing a gap-closure of every live session —
+    update mode only emits ``closed`` rows when a later event closes
+    the gap, and processing-time timeouts never fire inside an
+    availableNow drain. Sentinel-started sessions stay open and are
+    filtered with the open-session snapshots.
+    """
+    from ..streaming.events import sessionize_with_state
+    from .relational import SESSION_GAP_S
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000000000").cast("long").alias("ts"),
+        )
+    )
+    bounds = src.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    cut = (bounds.lo + bounds.hi) // 2
+    stage = tempfile.mkdtemp(prefix="vl_stream_sess_state_")
+    src.filter(F.col("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(
+        stage
+    )
+    b1 = set(os.listdir(stage))
+    src.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(stage)
+    b2 = set(os.listdir(stage)) - b1
+    sentinels = (
+        src.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(bounds.hi + 10 * SESSION_GAP_S).cast("long").alias("ts"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(stage)
+    b3 = set(os.listdir(stage)) - b1 - b2
+
+    import time as _time
+
+    base = _time.time()
+    for i, grp in enumerate((b1, b2, b3)):
+        for fn in grp:
+            if not fn.startswith("_"):
+                os.utime(os.path.join(stage, fn), (base + 60 * i, base + 60 * i))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sess = sessionize_with_state(stream)
+    name = f"stream_sess_state_{uuid.uuid4().hex[:10]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("closed") & (F.col("session_id") >= 0))
+        .select(
+            "user_id",
+            F.col("session_id").cast("long"),
+            F.col("n_events").cast("long"),
+            F.col("duration_s").cast("long"),
+        )
+    )
+
+
 QUERIES = {
     "streaming_event_windows": q_streaming_event_windows,
     "streaming_range_join": q_streaming_range_join,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_sessionize_state": q_streaming_sessionize_state,
     "streaming_incremental_coref": q_streaming_incremental_coref,
 }
 ORACLES = {
@@ -365,6 +457,7 @@ def _sessionize_oracle() -> str:
 
 
 ORACLES["streaming_sessionize"] = _sessionize_oracle()
+ORACLES["streaming_sessionize_state"] = _sessionize_oracle()
 
 
 def _across_doc_oracle() -> str:
