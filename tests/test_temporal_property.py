@@ -57,3 +57,49 @@ def test_asof_matches_bruteforce(spark, lefts, rights, forward):
             )
             want[i] = (rt, k * 1000 + rt)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=_rows(st.integers(0, 2), st.integers(0, 40), 20),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 40),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_asof_null_values_come_from_matched_row(spark, lefts, rights):
+    """With NULLs sprinkled through right-side value columns, every
+    output row's (x, y) must equal the matched right row's (x, y)
+    verbatim — never a stitch of two rows (the per-column
+    last(ignorenulls) bug class)."""
+    from vizlinc_ingester_spark.operators.temporal import asof_join
+
+    rights = list({(k, t): (x, y) for k, t, x, y in rights}.items())
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, lts long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, x, y) for (k, t), (x, y) in rights],
+        "k long, rts long, x long, y long",
+    )
+    got = {
+        r["lid"]: (r["rts_matched"], r["x"], r["y"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts"
+        ).collect()
+    }
+    rmap = {(k, t): (x, y) for (k, t), (x, y) in rights}
+    for i, (k, t) in enumerate(lefts):
+        cands = [rt for (rk, rt) in rmap if rk == k and rt <= t]
+        if not cands:
+            assert got[i] == (None, None, None)
+        else:
+            rt = max(cands)
+            x, y = rmap[(k, rt)]
+            assert got[i] == (rt, x, y)
