@@ -123,8 +123,16 @@ ORACLE_MINHASH_SIGS = f"WITH {SQL_SIGS_CTE.strip()} SELECT * FROM sigs"
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """Full LSH pipeline: signatures -> band buckets -> candidate
-    pairs -> exact-Jaccard verification."""
-    return dd.minhash_lsh_verified(_docs(spark, sf_dir))
+    pairs -> exact-Jaccard verification. Signatures via the numpy
+    sweep (bit-identical to the JVM fold — pure integer arithmetic —
+    and faster once shingle counts grow; the fold stays gated via
+    minhash_signatures)."""
+    return dd.minhash_lsh_verified(_docs(spark, sf_dir), vectorized=True)
+
+
+def q_minhash_signatures_vec(spark, sf_dir):
+    """Vectorized signature twin under the same oracle as the fold."""
+    return dd.minhash_signatures_vec(_docs(spark, sf_dir))
 
 
 ORACLE_DEDUP_MINHASH = f"""
@@ -379,6 +387,7 @@ FROM comp c JOIN csize s USING (cluster_id)
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_signatures_vec": q_minhash_signatures_vec,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -389,6 +398,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signatures": ORACLE_MINHASH_SIGS,
+    "minhash_signatures_vec": ORACLE_MINHASH_SIGS,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
