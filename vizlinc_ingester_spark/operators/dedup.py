@@ -335,8 +335,47 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return counted.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_docs_vec(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """``simhash_docs``'s vectorized twin: the 16-bit-counter majority
+    sweep moves to numpy (the JVM fold is an interpreted higher-order
+    function). Pure integer arithmetic -> bit-identical output, same
+    oracle. Token hashing (md5 + conv) stays JVM-side."""
+    from ..session import ship_package
+
+    ship_package(documents.sparkSession)
+    with_toks = documents.select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    hashed = with_toks.select(
+        "doc_id",
+        F.transform("_toks", lambda t: stable_hash64(t) % F.lit(P)).alias("_h"),
+    )
+
+    def sim(batches):
+        import numpy as np
+        import pandas as pd
+
+        js = np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["_h"]):
+                h = np.asarray(hs, dtype=np.int64)[:, None]
+                ones = ((h >> js[None, :]) & 1).sum(axis=0)
+                out[i] = int(((2 * ones > len(hs)).astype(np.int64) << js).sum())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(dtype=np.int64), "simhash": out}
+            )
+
+    return hashed.mapInPandas(sim, "doc_id long, simhash long")
+
+
 def simhash_near_dups(
-    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED recall for
     ``max_hamming <= 3``: band the 16-bit hash into 4 disjoint 4-bit
@@ -359,7 +398,11 @@ def simhash_near_dups(
         raise ValueError(
             f"banding guarantees recall only for max_hamming < {n_bands}"
         )
-    sh = simhash_docs(documents, text_col).persist()
+    sh = (
+        simhash_docs_vec(documents, text_col)
+        if vectorized
+        else simhash_docs(documents, text_col)
+    ).persist()
     sh.count()
     band_vals = F.array(
         *[

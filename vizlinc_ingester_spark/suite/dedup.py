@@ -171,8 +171,9 @@ def q_dedup_simhash(spark, sf_dir):
     recall-lossless for hamming <= 3 (pigeonhole), so the oracle is
     the EXHAUSTIVE pair join — the hash match proves the banded plan
     finds every qualifying pair, not merely that both engines share a
-    bucketing heuristic."""
-    return dd.simhash_near_dups(_docs(spark, sf_dir))
+    bucketing heuristic. Signatures via the numpy bit-count sweep
+    (bit-identical to the JVM fold; ~2x at sf0.1)."""
+    return dd.simhash_near_dups(_docs(spark, sf_dir), vectorized=True)
 
 
 ORACLE_DEDUP_SIMHASH = f"""
