@@ -61,8 +61,6 @@ def test_matches_islands_for_adjacent_edges(spark):
 def test_degree_oriented_triangles_k4_and_star(spark):
     """K4 has exactly 4 triangles; a star has none. The degree
     orientation must neither lose nor duplicate any."""
-    from pyspark.sql import functions as F
-
     from vizlinc_ingester_spark.operators.graph import triangles
 
     k4 = spark.createDataFrame(

@@ -106,3 +106,30 @@ def test_idempotent_append_replay(spark, tmp_path):
     idempotent_append(df, 1, path)  # genuinely new batch
     assert read_accumulated(spark, path).count() == 4
     assert "batch_id" not in read_accumulated(spark, path).columns
+
+
+def test_stateful_sessionize_multichunk_groups(spark, sf_dir):
+    """Force Arrow to split each user's micro-batch rows into many tiny
+    chunks: the accumulator must concatenate+sort them before scanning
+    (per-chunk sorting with carried state gap-splits on chunk
+    boundaries). Output must still equal the batch twin."""
+    from vizlinc_ingester_spark.suite.relational import q_events_sessionize
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_sessionize_state,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r.user_id, r.session_id, r.n_events, r.duration_s)
+            for r in q_streaming_sessionize_state(spark, sf_dir).collect()
+        }
+        want = {
+            (r.user_id, r.session_id, r.n_events, r.duration_s)
+            for r in q_events_sessionize(spark, sf_dir).collect()
+        }
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

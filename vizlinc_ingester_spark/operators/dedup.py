@@ -296,6 +296,20 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _hashed_tokens(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, _h: array<long>, _n) — the shared tokenize+hash
+    projection for both simhash paths. ONE definition so the JVM fold
+    and the numpy sweep stay bit-identical by construction."""
+    with_toks = documents.select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    return with_toks.select(
+        "doc_id",
+        F.transform("_toks", lambda t: stable_hash64(t) % F.lit(P)).alias("_h"),
+        F.size("_toks").cast("long").alias("_n"),
+    )
+
+
 def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 16-bit SimHash over token hashes.
 
@@ -306,14 +320,7 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     of a hash is extracted as floor(h / 2^j) % 2 — h < 2^32 makes the
     double division by a power of two exact (zip_with lambdas can't
     take Python-literal shift amounts)."""
-    with_toks = documents.select(
-        "doc_id", tokens(F.col(text_col)).alias("_toks")
-    ).filter(F.size("_toks") > 0)
-    hashed = with_toks.select(
-        "doc_id",
-        F.transform("_toks", lambda t: stable_hash64(t) % F.lit(P)).alias("_h"),
-        F.size("_toks").cast("long").alias("_n"),
-    )
+    hashed = _hashed_tokens(documents, text_col)
     pw = F.array(*[F.lit(1 << j).cast("long") for j in range(16)])
     ones = F.aggregate(
         F.col("_h"),
@@ -343,13 +350,7 @@ def simhash_docs_vec(documents: DataFrame, text_col: str = "text") -> DataFrame:
     from ..session import ship_package
 
     ship_package(documents.sparkSession)
-    with_toks = documents.select(
-        "doc_id", tokens(F.col(text_col)).alias("_toks")
-    ).filter(F.size("_toks") > 0)
-    hashed = with_toks.select(
-        "doc_id",
-        F.transform("_toks", lambda t: stable_hash64(t) % F.lit(P)).alias("_h"),
-    )
+    hashed = _hashed_tokens(documents, text_col).drop("_n")
 
     def sim(batches):
         import numpy as np

@@ -141,7 +141,11 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
         F.when(F.col("kx") < F.col("ky"), F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(F.col("kx") < F.col("ky"), F.col("y")).otherwise(F.col("x")).alias("w"),
         F.when(F.col("kx") < F.col("ky"), F.col("ky")).otherwise(F.col("kx")).alias("kw"),
-    )
+    ).persist()
+    # Eagerly materialize: three consumers (both wedge sides + the
+    # closing semi-join) share this subplan, and Spark would otherwise
+    # recompute the degree shuffle + orientation joins per branch.
+    oriented.count()
     lo = oriented.select("u", F.col("w").alias("v"), F.col("kw").alias("kv"))
     hi = oriented.select("u", "w", "kw")
     wedges = lo.join(hi, "u").filter(F.col("kv") < F.col("kw"))

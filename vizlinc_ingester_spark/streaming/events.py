@@ -117,9 +117,19 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
         last_ts, sid, n, start = state.get
     else:
         last_ts = sid = n = start = None
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts_s", "event_id"])
-        for ts_s, event_id in zip(pdf["ts_s"], pdf["event_id"]):
+    # Concatenate ALL Arrow chunks before sorting: the runtime splits a
+    # group's micro-batch rows at arrow.maxRecordsPerBatch, and sorting
+    # each chunk independently while last_ts carries across chunks
+    # would gap-split on out-of-order chunk boundaries for users with
+    # more events per batch than one chunk holds.
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["ts_s", "event_id"])
+        for ts_s, event_id in zip(whole["ts_s"], whole["event_id"]):
             ts_s = int(ts_s)
             if last_ts is None:
                 sid, n, start = int(event_id), 1, ts_s
