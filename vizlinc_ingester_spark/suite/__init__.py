@@ -64,7 +64,7 @@ DRIVER_WINDOW = [
     "global_id_clusters", "candidate_split_person",
     "social_network", "social_network_filtered", "document_entity_counts",
     "doc_text_search", "token_topk", "docs_person_no_location",
-    "node_id_dump", "dict_ner", "gazetteer_join", "geo_resolver_chain",
+    "events_stratified_sample", "dict_ner", "gazetteer_join", "geo_resolver_chain",
     "date_normalize",
     # relational / OLAP
     "pricing_summary", "revenue_by_nation_salted", "events_sessionize",

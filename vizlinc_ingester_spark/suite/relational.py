@@ -551,6 +551,42 @@ WINDOW w AS (ORDER BY total_cents DESC, o_custkey ASC)
 """
 
 
+def q_events_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling — the training-data
+    mixing pattern (keep all rare strata, thin abundant ones). The
+    sampling decision is a pure function of the row key
+    (stable_hash64(event_id) % 100 < rate[event_type]), so the sample
+    is reproducible across runs/engines and the oracle hash-checks the
+    EXACT row set, not just the rate. At 100 TB this is a scan-stage
+    filter: no shuffle, no sort, prunes at the source."""
+    from ..functions.hashing import stable_hash64
+
+    e = _events(spark, sf_dir)
+    rate = (
+        F.when(F.col("event_type") == "click", F.lit(10))
+        .when(F.col("event_type") == "view", F.lit(25))
+        .otherwise(F.lit(100))
+    )
+    keep = stable_hash64(F.col("event_id").cast("string")) % F.lit(100) < rate
+    return (
+        e.filter(keep)
+        .select("event_id", "event_type", _cents(F.col("value")).alias("value_cents"))
+    )
+
+
+from ..functions.hashing import sql_stable_hash64 as _sql_h64
+
+SQL_STABLE_HASH_EVENT = _sql_h64("CAST(event_id AS VARCHAR)")
+
+ORACLE_EVENTS_SAMPLE = f"""
+SELECT event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+WHERE ({SQL_STABLE_HASH_EVENT} % 100) <
+      (CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 25 ELSE 100 END)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "customer_value_quartiles": q_customer_value_quartiles,
@@ -567,6 +603,7 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "events_stratified_sample": q_events_stratified_sample,
 }
 
 ORACLES = {
@@ -584,4 +621,5 @@ ORACLES = {
     "events_sliding_window": ORACLE_SLIDING_WINDOW,
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_json_extract": ORACLE_EVENTS_JSON,
+    "events_stratified_sample": ORACLE_EVENTS_SAMPLE,
 }
