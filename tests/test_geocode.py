@@ -65,6 +65,94 @@ def test_osm_seam(spark):
     assert 4 not in out  # external miss stays unresolved
 
 
+# Recorded-shape Nominatim response (src/OSMFetcher.groovy:18-31
+# semantics): multi-place, addressdetails children, XML entities,
+# a self-closing child before the close tag, and a childless
+# self-closing place with no country_code.
+NOMINATIM_XML = """<?xml version="1.0" encoding="UTF-8" ?>
+<searchresults timestamp="Thu, 01 Jan 15 00:00:00 +0000" querystring="bogota">
+<place place_id="97338103" osm_type="relation" osm_id="1387964" lat="4.5980772" lon="-74.0761028" display_name="Bogot&#225;, Colombia" class="place" type="city" importance="0.9" boundingbox="4.4712,4.8334,-74.2236,-73.9982"><city>Bogot&#225;</city><county/><country>Colombia</country><country_code>co</country_code></place>
+<place place_id="5561" lat="-10.5" lon="8.25" display_name="Other &amp; Place" type="town" boundingbox="-10.75,-10.25,8.0,8.5"/>
+</searchresults>"""
+
+NOMINATIM_EMPTY = """<?xml version="1.0" encoding="UTF-8" ?>
+<searchresults timestamp="x" querystring="nowhere">
+</searchresults>"""
+
+
+def test_parse_nominatim_xml(spark):
+    df = spark.createDataFrame(
+        [("BOGOTA", NOMINATIM_XML), ("NOWHERE", NOMINATIM_EMPTY)],
+        "name string, xml string",
+    )
+    rows = sorted(
+        geocode.parse_nominatim_xml(df).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == 2  # empty searchresults -> zero rows
+    r0, r1 = rows
+    assert (r0["name"], r0["rank"]) == ("BOGOTA", 0)
+    assert abs(r0["latitude"] - 4.5980772) < 1e-12
+    assert abs(r0["longitude"] - -74.0761028) < 1e-12
+    # bbox attribute order is latS,latN,lonW,lonE (OSMFetcher.groovy:24)
+    assert (r0["latitude_south"], r0["latitude_north"]) == (4.4712, 4.8334)
+    assert (r0["longitude_west"], r0["longitude_east"]) == (-74.2236, -73.9982)
+    assert r0["display_name"] == "Bogotá, Colombia"  # entity decoded
+    assert r0["osm_type"] == "city"
+    assert r0["country"] == "co"
+    assert (r1["rank"], r1["osm_type"]) == (1, "town")
+    assert r1["display_name"] == "Other & Place"
+    assert r1["country"] is None  # no addressdetails children
+
+
+def test_nominatim_search_url(spark):
+    df = spark.createDataFrame([("BAHIA DE TODOS, LOS SANTOS",)], "name string")
+    url = df.select(
+        geocode.nominatim_search_url(F.col("name")).alias("url")
+    ).head()["url"]
+    # byte-shape of src/OSMFetcher.groovy:10 with URLEncoder semantics
+    assert url == (
+        "http://open.mapquestapi.com/nominatim/v1/search.php?format=xml"
+        "&q=BAHIA+DE+TODOS%2C+LOS+SANTOS&addressdetails=1&limit=1"
+    )
+
+
+def test_resolver_chain_osm_stage_with_parser(spark):
+    """4th resolver stage driven end-to-end by recorded XML: unresolved
+    distinct names -> parse_nominatim_xml -> multi-rank bbox rows in the
+    geolocation output (src/GraphDBToH2.groovy:146-159 multiplicity)."""
+    locs = spark.createDataFrame(
+        [(1, "COLOMBIA"), (2, "BOGOTA"), (3, "NOWHERE")],
+        "entity_id long, text string",
+    )
+    recorded = {"BOGOTA": NOMINATIM_XML, "NOWHERE": NOMINATIM_EMPTY}
+
+    def osm_from_recorded(names_df):
+        resp = spark.createDataFrame(
+            [(n, recorded[n]) for n in
+             sorted(r["place"] for r in names_df.collect())],
+            "name string, xml string",
+        )
+        parsed = geocode.parse_nominatim_xml(resp)
+        return parsed.select(
+            "name", F.col("latitude").alias("lat"),
+            F.col("longitude").alias("lon"),
+            F.upper("country").alias("country"),
+            "rank", "latitude_south", "latitude_north",
+            "longitude_west", "longitude_east", "display_name", "osm_type",
+        )
+
+    out = geocode.resolve_locations(locs, _gaz(spark), osm_fetch=osm_from_recorded)
+    rows = {(r["entity_id"], r["rank"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (2, 0), (2, 1)}  # entity 2 keeps both ranks
+    gaz_row = rows[(1, 0)]
+    assert gaz_row["source"] == "gazetteer_exact"
+    assert gaz_row["latitude_south"] is None and gaz_row["osm_type"] is None
+    osm0 = rows[(2, 0)]
+    assert osm0["source"] == "osm" and osm0["country"] == "CO"
+    assert osm0["latitude_north"] == 4.8334
+    assert rows[(2, 1)]["display_name"] == "Other & Place"
+
+
 def test_bad_coordinate_sentinel(spark):
     locs = spark.createDataFrame([(1, "SOMEWHERE")], "entity_id long, text string")
 

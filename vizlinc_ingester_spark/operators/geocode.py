@@ -26,6 +26,81 @@ from pyspark.sql import functions as F
 from ..functions import geo
 from ..functions.normalize import cleanup_leading_dash
 
+#: Reference service endpoint (src/OSMFetcher.groovy:7). Kept only to
+#: build byte-identical request URLs; nothing here performs network IO.
+NOMINATIM_BASE_URL = "http://open.mapquestapi.com/nominatim/v1/search.php"
+
+#: One `<place .../>` element — attribute form or open/close form with
+#: child elements (addressdetails=1 adds children like <country_code>).
+_PLACE_RE = r"(?s)<place\b[^>]*(?:/>|>.*?</place>)"
+
+
+def nominatim_search_url(name: "F.Column", base_url: str = NOMINATIM_BASE_URL,
+                         limit: int = 1) -> "F.Column":
+    """Request URL for one place name — C12 url-encode + the reference's
+    query-string shape (src/OSMFetcher.groovy:10:
+    ``?format=xml&q=<urlencoded>&addressdetails=1&limit=1``).
+
+    ``F.url_encode`` is application/x-www-form-urlencoded, the same
+    codec as the reference's ``URLEncoder.encode(location, 'UTF-8')``
+    (spaces become ``+``). Pure Column logic — at 100 TB the URL column
+    is built in the scan stage for however many *distinct* unresolved
+    names survive ``resolve_locations``' dropDuplicates.
+    """
+    return F.concat(
+        F.lit(base_url + "?format=xml&q="),
+        F.url_encode(name),
+        F.lit(f"&addressdetails=1&limit={limit}"),
+    )
+
+
+def parse_nominatim_xml(
+    responses: DataFrame, name_col: str = "name", xml_col: str = "xml"
+) -> DataFrame:
+    """Parse Nominatim ``<searchresults>`` XML into ranked geolocation
+    rows — the response half of src/OSMFetcher.groovy:18-37 (XmlSlurper
+    over ``place`` elements -> GeoLocation(lat, lon, bbox, displayName,
+    osmType, countryCode); rank = element order, the multiplicity the H2
+    geolocation table stores per entity, src/GraphDBToH2.groovy:146-159).
+
+    Input: (``name_col``, ``xml_col``) — one recorded response body per
+    queried name. Output: (name, rank, latitude, longitude,
+    latitude_south, latitude_north, longitude_west, longitude_east,
+    display_name, osm_type, country) with one row per ``<place>``;
+    responses with zero places produce zero rows (the reference returns
+    ``[]``).
+
+    Spark design: everything is JVM Column logic — ``regexp_extract_all``
+    isolates each place element (keeping per-place child lookups aligned,
+    which a document-level xpath array-zip cannot guarantee when optional
+    children are missing), ``posexplode`` assigns rank, and Spark's
+    builtin xpath expressions read attributes/children. No Python UDF,
+    no shuffle: parsing happens in the scan stage of however many
+    responses were fetched.
+    """
+    frags = F.regexp_extract_all(F.col(xml_col), F.lit(_PLACE_RE), 0)
+    per_place = responses.select(
+        F.col(name_col).alias("name"), F.posexplode(frags).alias("rank", "frag")
+    )
+    bbox = F.split(F.xpath_string("frag", F.lit("/place/@boundingbox")), ",")
+    # boundingbox attribute order is latS,latN,lonW,lonE
+    # (src/OSMFetcher.groovy:24, GeoLocation.groovy bbox field comment)
+    return per_place.select(
+        "name",
+        "rank",
+        F.xpath_double("frag", F.lit("/place/@lat")).alias("latitude"),
+        F.xpath_double("frag", F.lit("/place/@lon")).alias("longitude"),
+        bbox[0].cast("double").alias("latitude_south"),
+        bbox[1].cast("double").alias("latitude_north"),
+        bbox[2].cast("double").alias("longitude_west"),
+        bbox[3].cast("double").alias("longitude_east"),
+        F.xpath_string("frag", F.lit("/place/@display_name")).alias("display_name"),
+        F.xpath_string("frag", F.lit("/place/@type")).alias("osm_type"),
+        F.nullif(
+            F.xpath_string("frag", F.lit("/place/country_code")), F.lit("")
+        ).alias("country"),
+    )
+
 
 def resolve_locations(
     locations: DataFrame,
@@ -40,7 +115,13 @@ def resolve_locations(
     distinct unresolved (name) rows and returning (name, lat, lon,
     country) — plugged in behind the same seam the reference uses for
     OSMFetcher (src/OSMFetcher.groovy:9-37); disabled by default so
-    the operator is deterministic and offline.
+    the operator is deterministic and offline. The fetcher MAY also
+    return the full OSM result shape (rank, latitude_south,
+    latitude_north, longitude_west, longitude_east, display_name,
+    osm_type — e.g. ``parse_nominatim_xml`` over recorded responses);
+    multiple ranked rows per name are preserved, mirroring the
+    multi-result geolocation table (src/GraphDBToH2.groovy:146-159).
+    Missing optional columns are filled with nulls / rank 0.
     """
     place = cleanup_leading_dash(F.col(name_col))
     locs = locations.select(
@@ -96,15 +177,38 @@ def resolve_locations(
         source.alias("source"),
     )
 
+    # Geolocation-table extras (src/GraphDBToH2.groovy:149-159): bbox,
+    # display_name, osm_type only exist for OSM results; rank > 0 only
+    # when the fetcher returns multiple places per name.
+    _OSM_OPTIONAL = [
+        ("rank", "int"),
+        ("latitude_south", "double"),
+        ("latitude_north", "double"),
+        ("longitude_west", "double"),
+        ("longitude_east", "double"),
+        ("display_name", "string"),
+        ("osm_type", "string"),
+    ]
+    null_extras = [
+        F.lit(None).cast(typ).alias(f"o_{c}") for c, typ in _OSM_OPTIONAL
+    ]
     if osm_fetch is not None:
         unresolved = resolved.filter(F.col("latitude").isNull())
         hits = osm_fetch(unresolved.select("place").dropDuplicates(["place"]))
+        for c, typ in _OSM_OPTIONAL:
+            if c not in hits.columns:
+                default = F.lit(0) if c == "rank" else F.lit(None)
+                hits = hits.withColumn(c, default.cast(typ))
         hits = hits.select(
             F.col("name").alias("o_place"),
             F.col("lat").alias("o_lat"),
             F.col("lon").alias("o_lon"),
             F.col("country").alias("o_country"),
+            *[F.col(c).alias(f"o_{c}") for c, _ in _OSM_OPTIONAL],
         )
+        # Places in `hits` are exactly the stage-1..3-unresolved ones and
+        # resolution is a function of the place string, so already-resolved
+        # rows never match — multi-rank hits fan out ONLY unresolved rows.
         resolved = (
             resolved.join(
                 F.broadcast(hits), resolved["place"] == hits["o_place"], "left"
@@ -120,20 +224,32 @@ def resolve_locations(
                     "source",
                     F.when(F.col("o_lat").isNotNull(), "osm"),
                 ).alias("source"),
+                *[F.col(f"o_{c}") for c, _ in _OSM_OPTIONAL],
             )
         )
+    else:
+        resolved = resolved.select("*", *null_extras)
 
     # F11 bad-coordinate guard + drop unresolved; rank mirrors the
     # geolocation table's per-entity result ordering
-    # (src/GraphDBToH2.groovy:149-159) — single result per resolver here
+    # (src/GraphDBToH2.groovy:146-159): 0 for single-result resolvers,
+    # the fetcher's place order for multi-result OSM lookups.
     return (
         resolved.filter(
             F.col("latitude").isNotNull()
             & (F.col("latitude") != geo.BAD_COORDINATE)
             & (F.col("longitude") != geo.BAD_COORDINATE)
         )
-        .withColumn("rank", F.lit(0))
+        .withColumn("rank", F.coalesce(F.col("o_rank"), F.lit(0)))
         .select(
-            "entity_id", "rank", "latitude", "longitude", "name", "country", "source"
+            "entity_id", "rank", "latitude", "longitude",
+            F.col("o_latitude_south").alias("latitude_south"),
+            F.col("o_latitude_north").alias("latitude_north"),
+            F.col("o_longitude_west").alias("longitude_west"),
+            F.col("o_longitude_east").alias("longitude_east"),
+            "name",
+            F.col("o_display_name").alias("display_name"),
+            F.col("o_osm_type").alias("osm_type"),
+            "country", "source",
         )
     )

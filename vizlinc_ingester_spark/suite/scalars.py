@@ -321,12 +321,107 @@ FROM resolved
 """
 
 
+# --- OSM Nominatim response parsing (S11 + C12) ---------------------------
+
+_OSM_TYPES = ["city", "town", "village", "hamlet"]
+_OSM_CCS = ["co", "pe", "ve", "br", "mx"]
+
+
+def _osm_place_xml(i: int) -> "F.Column":
+    """One deterministic ``<place>`` element for rank ``i`` of a
+    customer's synthetic response. Quarter-unit lat/lon keep every
+    double exact through the string round-trip, so the Spark
+    parse-back and the DuckDB direct computation are bit-identical."""
+    c = F.col("c_custkey")
+    lat = ((c * 7 + i * 13) % 720).cast("double") / 4 - 90
+    lon = ((c * 11 + i * 17) % 1440).cast("double") / 4 - 180
+    f2 = lambda x: F.format_string("%.2f", x)  # noqa: E731
+    osm_type = F.element_at(
+        F.array(*[F.lit(t) for t in _OSM_TYPES]), ((c + i) % 4 + 1).cast("int")
+    )
+    cc = F.element_at(
+        F.array(*[F.lit(x) for x in _OSM_CCS]), ((c + i) % 5 + 1).cast("int")
+    )
+    head = F.concat(
+        F.lit(f'<place place_id="{i}1'), c.cast("string"),
+        F.lit('" lat="'), f2(lat), F.lit('" lon="'), f2(lon),
+        F.lit('" display_name="Ciudad '), c.cast("string"),
+        F.lit(f" #{i} &amp; alrededores"),
+        F.lit('" class="place" type="'), osm_type,
+        F.lit('" boundingbox="'),
+        f2(lat - 0.25), F.lit(","), f2(lat + 0.25), F.lit(","),
+        f2(lon - 0.25), F.lit(","), f2(lon + 0.25), F.lit('"'),
+    )
+    # every 7th place is attribute-only (no addressdetails children ->
+    # country must come back NULL); the rest carry children incl. a
+    # self-closing decoy before the close tag
+    return F.when((c + i) % 7 == 0, F.concat(head, F.lit("/>"))).otherwise(
+        F.concat(
+            head, F.lit("><city>C</city><county/><country_code>"),
+            cc, F.lit("</country_code></place>"),
+        )
+    )
+
+
+def q_osm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/C12 — render Nominatim-shaped XML responses (0-2 ``<place>``
+    elements per customer, entities, self-closing variants, optional
+    country_code) plus the C12 url-encoded request URL, then parse the
+    XML back with ``parse_nominatim_xml``. The oracle computes every
+    field directly from the keys, so the whole encode->parse path is
+    under the hash gate (src/OSMFetcher.groovy:9-37)."""
+    from ..operators import geocode as gc
+
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n_places = F.col("c_custkey") % 3
+    places = F.slice(
+        F.array(_osm_place_xml(0), _osm_place_xml(1)), 1, n_places.cast("int")
+    )
+    resp = c.withColumn("p", places).select(
+        F.concat(
+            F.lit("PLAZA & DISTRITO "), F.col("c_custkey").cast("string")
+        ).alias("name"),
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8" ?>\n'
+                  '<searchresults timestamp="x" querystring="q">\n'),
+            F.concat_ws("\n", F.col("p")),
+            F.lit("\n</searchresults>"),
+        ).alias("xml"),
+    )
+    parsed = gc.parse_nominatim_xml(resp)
+    return parsed.withColumn("url", gc.nominatim_search_url(F.col("name")))
+
+
+ORACLE_OSM_PARSE = f"""
+WITH ranks(i) AS (VALUES (0), (1)),
+expanded AS (
+  SELECT c_custkey AS c, i FROM customer JOIN ranks ON i < c_custkey % 3
+)
+SELECT 'PLAZA & DISTRITO ' || CAST(c AS VARCHAR) AS name,
+       i AS rank,
+       ((c*7 + i*13) % 720) / 4.0 - 90 AS latitude,
+       ((c*11 + i*17) % 1440) / 4.0 - 180 AS longitude,
+       ((c*7 + i*13) % 720) / 4.0 - 90 - 0.25 AS latitude_south,
+       ((c*7 + i*13) % 720) / 4.0 - 90 + 0.25 AS latitude_north,
+       ((c*11 + i*17) % 1440) / 4.0 - 180 - 0.25 AS longitude_west,
+       ((c*11 + i*17) % 1440) / 4.0 - 180 + 0.25 AS longitude_east,
+       'Ciudad ' || CAST(c AS VARCHAR) || ' #' || CAST(i AS VARCHAR) || ' & alrededores' AS display_name,
+       list_extract({_OSM_TYPES!r}, CAST((c + i) % 4 + 1 AS INTEGER)) AS osm_type,
+       CASE WHEN (c + i) % 7 = 0 THEN NULL
+            ELSE list_extract({_OSM_CCS!r}, CAST((c + i) % 5 + 1 AS INTEGER)) END AS country,
+       'http://open.mapquestapi.com/nominatim/v1/search.php?format=xml&q=PLAZA+%26+DISTRITO+'
+         || CAST(c AS VARCHAR) || '&addressdetails=1&limit=1' AS url
+FROM expanded
+"""
+
+
 QUERIES = {
     "date_normalize": q_date_normalize,
     "dms_parse": q_dms_parse,
     "gazetteer_join": q_gazetteer_join,
     "country_suffix_join": q_country_suffix_join,
     "geo_resolver_chain": q_geo_resolver_chain,
+    "osm_parse_nominatim": q_osm_parse,
 }
 
 ORACLES = {
@@ -335,4 +430,5 @@ ORACLES = {
     "gazetteer_join": ORACLE_GAZETTEER_JOIN,
     "country_suffix_join": ORACLE_COUNTRY_SUFFIX,
     "geo_resolver_chain": ORACLE_GEO_RESOLVER,
+    "osm_parse_nominatim": ORACLE_OSM_PARSE,
 }
