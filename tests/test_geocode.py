@@ -164,3 +164,27 @@ def test_bad_coordinate_sentinel(spark):
 
     out = geocode.resolve_locations(locs, _gaz(spark), osm_fetch=fake_osm)
     assert out.count() == 0  # -999 sentinel rows discarded (F11)
+
+
+def test_parse_nominatim_selfclosing_then_open(spark):
+    """Regression: a self-closing <place/> directly followed by an
+    open-form <place>...</place> must parse as TWO ranked rows — the
+    greedy attribute span used to backtrack into `>.*?</place>` and
+    merge them into one."""
+    xml = (
+        '<searchresults>'
+        '<place lat="1.5" lon="2.5" display_name="A &gt; B" type="city"'
+        ' boundingbox="1.25,1.75,2.25,2.75"/>\n'
+        '<place lat="3.5" lon="4.5" display_name="C" type="town"'
+        ' boundingbox="3.25,3.75,4.25,4.75">'
+        '<country_code>co</country_code></place>'
+        '</searchresults>'
+    )
+    df = spark.createDataFrame([("X", xml)], "name string, xml string")
+    rows = sorted(
+        geocode.parse_nominatim_xml(df).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == 2
+    assert rows[0]["display_name"] == "A > B"  # '>' inside a quoted attr
+    assert rows[0]["country"] is None
+    assert (rows[1]["latitude"], rows[1]["country"]) == (3.5, "co")

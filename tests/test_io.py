@@ -169,3 +169,31 @@ def test_partitioned_star_prunes(spark, sf_dir, tmp_path):
     assert "PERSON" in plan.split("PartitionFilters:")[1].split("]")[0]
     expected = m.filter(F.col("type") == "PERSON").count()
     assert q.count() == expected
+
+
+def _extract_one(spark, content: bytes, extractor: str) -> str:
+    df = spark.createDataFrame([("mem://t/x.bin", content)], "path string, content binary")
+    return sources.extract_text(df, extractor=extractor).collect()[0]["text"]
+
+
+def test_html_extractor(spark):
+    html = (
+        b"<html><head><title>T</title><style>p { color: red; }</style>"
+        b"<script>if (1 > 0) { alert('<p>'); }</script></head>"
+        b"<body><!-- note --><h1>Head</h1>\n<p>a &amp; b &lt;tag&gt; &#225;</p>"
+        b"</body></html>"
+    )
+    assert _extract_one(spark, html, "html") == "T Head a & b <tag> \xe1"
+
+
+def test_pdf_extractor(spark):
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\nstream\nBT /F1 12 Tf "
+        b"(Hello \\(World\\)) Tj 0 -14 Td "
+        b"[(kern) -120 (ed \\\\ back)] TJ "
+        b"(quoted line) ' ET\nendstream\n%%EOF"
+    )
+    assert (
+        _extract_one(spark, pdf, "pdf")
+        == "Hello (World) kerned \\ back quoted line"
+    )

@@ -47,12 +47,10 @@ def _stream_events_fixture(spark, tmp_path, sf_dir):
     2 micro-batches. The source stores ns timestamps (read as raw
     int64 via the legacy conf, see suite/relational.py); the staged
     stream files carry true micros timestamps as a broker would."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    from vizlinc_ingester_spark.suite.relational import _events
+
+    src = _events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
     )
     stream_dir = str(tmp_path / "events_stream")
     src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(

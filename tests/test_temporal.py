@@ -11,10 +11,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _sides(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "us", F.expr("ts div 1000").cast("long")
-    )
+    from vizlinc_ingester_spark.suite.relational import _events
+
+    e = _events(spark, SF).withColumn("us", F.expr("ts div 1000").cast("long"))
     left = e.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"), "user_id", F.col("us").alias("err_us")
     )

@@ -25,6 +25,51 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 FP_R = 1000003  # rolling-hash multiplier (fits (P-1)*R + P-1 < 2^63)
 
 
+_NUMREF_MARK = "\x01"
+
+
+def xml_unescape(c: "F.Column") -> "F.Column":
+    """Decode the predefined XML entities plus numeric character
+    references (``&#225;`` / ``&#xE1;``) — what XmlSlurper gives the
+    reference for free. All Column logic: numeric refs are fenced with
+    a sentinel, split out, and decoded per array slot via
+    ``Character.toString(codePoint)``; invalid code points round-trip
+    unchanged. ``&amp;`` decodes last so escaped escapes
+    (``&amp;#225;`` -> ``&#225;``) resolve one level only, like a real
+    parser."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+
+    marked = F.regexp_replace(
+        c, "&#(x[0-9a-fA-F]+|[0-9]+);", f"{_NUMREF_MARK}$1{_NUMREF_MARK}"
+    )
+    parts = F.split(marked, _NUMREF_MARK)
+
+    def decode(x: "F.Column", i: "F.Column") -> "F.Column":
+        code = F.when(
+            x.startswith("x"),
+            F.conv(x.substr(F.lit(2), F.length(x)), 16, 10).cast("int"),
+        ).otherwise(x.cast("int"))
+        valid = (
+            code.isNotNull()
+            & (code >= 1)
+            & (code <= 0x10FFFF)
+            & ~((code >= 0xD800) & (code <= 0xDFFF))
+        )
+        decoded = F.when(
+            valid,
+            F.call_function(
+                "reflect", F.lit("java.lang.Character"), F.lit("toString"), code
+            ),
+        ).otherwise(F.concat(F.lit("&#"), x, F.lit(";")))
+        return F.when(i % 2 == 1, decoded).otherwise(x)
+
+    c = F.array_join(F.transform(parts, decode), "")
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
 def tokens(c: Column) -> Column:
     """Lowercased word tokens (C14 simple variant, SURVEY §2.8)."""
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")

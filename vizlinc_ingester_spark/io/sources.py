@@ -94,7 +94,60 @@ def extract_text(
     )
 
 
-_EXTRACTORS: dict = {}
+#: one PDF literal string `(...)` with escapes; group 1 = the body
+_PDF_STR_RE = r"\(((?:\\.|[^\\()])*)\)"
+#: one text-showing op: `(s) Tj`, `(s) '`, or `[(a) -120 (b)] TJ`
+_PDF_SHOW_RE = r"(?s)(?:\((?:\\.|[^\\()])*\)\s*(?:Tj|')|\[(?:\\.|[^\]\\])*\]\s*TJ)"
+_PDF_ESC_MARK = "\x02"
+
+
+def html_extract(content: "F.Column") -> "F.Column":
+    """Minimal HTML/XML text extractor (what Tika's HtmlParser does for
+    the common case, src/TextExtractor.groovy:12-28): drop
+    script/style subtrees and comments, strip tags, decode entities,
+    collapse whitespace. Pure Column regexp logic — stays in
+    whole-stage codegen; at 100 TB extraction is part of the scan
+    stage, zero extra shuffles. Entities decode AFTER tag-stripping so
+    ``&lt;p&gt;`` in prose survives as text instead of becoming a tag.
+    """
+    from ..functions.text import xml_unescape
+
+    t = F.decode(content, "UTF-8")
+    t = F.regexp_replace(t, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    t = xml_unescape(t)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def pdf_extract(content: "F.Column") -> "F.Column":
+    """Minimal PDF text extractor: pulls literal strings out of the
+    text-showing operators (``(s) Tj``, ``(s) '``, ``[..] TJ``) in
+    UNCOMPRESSED content streams and undoes PDF string escapes.
+    Honest scope note: Flate/LZW-compressed streams and hex strings
+    need a real PDF library — this covers the uncompressed subset the
+    way `strings`+`grep` would, but exactly and under the oracle gate.
+    Decoding is ISO-8859-1 (PDF bytes are not UTF-8; latin-1 is the
+    identity byte map).
+    """
+    raw = F.decode(content, "ISO-8859-1")
+    shows = F.regexp_extract_all(raw, F.lit(_PDF_SHOW_RE), 0)
+
+    def strings_of(op: "F.Column") -> "F.Column":
+        return F.array_join(
+            F.regexp_extract_all(op, F.lit(_PDF_STR_RE), 1), ""
+        )
+
+    joined = F.array_join(F.transform(shows, strings_of), " ")
+    # PDF escapes: \\ first (via sentinel), then \( \) \n \r \t
+    s = F.replace(joined, F.lit("\\\\"), F.lit(_PDF_ESC_MARK))
+    for esc, ch in (("\\(", "("), ("\\)", ")"), ("\\n", "\n"),
+                    ("\\r", "\r"), ("\\t", "\t")):
+        s = F.replace(s, F.lit(esc), F.lit(ch))
+    return F.replace(s, F.lit(_PDF_ESC_MARK), F.lit("\\"))
+
+
+_EXTRACTORS: dict = {"html": html_extract, "pdf": pdf_extract}
 
 
 def register_extractor(name: str, fn) -> None:

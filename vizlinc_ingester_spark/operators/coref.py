@@ -415,3 +415,67 @@ def global_id_clusters(mentions: DataFrame) -> DataFrame:
             F.min("mention_id").alias("first_mention_id"),
         )
     )
+
+
+def within_doc_entities_simple(mentions: DataFrame, entity_type: str) -> DataFrame:
+    """Simple within-doc coref — the 4th coref variant
+    (src/WithinDocSimpleCoref.groovy:38-74): twitter-normalized
+    mentions, exact-string clustering per document. No
+    sorted-neighborhood pass, no prefix merge — the cluster key IS the
+    normalized name, so the whole operator is one map-side-combinable
+    groupBy (one shuffle keyed (doc_id, type, name); at 100 TB this is
+    the cheapest coref shape there is).
+    """
+    from ..functions.normalize import twitter_normalize_str
+
+    m = (
+        mentions.filter(F.col("type") == entity_type)
+        .withColumn("tnorm", twitter_normalize_str(F.col("text")))
+        .filter(F.length("tnorm") > 0)
+    )
+    return (
+        m.groupBy("doc_id", "type", "tnorm")
+        .agg(
+            F.min("mention_id").alias("entity_id"),
+            F.count(F.lit(1)).alias("num_mentions"),
+        )
+        .select(
+            F.col("entity_id").cast("long"),
+            "type",
+            F.col("tnorm").alias("text"),
+            F.lit(f"within_doc_{entity_type.lower()}_coref").alias("created_by"),
+            F.lit(1).cast("long").alias("num_docs"),
+            F.col("num_mentions").cast("long").alias("num_mentions"),
+            "doc_id",
+        )
+    )
+
+
+def across_doc_entities_simple(wd: DataFrame, entity_type: str) -> DataFrame:
+    """Simple across-doc coref (src/AcrossDocSimpleCoref.groovy:48-103):
+    exact-string clustering of the within-pass entity names, keeping
+    clusters with >= MIN_NUM_DOCS members. Exact-match means the
+    cluster key is the name — again a single groupBy, no global sort.
+    The reference sorts candidatesList only to make exact groups
+    adjacent (CorefBase.combineByExactMatch); a hash groupBy computes
+    the identical partition of the input.
+    """
+    return (
+        wd.groupBy("type", "text")
+        .agg(
+            F.min("entity_id").alias("entity_id"),
+            F.sum("num_mentions").alias("num_mentions"),
+            F.countDistinct("doc_id").alias("num_docs"),
+            F.count(F.lit(1)).alias("num_members"),
+        )
+        .filter(F.col("num_members") >= MIN_NUM_DOCS)
+        .select(
+            F.col("entity_id").cast("long"),
+            "type",
+            "text",
+            F.lit(f"across_doc_{entity_type.lower()}_coref").alias("created_by"),
+            F.col("num_docs").cast("long"),
+            F.col("num_mentions").cast("long"),
+            F.col("num_members").cast("long"),
+        )
+    )

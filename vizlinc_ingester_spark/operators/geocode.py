@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..functions.normalize import cleanup_leading_dash
+from ..functions.text import xml_unescape
 
 #: Reference service endpoint (src/OSMFetcher.groovy:7). Kept only to
 #: build byte-identical request URLs; nothing here performs network IO.
@@ -32,7 +33,16 @@ NOMINATIM_BASE_URL = "http://open.mapquestapi.com/nominatim/v1/search.php"
 
 #: One `<place .../>` element — attribute form or open/close form with
 #: child elements (addressdetails=1 adds children like <country_code>).
-_PLACE_RE = r"(?s)<place\b[^>]*(?:/>|>.*?</place>)"
+#: Quoted attribute values are consumed atomically (so a '>' inside a
+#: display_name can't end the tag) and the attribute span is LAZY: a
+#: greedy span backtracks `...attrs/` + `>.*?</place>` and merges a
+#: self-closing place with the next open one into a single match
+#: (7 rows vanished at sf0.001 exactly where (c%7==0, c%3==2)).
+_PLACE_RE = r'(?s)<place\b(?:"[^"]*"|[^>"])*?(?:/>|>.*?</place>)'
+
+
+def _xml_unescape(c: "F.Column") -> "F.Column":
+    return xml_unescape(c)
 
 
 def nominatim_search_url(name: "F.Column", base_url: str = NOMINATIM_BASE_URL,
@@ -71,33 +81,47 @@ def parse_nominatim_xml(
     ``[]``).
 
     Spark design: everything is JVM Column logic — ``regexp_extract_all``
-    isolates each place element (keeping per-place child lookups aligned,
-    which a document-level xpath array-zip cannot guarantee when optional
-    children are missing), ``posexplode`` assigns rank, and Spark's
-    builtin xpath expressions read attributes/children. No Python UDF,
-    no shuffle: parsing happens in the scan stage of however many
-    responses were fetched.
+    isolates each place element (keeping per-place child lookups aligned
+    when optional children are missing), ``posexplode`` assigns rank,
+    and per-field regexps read attributes/children. Spark's builtin
+    ``xpath_*`` expressions are deliberately NOT used: their JAXP
+    factory lookup is not thread-safe under concurrent stages in one
+    JVM (observed ``Error loading expression`` failures mid-sweep that
+    vanish when the query runs alone), while regexp evaluation is pure
+    codegen. No Python UDF, no shuffle: parsing happens in the scan
+    stage of however many responses were fetched.
     """
     frags = F.regexp_extract_all(F.col(xml_col), F.lit(_PLACE_RE), 0)
     per_place = responses.select(
         F.col(name_col).alias("name"), F.posexplode(frags).alias("rank", "frag")
     )
-    bbox = F.split(F.xpath_string("frag", F.lit("/place/@boundingbox")), ",")
+
+    def attr(a: str) -> "F.Column":
+        # the leading [ \t\n] anchor keeps `type=` from matching inside
+        # `osm_type=` in real Nominatim responses
+        return _xml_unescape(
+            F.regexp_extract("frag", f'[ \\t\\n]{a}="([^"]*)"', 1)
+        )
+
+    bbox = F.split(attr("boundingbox"), ",")
     # boundingbox attribute order is latS,latN,lonW,lonE
     # (src/OSMFetcher.groovy:24, GeoLocation.groovy bbox field comment)
     return per_place.select(
         "name",
         "rank",
-        F.xpath_double("frag", F.lit("/place/@lat")).alias("latitude"),
-        F.xpath_double("frag", F.lit("/place/@lon")).alias("longitude"),
+        attr("lat").cast("double").alias("latitude"),
+        attr("lon").cast("double").alias("longitude"),
         bbox[0].cast("double").alias("latitude_south"),
         bbox[1].cast("double").alias("latitude_north"),
         bbox[2].cast("double").alias("longitude_west"),
         bbox[3].cast("double").alias("longitude_east"),
-        F.xpath_string("frag", F.lit("/place/@display_name")).alias("display_name"),
-        F.xpath_string("frag", F.lit("/place/@type")).alias("osm_type"),
+        attr("display_name").alias("display_name"),
+        attr("type").alias("osm_type"),
         F.nullif(
-            F.xpath_string("frag", F.lit("/place/country_code")), F.lit("")
+            _xml_unescape(
+                F.regexp_extract("frag", "<country_code>([^<]*)</country_code>", 1)
+            ),
+            F.lit(""),
         ).alias("country"),
     )
 

@@ -129,3 +129,57 @@ def extract_mentions_dict(
     return hits.withColumn("idx", F.row_number().over(w).cast("long")).withColumn(
         "mention_id", (F.col("doc_id") * ID_STRIDE + F.col("idx")).cast("long")
     )
+
+
+def extract_mentions_tokenjoin(
+    documents: DataFrame, vocabulary: DataFrame, type_col: str = "type"
+) -> DataFrame:
+    """Dictionary NER for LARGE vocabularies — same output as
+    ``extract_mentions_dict``, different join shape. The rlike form
+    evaluates O(docs x vocab) regexes; fine at a few hundred terms,
+    hopeless at a 100k-term gazetteer. Here the docs are tokenized
+    once (split on non-word runs, lowercased, per-doc distinct) and
+    equi-joined against each term's first word-run — Aho-Corasick's
+    "index the text, probe the dictionary" shape as a broadcast hash
+    join. Only the O(candidate) pairs that survive blocking pay the
+    word-boundary regex verify, so cost is O(tokens + hits), not
+    O(docs x vocab).
+
+    Recall argument: the verify regex ``(?<!\\w)term(?!\\w)`` can only
+    match where the term's first alphanumeric run appears flanked by
+    non-word chars — exactly the condition for that run to be a
+    complete token of the split. Terms with no alphanumeric run at
+    all cannot be blocked and fall back to the rlike path (they are
+    vanishingly rare in real dictionaries).
+    """
+    verify = F.expr(
+        "text rlike concat('(?i)(?<!\\\\w)', "
+        "regexp_replace(term, '([^a-zA-Z0-9 ])', '\\\\\\\\$1'), "
+        "'(?!\\\\w)')"
+    )
+    vocab = vocabulary.withColumn(
+        "__key", F.lower(F.regexp_extract("term", "[A-Za-z0-9]+", 0))
+    )
+    blockable = vocab.filter(F.col("__key") != "")
+    unblockable = vocab.filter(F.col("__key") == "").drop("__key")
+
+    toks = documents.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), "[^a-z0-9_]+"))
+        ).alias("__key"),
+    ).filter(F.col("__key") != "")
+    cand = toks.join(F.broadcast(blockable), "__key")
+    hits = cand.filter(verify).select(
+        "doc_id", F.col(type_col).alias("type"), F.upper("term").alias("text")
+    )
+    if not unblockable.isEmpty():
+        extra = documents.join(F.broadcast(unblockable), verify).select(
+            "doc_id", F.col(type_col).alias("type"), F.upper("term").alias("text")
+        )
+        hits = hits.unionByName(extra)
+    w = Window.partitionBy("doc_id").orderBy("text")
+    return hits.withColumn("idx", F.row_number().over(w).cast("long")).withColumn(
+        "mention_id", (F.col("doc_id") * ID_STRIDE + F.col("idx")).cast("long")
+    )

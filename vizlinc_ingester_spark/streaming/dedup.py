@@ -88,6 +88,22 @@ def incremental_dedup(
     (true Jaccard over hashed shingles), matching the batch operator's
     output schema exactly.
     """
+    return incremental_dedup_stream(
+        spark, stream_documents(spark, input_dir), work_dir,
+        available_now=available_now,
+    )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    work_dir: str,
+    available_now: bool = True,
+):
+    """Source-agnostic form of :func:`incremental_dedup`: ``source``
+    is any STREAMING DataFrame carrying (doc_id, text) — the txt
+    file-ingest path above, a staged parquet stream (the oracle-gated
+    suite query), or in production a Kafka topic projection."""
     dups_path = os.path.join(work_dir, "near_dups")
     docs_path = os.path.join(work_dir, "documents")
     checkpoint = os.path.join(work_dir, "_ck_dedup")
@@ -101,10 +117,8 @@ def incremental_dedup(
             idempotent_append(pairs, batch_id, dups_path)
             pairs.unpersist()
 
-    writer = (
-        stream_documents(spark, input_dir)
-        .writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
+    writer = source.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

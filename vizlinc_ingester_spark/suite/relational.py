@@ -22,13 +22,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which the Spark parquet
-    reader rejects; read nanos as raw int64 (runtime-settable legacy
-    conf) and do time math in integer nanoseconds. DuckDB mirrors with
-    epoch_ns() — it truncates to micros, but floor-division to
-    seconds/hours agrees on both sides."""
+    """Canonical events loader: every consumer sees ``ts`` as BIGINT
+    epoch NANOseconds, whatever physical type the parquet carries.
+    The driver's testdata has shipped both TIMESTAMP(NANOS) (read as
+    int64 via the legacy conf) and timestamp[us] (read as
+    TIMESTAMP_NTZ); normalizing here keeps all downstream integer
+    time math and the DuckDB ``epoch_ns(ts)`` oracles unchanged.
+    The NTZ→ns conversion is wall-clock arithmetic (timestampdiff on
+    NTZ operands) — no session-timezone dependence, verified equal to
+    DuckDB's epoch_ns min/max on the driver data."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dt = dict(e.dtypes)["ts"]
+    if dt.startswith("timestamp"):
+        ns = (
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz))"
+            )
+            * 1000
+        ).cast("long")
+        e = e.withColumn("ts", ns)
+    return e
 
 
 def _cents(c) -> "F.Column":
@@ -551,6 +567,61 @@ WINDOW w AS (ORDER BY total_cents DESC, o_custkey ASC)
 """
 
 
+def q_customer_value_quartiles_scalable(spark, sf_dir):
+    """The promised 100 TB form of customer_value_quartiles: exact
+    ntile(4) bucket assignment with NO Exchange SinglePartition.
+    Boundary keys come from operators/selection.exact_rank_keys
+    (range shuffle + metadata jobs); every row then places itself by
+    comparing against the 3 broadcast boundary literals in the scan
+    stage. The oracle is DuckDB's real ntile(4) — a hash match proves
+    the distributed selection reproduces the global window exactly
+    (the sort key (total_cents DESC, o_custkey ASC) is unique, so
+    assignment is deterministic)."""
+    from ..operators.selection import exact_rank_keys, ntile_boundaries
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("total_cents")
+    )
+    per_cust = per_cust.persist()
+    n = per_cust.count()
+    order_cols = [F.desc("total_cents"), F.asc("o_custkey")]
+    bounds = exact_rank_keys(
+        per_cust.select("total_cents", "o_custkey"),
+        order_cols,
+        ntile_boundaries(n, 4),
+    )
+    # row sorts after boundary b  <=>  (cents, key) tuple-greater in
+    # (DESC, ASC) order
+    after = [
+        (F.col("total_cents") < b["total_cents"])
+        | (
+            (F.col("total_cents") == b["total_cents"])
+            & (F.col("o_custkey") > b["o_custkey"])
+        )
+        for b in bounds
+    ]
+    quartile = after[0].cast("int") + after[1].cast("int") + after[2].cast("int") + 1
+    out = per_cust.select(
+        "o_custkey", "total_cents", quartile.cast("int").alias("quartile")
+    )
+    return out
+
+
+ORACLE_CUSTOMER_QUARTILES_SCALABLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_cents,
+       CAST(ntile(4) OVER (ORDER BY total_cents DESC, o_custkey ASC) AS INT)
+         AS quartile
+FROM per_cust
+"""
+
+
 def q_events_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling — the training-data
     mixing pattern (keep all rare strata, thin abundant ones). The
@@ -590,6 +661,7 @@ WHERE ({SQL_STABLE_HASH_EVENT} % 100) <
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "customer_value_quartiles": q_customer_value_quartiles,
+    "customer_value_quartiles_scalable": q_customer_value_quartiles_scalable,
     "shipping_priority": q_shipping_priority,
     "returned_customers": q_returned_customers,
     "value_percentiles": q_value_percentiles,
@@ -609,6 +681,7 @@ QUERIES = {
 ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "customer_value_quartiles": ORACLE_CUSTOMER_QUARTILES,
+    "customer_value_quartiles_scalable": ORACLE_CUSTOMER_QUARTILES_SCALABLE,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "returned_customers": ORACLE_RETURNED_CUSTOMERS,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,

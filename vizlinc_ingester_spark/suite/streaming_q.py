@@ -19,12 +19,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .relational import _events
+
 
 def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    src = _events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
     )
     stage = tempfile.mkdtemp(prefix="vl_stream_stage_")
     # two files -> two micro-batches with maxFilesPerTrigger=1
@@ -93,10 +93,8 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-error rollup runs as a batch step over the joined pairs (the
     oracle's LEFT JOIN semantics; chaining a second stateful agg onto
     a stream-stream join is avoided by design)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    src = _events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
     )
     stage = tempfile.mkdtemp(prefix="vl_stream_rj_")
     src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
@@ -198,8 +196,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the result. Events of one user arrive split across the first
     two micro-batches in interleaved event-time order — a hash-match
     proves cross-batch session state merging is exact."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = _events(spark, sf_dir)
     src = raw.select(
         "user_id",
         "event_id",
@@ -360,9 +357,8 @@ def q_streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import sessionize_with_state
     from .relational import SESSION_GAP_S
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _events(spark, sf_dir)
         .select(
             "user_id",
             "event_id",
@@ -428,12 +424,48 @@ def q_streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup at ingest (streaming/dedup.py)
+    under the SAME oracle as the batch ``dedup_minhash_lsh``: the
+    corpus arrives as two micro-batches (doc_id parity split), each
+    batch hashes only its new documents and joins their bands against
+    the accumulated band store, and the final near_dups table must
+    hash-match the one-shot batch pipeline — proving per-batch
+    O(new x bands) maintenance converges to the global answer with
+    every pair emitted exactly once."""
+    from ..streaming.dedup import incremental_dedup_stream
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    stage = tempfile.mkdtemp(prefix="vl_stream_dedup_")
+    work = tempfile.mkdtemp(prefix="vl_stream_dedup_work_")
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        stage
+    )
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = incremental_dedup_stream(spark, src, work)
+    q.awaitTermination(600)
+    out = spark.read.parquet(os.path.join(work, "near_dups"))
+    return out.select(
+        "doc_a", "doc_b", "n_shared_bands", "n_inter", "n_union", "jaccard_micro"
+    )
+
+
 QUERIES = {
     "streaming_event_windows": q_streaming_event_windows,
     "streaming_range_join": q_streaming_range_join,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_sessionize_state": q_streaming_sessionize_state,
     "streaming_incremental_coref": q_streaming_incremental_coref,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
 }
 ORACLES = {
     "streaming_event_windows": ORACLE_STREAMING_WINDOWS,
@@ -467,3 +499,12 @@ def _across_doc_oracle() -> str:
 
 
 ORACLES["streaming_incremental_coref"] = _across_doc_oracle()
+
+
+def _dedup_oracle() -> str:
+    from .dedup import ORACLES as DEDUP_ORACLES
+
+    return DEDUP_ORACLES["dedup_minhash_lsh"]
+
+
+ORACLES["streaming_incremental_dedup"] = _dedup_oracle()

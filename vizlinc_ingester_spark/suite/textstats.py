@@ -112,7 +112,83 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 """
 
 
+def q_extract_text_formats(spark, sf_dir):
+    """S2 under the hash gate: render each document's text into a
+    container format chosen by doc_id % 3 (plain UTF-8 bytes, an HTML
+    page with head/style/comment chrome and escaped entities, an
+    uncompressed PDF content stream with escaped literal strings),
+    then run the real ``extract_text`` path per format and union. The
+    oracle is the identity (modulo HTML whitespace collapse) — a hash
+    match proves every encode->extract round-trip is exact, i.e. the
+    extractors actually invert the formats (the reference's Tika front
+    door, src/TextExtractor.groovy:12-28)."""
+    from ..io.sources import extract_text
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    esc_html = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    esc_pdf = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("("), F.lit("\\("),
+        ),
+        F.lit(")"), F.lit("\\)"),
+    )
+    fmt = F.element_at(
+        F.array(F.lit("txt"), F.lit("html"), F.lit("pdf")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    rendered = (
+        F.when(fmt == "txt", F.col("text"))
+        .when(
+            fmt == "html",
+            F.concat(
+                F.lit('<html><head><style>p{x:1}</style><script>if(1>0){}'
+                      '</script></head><body><!-- c --><p id="d">'),
+                esc_html,
+                F.lit("</p></body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("%PDF-1.4\nBT /F1 12 Tf ("), esc_pdf,
+                F.lit(") Tj ET\n%%EOF"),
+            )
+        )
+    )
+    files = d.select(
+        F.concat(
+            F.lit("mem://corpus/"), F.col("doc_id").cast("string"),
+            F.lit("."), fmt,
+        ).alias("path"),
+        F.encode(rendered, "UTF-8").alias("content"),
+        fmt.alias("fmt"),
+    )
+    parts = [
+        extract_text(files.filter(F.col("fmt") == f), extractor=x)
+        for f, x in (("txt", "utf8"), ("html", "html"), ("pdf", "pdf"))
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select("name", "text")
+
+
+ORACLE_EXTRACT_TEXT = """
+SELECT CAST(doc_id AS VARCHAR)
+         || '.' || ['txt', 'html', 'pdf'][CAST(doc_id % 3 + 1 AS INTEGER)]
+         AS name,
+       CASE WHEN doc_id % 3 = 1
+            THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+            ELSE text END AS text
+FROM documents
+"""
+
 QUERIES = {
+    "extract_text_formats": q_extract_text_formats,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprint": q_fingerprint,
@@ -120,6 +196,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "extract_text_formats": ORACLE_EXTRACT_TEXT,
     "lang_id": ORACLE_LANG_ID,
     "quality_scores": ORACLE_QUALITY,
     "doc_fingerprint": ORACLE_FINGERPRINT,

@@ -468,6 +468,67 @@ def q_token_topk(spark, sf_dir):
     )
 
 
+
+
+def q_dict_ner_tokenjoin(spark, sf_dir):
+    """S3 dictionary-NER, token-join form: same vocabulary and same
+    oracle as dict_ner, but candidates come from a tokenize +
+    broadcast equi-join with regex verification only on survivors —
+    O(tokens + hits) instead of O(docs x vocab) regex evaluations.
+    The hash match against the rlike oracle proves the blocking loses
+    nothing."""
+    from ..operators.mentions import extract_mentions_tokenjoin
+
+    d = docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word").rlike("^[a-z]{3,}$")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .select(F.col("word").alias("term"), F.lit("KEYWORD").alias("type"))
+    )
+    return extract_mentions_tokenjoin(d, vocab).select(
+        "mention_id", "doc_id", "type", "text", "idx"
+    )
+
+
+def q_across_doc_entities_person_scalable(spark, sf_dir):
+    """Across-doc PERSON coref on the distributed sorted-neighborhood
+    path (operators/neighborhood.py): range-shuffle sort + boundary
+    stitching instead of the single-partition (type, strong) window.
+    Same oracle as across_doc_entities_person — a hash match proves the
+    100 TB shape computes the identical clustering."""
+    return coref.across_doc_entities(
+        derived_mentions(spark, sf_dir), "PERSON",
+        wd=wd_entities(spark, sf_dir, "PERSON"),
+        scalable=True,
+    ).select(
+        "entity_id", "type", "text", "created_by", "num_docs", "num_mentions", "num_members"
+    )
+
+
+def q_within_doc_entities_person_simple(spark, sf_dir):
+    """4th coref variant, within-doc half (simple/twitter coref,
+    src/WithinDocSimpleCoref.groovy:38-74): twitter-normalize + exact
+    match only — one groupBy, zero windows."""
+    return coref.within_doc_entities_simple(
+        derived_mentions(spark, sf_dir), "PERSON"
+    )
+
+
+def q_across_doc_entities_person_simple(spark, sf_dir):
+    """4th coref variant, across-doc half
+    (src/AcrossDocSimpleCoref.groovy:48-103): exact-string clustering
+    of the simple within-pass entities, MIN_NUM_DOCS member filter."""
+    wd = coref.within_doc_entities_simple(
+        derived_mentions(spark, sf_dir), "PERSON"
+    )
+    return coref.across_doc_entities_simple(wd, "PERSON")
+
+
 QUERIES = {
     "doc_scan_filter": q_doc_scan_filter,
     "mentions_extract": q_mentions,
@@ -496,12 +557,28 @@ QUERIES = {
     "across_doc_entities_location": q_across_doc_entities_location,
     "within_doc_entities_person_merged": q_within_doc_entities_person_merged,
     "dict_ner": q_dict_ner,
+    "dict_ner_tokenjoin": q_dict_ner_tokenjoin,
+    "across_doc_entities_person_scalable": q_across_doc_entities_person_scalable,
+    "within_doc_entities_person_simple": q_within_doc_entities_person_simple,
+    "across_doc_entities_person_simple": q_across_doc_entities_person_simple,
 }
 
 
 def _sql_strong_person(name: str) -> str:
     return oracle._sql_strong("PERSON", name)
 
+
+# Simple (twitter) coref mirror: exact-match clustering over
+# twitter-normalized PERSON mentions, per document.
+_SQL_WD_SIMPLE = (
+    "SELECT CAST(min(mention_id) AS BIGINT) AS entity_id, type,"
+    " tnorm AS text, 'within_doc_person_coref' AS created_by,"
+    " CAST(1 AS BIGINT) AS num_docs,"
+    " CAST(count(*) AS BIGINT) AS num_mentions, doc_id"
+    " FROM (SELECT *, " + sql_twitter_normalize_str("text") + " AS tnorm"
+    " FROM mentions WHERE type = 'PERSON') x"
+    " WHERE len(tnorm) > 0 GROUP BY doc_id, type, tnorm"
+)
 
 w = oracle.wrap
 ORACLES = {
@@ -673,4 +750,27 @@ SELECT doc_id, norm, idx FROM (
     ),
     "within_doc_entities_person_merged": _oracle_within_merged(),
     "dict_ner": ORACLE_DICT_NER,
+    "dict_ner_tokenjoin": ORACLE_DICT_NER,
+    # identical oracle as the window-based across pass: the scalable
+    # path must compute the same clustering bit-for-bit
+    "across_doc_entities_person_scalable": w(
+        "SELECT entity_id, type, text, created_by, num_docs,"
+        " num_mentions, num_members FROM across_strong_PERSON"
+        " UNION ALL SELECT entity_id, type, text, created_by,"
+        " num_docs, num_mentions, num_members FROM across_weak_PERSON",
+        PERSON,
+    ),
+    "within_doc_entities_person_simple": w(_SQL_WD_SIMPLE, PERSON),
+    "across_doc_entities_person_simple": w(
+        "SELECT CAST(min(entity_id) AS BIGINT) AS entity_id, type, text,"
+        " 'across_doc_person_coref' AS created_by,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS num_docs,"
+        " CAST(sum(num_mentions) AS BIGINT) AS num_mentions,"
+        " CAST(count(*) AS BIGINT) AS num_members"
+        f" FROM ({{wd_simple}}) wds GROUP BY type, text"
+        f" HAVING count(*) >= {coref.MIN_NUM_DOCS}".format(
+            wd_simple=_SQL_WD_SIMPLE
+        ),
+        PERSON,
+    ),
 }
