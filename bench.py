@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_cosine_topk_vec",
+    "ann_ivf",
+    "ann_lsh",
     "lang_id",
     "doc_fingerprint",
     "token_topk",
@@ -68,16 +70,23 @@ def main() -> None:
     # ±3x from scheduler noise; min-of-N is the standard steady-state
     # estimator (the extra pass costs ~11 s total at sf0.1 — cheap
     # insurance against the recorded run landing on a noise spike).
+    # A broken query must not zero out the whole round's bench record
+    # (round 3: one AnalysisException -> no BENCH number at all).
+    # Failures are reported in "errors" and excluded from the total.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = queries[name]
         best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf),
             }
         )
