@@ -1,0 +1,160 @@
+"""Amplified-scale probes backing the PLANS.md scale claims.
+
+The sf0.1 testdata is small enough that every plan "works"; these
+probes amplify it 20-50× so the asymptotic differences between plan
+shapes become measurable wall-clock, and re-run on each round's code
+so the recorded numbers track the current implementation.
+
+Usage: python tools/amplified_probes.py [coref|asof|range|all]
+
+Each probe prints one line per measurement:
+    PROBE <name> <seconds> <detail>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _spark():
+    from vizlinc_ingester_spark.session import get_spark
+
+    return get_spark("vizlinc-probes", shuffle_partitions=64)
+
+
+def _timed(name: str, detail: str, fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    print(f"PROBE {name} {dt:.1f} {detail}", flush=True)
+    return dt
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def probe_coref(spark, reps: int = 20) -> None:
+    """20× corpus: across-doc window form vs distributed
+    sorted-neighborhood form (PLANS.md 'Single-partition sorts')."""
+    from vizlinc_ingester_spark.operators import coref, mentions
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    amplified = d.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(reps)])))
+    amplified = amplified.select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+    ).repartition(64)
+    m = mentions.derive_mentions(amplified).persist()
+    _timed("mentions_20x", f"{m.count()} mentions", lambda: None)
+    wd = coref.within_doc_entities(m, "PERSON").persist()
+    _timed("within_doc_20x", f"{wd.count()} entities", lambda: None)
+    _timed(
+        "across_window_20x", "single-partition window form",
+        lambda: _noop(coref.across_doc_entities(m, "PERSON", wd=wd)),
+    )
+    _timed(
+        "across_scalable_20x", "distributed sorted-neighborhood form",
+        lambda: _noop(coref.across_doc_entities(m, "PERSON", wd=wd, scalable=True)),
+    )
+    m.unpersist(); wd.unpersist()
+
+
+def _amplified_events(spark, reps: int, dense: bool) -> DataFrame:
+    from vizlinc_ingester_spark.suite.relational import _events
+
+    e = _events(spark, SF_DIR)
+    r = e.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(reps)])))
+    uid = (
+        F.col("user_id") % 1500 if dense
+        else F.col("user_id") + F.col("rep") * 1_000_000
+    )
+    return r.select(
+        (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+        # spread replicas in time so per-key event sequences interleave
+        (F.col("ts") + F.col("rep") * 1_000_000).alias("ts"),
+        uid.alias("user_id"),
+        "event_type",
+        "value",
+    ).repartition(64)
+
+
+def _asof_sides(e: DataFrame):
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.expr("ts div 1000").cast("long").alias("err_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").cast("long").alias("click_us"),
+        F.col("value").alias("click_value"),
+    )
+    return errors, clicks
+
+
+def probe_asof(spark, reps: int = 50) -> None:
+    """50× events: union+window as-of join vs naive theta-join+rank
+    in sparse and dense key regimes (PLANS.md 'Temporal joins')."""
+    from vizlinc_ingester_spark.operators.temporal import asof_join
+
+    for regime, dense in (("sparse", False), ("dense", True)):
+        e = _amplified_events(spark, reps, dense).persist()
+        n = e.count()
+        errors, clicks = _asof_sides(e)
+        _timed(
+            f"asof_union_window_{regime}", f"{n} events",
+            lambda: _noop(
+                asof_join(errors, clicks, on=["user_id"],
+                          left_ts="err_us", right_ts="click_us")
+            ),
+        )
+
+        def naive():
+            j = errors.join(clicks, "user_id").filter(
+                F.col("click_us") <= F.col("err_us")
+            )
+            w = Window.partitionBy("err_id").orderBy(F.desc("click_us"))
+            _noop(j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1))
+
+        _timed(f"asof_naive_theta_{regime}", f"{n} events", naive)
+        e.unpersist()
+
+
+def probe_range(spark, reps: int = 50) -> None:
+    """50× events: banded range join (bin-replicated equi-join)."""
+    from vizlinc_ingester_spark.operators.temporal import range_join_banded
+
+    e = _amplified_events(spark, reps, dense=False).persist()
+    n = e.count()
+    errors, clicks = _asof_sides(e)
+    _timed(
+        "range_banded_sparse", f"{n} events",
+        lambda: _noop(
+            range_join_banded(errors, clicks, on=["user_id"],
+                              left_ts="err_us", right_ts="click_us",
+                              band=60_000_000)
+        ),
+    )
+    e.unpersist()
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    if which in ("coref", "all"):
+        probe_coref(spark)
+    if which in ("asof", "all"):
+        probe_asof(spark)
+    if which in ("range", "all"):
+        probe_range(spark)
+
+
+if __name__ == "__main__":
+    main()
