@@ -17,6 +17,7 @@ def collect_suite() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
     from . import (
+        curation,
         dedup,
         graph_q,
         multimodal,
@@ -36,6 +37,7 @@ def collect_suite() -> tuple[
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
         multimodal, streaming_q, temporal, reshape, graph_q, search_q,
+        curation,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
@@ -80,7 +82,10 @@ DRIVER_WINDOW = [
     "social_network", "document_entity_counts", "dict_ner",
     "gazetteer_join", "geo_resolver_chain", "date_normalize",
     "pricing_summary", "revenue_by_nation_salted",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "ann_cosine_topk_vec", "ann_ivf",
-    "lang_id", "doc_fingerprint", "media_metadata", "bm25_search",
+    "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk_vec",
+    "lang_id", "doc_fingerprint",
+    # (d) new curation operators (this round)
+    "doc_chunking", "decontaminate_ngrams", "pii_redact",
+    "repetition_scores",
 ]
