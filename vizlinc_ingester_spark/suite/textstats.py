@@ -177,7 +177,7 @@ def q_extract_text_formats(spark, sf_dir):
     return out.select("name", "text")
 
 
-ORACLE_EXTRACT_TEXT = """
+ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
          || '.' || ['txt', 'html', 'pdf'][CAST(doc_id % 3 + 1 AS INTEGER)]
          AS name,
