@@ -79,7 +79,7 @@ DRIVER_WINDOW = [
     "streaming_sessionize", "streaming_range_join",
     # (c) one sentinel per proven family
     "mentions_extract", "normalize_mentions", "within_doc_entities_person",
-    "social_network", "document_entity_counts", "dict_ner",
+    "social_network", "document_entity_counts",
     "gazetteer_join", "geo_resolver_chain", "date_normalize",
     "pricing_summary", "revenue_by_nation_salted",
     "dedup_minhash_lsh", "dedup_simhash",
@@ -87,5 +87,5 @@ DRIVER_WINDOW = [
     "lang_id", "doc_fingerprint",
     # (d) new curation operators (this round)
     "doc_chunking", "decontaminate_ngrams", "pii_redact",
-    "repetition_scores",
+    "repetition_scores", "sequence_packing",
 ]

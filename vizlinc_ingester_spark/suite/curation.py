@@ -247,3 +247,62 @@ ORACLES = {
     "pii_redact": ORACLE_PII_REDACT,
     "repetition_scores": ORACLE_REPETITION,
 }
+
+
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Pack chunked documents into fixed token budgets — the step
+    between chunking and batching in a pretraining pipeline. Greedy
+    in-order packing is inherently sequential, so the scalable rule
+    used here is cumulative-sum binning per language stratum: chunks
+    are ordered deterministically inside each lang, and a chunk whose
+    running token total crosses a PACK_BUDGET boundary starts the next
+    pack. One keyed window (partitioned by lang — bounded state per
+    partition), no global sort; at 100 TB the stratum key would be
+    (lang, shard) to bound partition width, same plan shape.
+
+    Output: (lang, doc_id, chunk_idx, n_chunk_tokens, pack_id,
+    pack_offset) where pack_offset is the chunk's starting token
+    position inside its pack."""
+    from pyspark.sql import Window
+
+    chunks = q_doc_chunking(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    c = chunks.join(d, "doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chunk_tokens").over(w)
+    return c.select(
+        "lang", "doc_id", "chunk_idx", "n_chunk_tokens",
+        F.floor((cum - F.col("n_chunk_tokens")) / PACK_BUDGET)
+        .cast("long").alias("pack_id"),
+        ((cum - F.col("n_chunk_tokens")) % PACK_BUDGET)
+        .cast("long").alias("pack_offset"),
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH chunks AS ({ORACLE_DOC_CHUNKING.strip()}),
+with_lang AS (
+  SELECT d.lang, c.doc_id, c.chunk_idx, c.n_chunk_tokens,
+         sum(c.n_chunk_tokens) OVER (
+           PARTITION BY d.lang ORDER BY c.doc_id, c.chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM chunks c JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, chunk_idx, n_chunk_tokens,
+       CAST((cum - n_chunk_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST((cum - n_chunk_tokens) % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM with_lang
+"""
+
+QUERIES["sequence_packing"] = q_sequence_packing
+ORACLES["sequence_packing"] = ORACLE_SEQUENCE_PACKING
