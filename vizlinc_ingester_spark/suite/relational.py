@@ -622,6 +622,85 @@ FROM per_cust
 """
 
 
+def q_late_order_priority(spark, sf_dir):
+    """TPC-H q4 shape (EXISTS decorrelated to a left-semi join):
+    orders in a date window having at least one lineitem shipped more
+    than a year after the order date, counted by priority. The EXISTS
+    becomes LeftSemi — probe side streams, no duplicate explosion —
+    and both date predicates push into the scans."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_LATE_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING over a fact rollup), joined back to customer.
+    The rollup is map-side combinable on l_orderkey; the HAVING
+    survivor set is tiny, so the joins back to orders/customer
+    broadcast the survivors — the big tables never reshuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+    )
+
+
+ORACLE_LARGE_VOLUME = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       s.sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+) s
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
 def q_events_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling — the training-data
     mixing pattern (keep all rare strata, thin abundant ones). The
@@ -664,6 +743,8 @@ QUERIES = {
     "customer_value_quartiles_scalable": q_customer_value_quartiles_scalable,
     "shipping_priority": q_shipping_priority,
     "returned_customers": q_returned_customers,
+    "late_order_priority": q_late_order_priority,
+    "large_volume_customers": q_large_volume_customers,
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
@@ -684,6 +765,8 @@ ORACLES = {
     "customer_value_quartiles_scalable": ORACLE_CUSTOMER_QUARTILES_SCALABLE,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "returned_customers": ORACLE_RETURNED_CUSTOMERS,
+    "late_order_priority": ORACLE_LATE_ORDER_PRIORITY,
+    "large_volume_customers": ORACLE_LARGE_VOLUME,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
