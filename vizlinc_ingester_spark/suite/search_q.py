@@ -149,5 +149,71 @@ QUALIFY rank <= {TOPK}
 """
 
 
-QUERIES = {"bm25_search": q_bm25_search}
-ORACLES = {"bm25_search": _bm25_oracle()}
+TFIDF_TOPK = 5
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document TF-IDF feature extraction: top-TFIDF_TOPK terms
+    per doc by tf * ln(N/df) — the classic sparse featurization
+    before any embedding model. Integer-exact inputs (tf, df, N);
+    the score is floored to micro-units with the identical literal
+    expression both engines, so ranking and hash agree. Plan: one
+    (doc_id, word) rollup with map-side combine, df as a broadcast
+    join, rank window partitioned BY DOC (bounded partitions — this
+    is not a corpus-wide window)."""
+    t = _toks(spark, sf_dir)
+    tf = t.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs(spark, sf_dir).count()
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id", "word", "tf", "df",
+        F.floor(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * 1000000
+        ).cast("long").alias("tfidf_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "word", "tf", "df", "tfidf_micro", "rnk")
+    )
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM t WHERE word <> '' GROUP BY doc_id, word
+),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         CAST(floor(CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE))
+                    * 1000000) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df USING (word), n
+)
+SELECT doc_id, word, tf, df, tfidf_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_micro DESC, word ASC) AS rnk
+  FROM scored
+) x WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+QUERIES = {"bm25_search": q_bm25_search, "tfidf_topk": q_tfidf_topk}
+ORACLES = {"bm25_search": _bm25_oracle(), "tfidf_topk": _tfidf_oracle()}
+
