@@ -1,0 +1,115 @@
+"""BPE merge learning (byte-pair encoding vocabulary induction) as an
+iterative DataFrame algorithm — the tokenizer-training half of the
+LLM-data track (token counting and the BPE-ish pre-tokenizer live in
+functions/text.py; this learns the merges themselves).
+
+Semantics (Sennrich-style word-level BPE):
+1. vocabulary = distinct corpus words with frequencies,
+2. each word starts as its character sequence,
+3. per iteration: count adjacent symbol pairs position-by-position
+   weighted by word frequency; pick the max-count pair (ties:
+   lexicographic left, then right); merge it GREEDILY left-to-right
+   non-overlapping in every word.
+
+Spark design: pair counting is an array expression (`transform` over
+an index `sequence`) + explode + one map-side-combinable aggregation;
+the argmax is a 1-row collect per iteration (the merge decision is
+inherently global and tiny); the merge itself is a higher-order
+`aggregate` fold over each word's symbol array. The fold runs outside
+whole-stage codegen (PLANS.md "higher-order-function inlining trap"),
+which is fine HERE because it runs over the DISTINCT-word vocabulary,
+not the corpus — the corpus is touched once, in step 1. At 100 TB
+the vocabulary table is millions of rows regardless of corpus size;
+per-iteration cost is O(vocab), independent of corpus bytes.
+
+Greedy-merge equivalence: a left-to-right fold that merges when
+(last == left AND current == right) reproduces repeat-replace-first
+exactly, including left==right runs ("aaaa" -> [aa, aa], "aaa" ->
+[aa, a]); a merge can never create a fresh occurrence of the same
+pair because the merged symbol differs from both sides. The DuckDB
+oracle implements the same rule as a recursive CTE doing
+replace-first on a sentinel-delimited symbol string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: symbol delimiter in the oracle's string form; must not occur in
+#: vocabulary words (enforced by the ^[a-z]+$ vocabulary filter)
+SEP = "~"
+
+
+def _pairs(vocab: DataFrame) -> DataFrame:
+    """(word, cnt, symbols) -> (l, r, pair_count) summed over words,
+    position-by-position (overlapping occurrences each count)."""
+    idx = F.sequence(F.lit(1), F.size("symbols") - 1)
+    pair = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("symbols", i).alias("l"),
+                F.element_at("symbols", i + 1).alias("r"),
+            ),
+        )
+    )
+    return (
+        vocab.filter(F.size("symbols") >= 2)
+        .select("cnt", pair.alias("p"))
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def _merge_fold(l: str, r: str) -> "F.Column":
+    merged = l + r
+    return F.aggregate(
+        F.col("symbols"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(words: DataFrame, n_merges: int) -> list[tuple]:
+    """words(word, cnt) -> [(iteration, left, right, pair_count)].
+
+    Each iteration materializes the vocabulary (persist + count) so
+    the per-iteration action doesn't recompute the whole lineage —
+    the same iterative-algorithm discipline as PageRank
+    (suite/graph_q.py), with the state table being the vocabulary.
+    """
+    vocab = words.select(
+        "word", F.col("cnt").cast("long").alias("cnt"),
+        F.split("word", "").alias("symbols"),
+    ).persist()
+    vocab.count()
+
+    merges: list[tuple] = []
+    for it in range(1, n_merges + 1):
+        best = (
+            _pairs(vocab)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((it, b["l"], b["r"], b["pair_count"]))
+        nxt = vocab.select(
+            "word", "cnt", _merge_fold(b["l"], b["r"]).alias("symbols")
+        ).persist()
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges

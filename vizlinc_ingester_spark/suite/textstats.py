@@ -202,3 +202,90 @@ ORACLES = {
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "corpus_lang_profile": ORACLE_CORPUS_PROFILE,
 }
+
+
+# --- BPE merge learning (operators/bpe.py) --------------------------------
+
+BPE_N_MERGES = 4
+BPE_VOCAB_TOP = 2000
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training under the hash gate: learn BPE_N_MERGES
+    byte-pair merges over the corpus vocabulary (top BPE_VOCAB_TOP
+    pure-alphabetic words by frequency). The oracle re-derives every
+    iteration independently — pair counts as SQL aggregation, the
+    greedy merge as a recursive replace-first CTE — so a hash match
+    proves the whole iterative algorithm, not just the final state
+    (same discipline as sn_pagerank's unrolled-CTE oracle)."""
+    from ..operators.bpe import learn_bpe_merges
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(BPE_VOCAB_TOP)
+    )
+    merges = learn_bpe_merges(words, BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "iteration long, pair_left string, pair_right string, pair_count long"
+    )
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        """tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)""",
+        f"""vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok
+  WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+  GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {BPE_VOCAB_TOP}
+)""",
+        r"""seqs_0 AS (
+  SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'g') AS s
+  FROM vocab
+)""",
+        """idx AS (SELECT unnest(range(512)) AS i)""",
+    ]
+    for k in range(1, BPE_N_MERGES + 1):
+        p = k - 1
+        ctes.append(f"""sym_{k} AS (
+  SELECT cnt, arr[i] AS l, arr[i+1] AS r
+  FROM (SELECT cnt, string_split(s, '~') AS arr FROM seqs_{p}) t
+  JOIN idx ON i BETWEEN 2 AND len(arr) - 2
+)""")
+        ctes.append(f"""pairs_{k} AS (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM sym_{k} GROUP BY l, r
+)""")
+        ctes.append(f"""best_{k} AS (
+  SELECT l, r, pair_count FROM pairs_{k}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+)""")
+        ctes.append(f"""merge_{k} AS (
+  SELECT word, cnt, s FROM seqs_{p}
+  UNION ALL
+  SELECT m.word, m.cnt,
+         substr(m.s, 1, strpos(m.s, '~' || b.l || '~' || b.r || '~') - 1)
+           || '~' || b.l || b.r || '~'
+           || substr(m.s, strpos(m.s, '~' || b.l || '~' || b.r || '~')
+                          + len('~' || b.l || '~' || b.r || '~'))
+  FROM merge_{k} m, best_{k} b
+  WHERE contains(m.s, '~' || b.l || '~' || b.r || '~')
+)""")
+        ctes.append(f"""seqs_{k} AS (
+  SELECT word, cnt, s FROM merge_{k} m, best_{k} b
+  WHERE NOT contains(s, '~' || b.l || '~' || b.r || '~')
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iteration, l AS pair_left,"
+        f" r AS pair_right, pair_count FROM best_{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = _bpe_oracle()
