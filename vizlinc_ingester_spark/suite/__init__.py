@@ -78,14 +78,16 @@ DRIVER_WINDOW = [
     "events_funnel", "events_pivot_hourly", "events_cube",
     "streaming_sessionize", "streaming_range_join",
     # (c) one sentinel per proven family
-    "mentions_extract", "normalize_mentions", "within_doc_entities_person",
-    "social_network", "document_entity_counts",
+    "mentions_extract", "within_doc_entities_person",
+    "document_entity_counts",
     "gazetteer_join", "geo_resolver_chain", "date_normalize",
-    "pricing_summary", "revenue_by_nation_salted",
+    "revenue_by_nation_salted",
     "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk_vec",
-    "lang_id", "doc_fingerprint",
-    # (d) new curation operators (this round)
+    "doc_fingerprint",
+    # (d) new this round: curation + tokenizer + TPC-H shapes
     "doc_chunking", "decontaminate_ngrams", "pii_redact",
     "repetition_scores", "sequence_packing",
+    "bpe_merges", "tfidf_topk",
+    "late_order_priority", "large_volume_customers",
 ]
