@@ -87,7 +87,14 @@ def sorted_neighborhood_clusters(
     driver-side reduction over numPartitions rows, one broadcast-map
     projection. No corpus-sized single-partition stage anywhere.
     """
+    from ..session import ship_package
+
     spark = df.sparkSession
+    # the Arrow passes below close over module-level helpers
+    # (merge_pred, levenshtein) — cloudpickle serializes them by
+    # reference, so the workers must be able to import this package
+    # regardless of the driver's cwd
+    ship_package(spark)
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 2)
 
