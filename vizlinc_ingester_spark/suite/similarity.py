@@ -341,7 +341,54 @@ SELECT query_id, cand_id, cos_micro, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_embedding_label_stats(spark, sf_dir):
+    """Per-label embedding centroids — the training-data diagnostic
+    for class balance and cluster tightness (and the IVF assignment
+    input shape). Float sums are order-dependent, so components are
+    quantized to integer micro-units FIRST and summed exactly: the
+    unnest-with-position turns the array column into (label, dim,
+    micro) rows and the rest is one map-side-combinable aggregation —
+    no float nondeterminism, no UDF, one shuffle keyed (label, dim)."""
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim_val = F.posexplode(
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+    )
+    return (
+        e.select(F.col("label").cast("long").alias("label"), dim_val.alias("dim", "micro"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("micro").cast("long").alias("sum_micro"),
+            F.min("micro").cast("long").alias("min_micro"),
+            F.max("micro").cast("long").alias("max_micro"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .withColumn(
+            "centroid_micro",
+            F.floor(F.col("sum_micro") / F.col("n")).cast("long"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_LABEL_STATS = """
+WITH comp AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micro
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(micro) AS BIGINT) AS sum_micro,
+       CAST(min(micro) AS BIGINT) AS min_micro,
+       CAST(max(micro) AS BIGINT) AS max_micro,
+       CAST(floor(sum(micro) / count(*)) AS BIGINT) AS centroid_micro
+FROM comp GROUP BY label, dim
+"""
+
+
 QUERIES = {
+    "embedding_label_stats": q_embedding_label_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_vec": q_ann_cosine_topk_vec,
     "ann_ivf": q_ann_ivf,
@@ -349,6 +396,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_label_stats": ORACLE_EMBEDDING_LABEL_STATS,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "ann_cosine_topk_vec": ORACLE_ANN_TOPK_VEC,
     "ann_ivf": ORACLE_ANN_IVF,
