@@ -306,3 +306,100 @@ FROM with_lang
 
 QUERIES["sequence_packing"] = q_sequence_packing
 ORACLES["sequence_packing"] = ORACLE_SEQUENCE_PACKING
+
+
+QUALITY_MIN_MICRO = 300_000  # keep docs with quality >= 0.30
+REP_MAX_MICRO = 500_000  # drop docs with > 50% duplicated 3-grams
+
+
+def q_curation_funnel(spark, sf_dir):
+    """The end-to-end corpus->training-mix funnel, composed from the
+    individually-gated stages: language ID + quality score +
+    repetition score as scan-stage projections, exact-dup keeper
+    selection as one md5 groupBy, then the filter conjunction. Output
+    is the per-language survivor profile (docs kept, tokens kept) —
+    what a mixing recipe consumes. One corpus scan + one tiny
+    aggregation per stage; a hash match here proves the STAGES
+    COMPOSE (same row set survives in both engines), which the
+    per-stage gates alone don't show."""
+    from ..functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - REP_N),
+        lambda i: F.array_join(F.slice(toks, i + 1, REP_N), " "),
+    )
+    dup_micro = F.when(
+        F.size(toks) < REP_N, F.lit(0)
+    ).otherwise(
+        ((F.size(grams) - F.size(F.array_distinct(grams))) * 1_000_000
+         / F.size(grams)).cast("long")
+    )
+    scored = d.select(
+        "doc_id",
+        "text",
+        tx.lang_id(F.col("text")).alias("pred_lang"),
+        tx.quality_score_micro(F.col("text")).alias("quality_micro"),
+        tx.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        dup_micro.alias("dup_micro"),
+        F.md5("text").alias("content_md5"),
+    )
+    keeper = scored.groupBy("content_md5").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    kept = (
+        scored.join(F.broadcast(keeper), "content_md5")
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .filter(F.col("quality_micro") >= QUALITY_MIN_MICRO)
+        .filter(F.col("dup_micro") <= REP_MAX_MICRO)
+    )
+    return (
+        kept.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+def _funnel_oracle() -> str:
+    from ..functions import text as tx
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {tx.sql_lang_id('text')} AS pred_lang,
+         {tx.sql_quality_score_micro('text')} AS quality_micro,
+         {tx.sql_whitespace_token_count('text')} AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) < {REP_N} THEN 0 ELSE (
+           SELECT CAST((count(*) - count(DISTINCT g)) * 1000000 // count(*) AS BIGINT)
+           FROM (
+             SELECT array_to_string((string_split(text, ' '))[i+1 : i+{REP_N}], ' ') AS g
+             FROM (SELECT unnest(range(4096)) AS i) ix
+             WHERE i <= len(string_split(text, ' ')) - {REP_N}
+           ) gg
+         ) END AS dup_micro,
+         md5(text) AS content_md5
+  FROM documents
+),
+keeper AS (
+  SELECT content_md5, min(doc_id) AS keep_doc_id FROM scored GROUP BY content_md5
+)
+SELECT pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id
+FROM scored JOIN keeper USING (content_md5)
+WHERE doc_id = keep_doc_id
+  AND quality_micro >= {QUALITY_MIN_MICRO}
+  AND dup_micro <= {REP_MAX_MICRO}
+GROUP BY pred_lang
+ORDER BY pred_lang
+"""
+
+
+QUERIES["curation_funnel"] = q_curation_funnel
+ORACLES["curation_funnel"] = _funnel_oracle()
