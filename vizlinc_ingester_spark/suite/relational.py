@@ -701,6 +701,49 @@ ORDER BY sum_qty DESC, o_orderkey
 """
 
 
+def q_user_outliers(spark, sf_dir):
+    """Per-user behavioral outlier flags in EXACT integer algebra:
+    a user's max event value is an outlier when
+    (max - mean)^2 > 9 * variance, evaluated without ever forming a
+    float mean/variance — multiply through by n^2:
+    (n*max - sum)^2 > 9 * (n*sumsq - sum^2). All quantities are int64
+    cents (|values| bounded so the largest product stays under 2^63),
+    so the flag is deterministic cross-engine — no sqrt, no float
+    accumulation order. One map-side-combinable aggregation keyed on
+    user_id; the fleet-wide rollup is a second tiny agg."""
+    e = _events(spark, sf_dir)
+    cents = _cents(F.col("value"))
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sum_c"),
+        F.sum(cents * cents).cast("long").alias("sumsq_c"),
+        F.max(cents).cast("long").alias("max_c"),
+    )
+    dev = per_user["n"] * per_user["max_c"] - per_user["sum_c"]
+    var_n2 = per_user["n"] * per_user["sumsq_c"] - per_user["sum_c"] * per_user["sum_c"]
+    return per_user.select(
+        "user_id", "n", "sum_c", "max_c",
+        (dev * dev > 9 * var_n2).alias("is_outlier"),
+    ).filter(F.col("n") >= 5)
+
+
+ORACLE_USER_OUTLIERS = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_c,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n, sum_c, max_c,
+       (n*max_c - sum_c) * (n*max_c - sum_c) > 9 * (n*sumsq_c - sum_c*sum_c)
+         AS is_outlier
+FROM per_user WHERE n >= 5
+"""
+
+
 def q_events_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling — the training-data
     mixing pattern (keep all rare strata, thin abundant ones). The
@@ -745,6 +788,7 @@ QUERIES = {
     "returned_customers": q_returned_customers,
     "late_order_priority": q_late_order_priority,
     "large_volume_customers": q_large_volume_customers,
+    "user_outliers": q_user_outliers,
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
@@ -767,6 +811,7 @@ ORACLES = {
     "returned_customers": ORACLE_RETURNED_CUSTOMERS,
     "late_order_priority": ORACLE_LATE_ORDER_PRIORITY,
     "large_volume_customers": ORACLE_LARGE_VOLUME,
+    "user_outliers": ORACLE_USER_OUTLIERS,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
