@@ -80,7 +80,7 @@ DRIVER_WINDOW = [
     # (c) one sentinel per proven family
     "mentions_extract", "within_doc_entities_person",
     "document_entity_counts",
-    "gazetteer_join", "geo_resolver_chain",
+    "geo_resolver_chain",
     "revenue_by_nation_salted",
     "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk_vec",
@@ -89,5 +89,5 @@ DRIVER_WINDOW = [
     "repetition_scores", "sequence_packing",
     "bpe_merges", "tfidf_topk",
     "late_order_priority", "large_volume_customers",
-    "embedding_label_stats", "curation_funnel",
+    "embedding_label_stats", "curation_funnel", "user_outliers",
 ]
