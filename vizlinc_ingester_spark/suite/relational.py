@@ -744,6 +744,89 @@ FROM per_user WHERE n >= 5
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H q14 shape: lineitem ⋈ part (broadcast dim) with a
+    conditional aggregate — the promo share of one month's revenue.
+    The month predicate pushes into the lineitem scan; part broadcasts
+    (a dimension at any scale that fits, else AQE picks SMJ); the
+    ratio is emitted as exact integer parts (promo_c4, total_c4) plus
+    a basis-point integer division — no float division ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    j = month.join(F.broadcast(pt), month["l_partkey"] == pt["p_partkey"])
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .cast("long").alias("promo_c4"),
+        F.sum(rev).cast("long").alias("total_c4"),
+    ).select(
+        "promo_c4", "total_c4",
+        (F.col("promo_c4") * 10000 / F.col("total_c4"))
+        .cast("long").alias("promo_bps"),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT promo_c4, total_c4,
+       CAST(promo_c4 * 10000 / total_c4 AS BIGINT) AS promo_bps
+FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS promo_c4,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_c4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+) t
+"""
+
+
+def q_supplier_nation_volume(spark, sf_dir):
+    """TPC-H q9-ish: revenue by supplier nation and part type —
+    lineitem against TWO broadcast dimensions (supplier -> nation,
+    part), grouped on their attributes. The fact table shuffles only
+    for the final rollup; both dimension joins are broadcast hash
+    joins in the scan stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pt = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.sum(rev).cast("long").alias("revenue_c4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("n_name", "p_type")
+    )
+
+
+ORACLE_SUPPLIER_NATION_VOLUME = """
+SELECT n_name, p_type,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY n_name, p_type
+ORDER BY n_name, p_type
+"""
+
+
 def q_events_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling — the training-data
     mixing pattern (keep all rare strata, thin abundant ones). The
@@ -789,6 +872,8 @@ QUERIES = {
     "late_order_priority": q_late_order_priority,
     "large_volume_customers": q_large_volume_customers,
     "user_outliers": q_user_outliers,
+    "promo_revenue": q_promo_revenue,
+    "supplier_nation_volume": q_supplier_nation_volume,
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
     "revenue_by_nation": q_revenue_by_nation,
@@ -812,6 +897,8 @@ ORACLES = {
     "late_order_priority": ORACLE_LATE_ORDER_PRIORITY,
     "large_volume_customers": ORACLE_LARGE_VOLUME,
     "user_outliers": ORACLE_USER_OUTLIERS,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "supplier_nation_volume": ORACLE_SUPPLIER_NATION_VOLUME,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
