@@ -79,15 +79,14 @@ DRIVER_WINDOW = [
     "streaming_sessionize", "streaming_range_join",
     # (c) one sentinel per proven family
     "mentions_extract", "within_doc_entities_person",
-    "document_entity_counts",
     "geo_resolver_chain",
     "revenue_by_nation_salted",
     "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk_vec",
     # (d) new this round: curation + tokenizer + TPC-H shapes
     "doc_chunking", "decontaminate_ngrams", "pii_redact",
     "repetition_scores", "sequence_packing",
     "bpe_merges", "tfidf_topk",
     "late_order_priority", "large_volume_customers",
     "embedding_label_stats", "curation_funnel", "user_outliers",
+    "promo_revenue", "supplier_nation_volume",
 ]
