@@ -35,5 +35,7 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    # the driver's smoke gate is "> 0 rows" — match it so an
+    # empty-result regression in the flagship pipeline fails locally
+    assert len(rows) > 0
     assert len(df.columns) > 0

@@ -267,7 +267,7 @@ def across_doc_entities(
     mentions: DataFrame,
     entity_type: str,
     wd: DataFrame | None = None,
-    scalable: bool = False,
+    scalable: bool = True,
 ) -> DataFrame:
     """Across-document coref (src/AcrossDocPerCoref.groovy:46-117).
 
@@ -277,14 +277,15 @@ def across_doc_entities(
     'weak_across_doc_*_coref'. Input entities are the within-doc pass
     output (pass ``wd`` to reuse a checkpointed one).
 
-    ``scalable=False`` (default): the corpus-wide sort runs as a window
-    over the (type, strong) scope — correct, oracle-checked, but the
-    scope has ~1 distinct value, so the sort funnels through one
-    partition. Fine to ~10^7 candidates. ``scalable=True``: the same
-    clustering via operators/neighborhood.sorted_neighborhood_clusters
-    (distributed range sort + boundary stitching) — identical results
-    (tests/test_neighborhood.py), no single-partition stage; the shape
-    to use at 100 TB.
+    ``scalable=True`` (default): the corpus-wide sorted-neighborhood
+    clustering runs via operators/neighborhood.sorted_neighborhood_clusters
+    (distributed range sort + boundary stitching) — no single-partition
+    stage anywhere; the shape that survives 100 TB, and identical
+    output to the window form (tests/test_neighborhood.py + driver
+    hash gate). ``scalable=False``: the same clustering as a window
+    over the (type, strong) scope — the scope has ~1 distinct value,
+    so the sort funnels through one partition; kept as the labeled
+    small-scope baseline (fine to ~10^7 candidates).
     """
     if wd is None:
         wd = within_doc_entities(mentions, entity_type)
@@ -344,20 +345,32 @@ def across_doc_entities(
 
 
 def across_doc_membership(
-    mentions: DataFrame, entity_type: str, wd: DataFrame | None = None
+    mentions: DataFrame,
+    entity_type: str,
+    wd: DataFrame | None = None,
+    scalable: bool = True,
 ) -> DataFrame:
     """(doc_id, within_entity_id, across_entity_id) for surviving
     *strong* across-doc clusters — the rewired doc->entity edges the
     reference leaves in the graph after mergeClusters
     (src/CorefBase.groovy:243-252). Feeds the social network (G2).
+
+    ``scalable`` as in :func:`across_doc_entities` — default is the
+    distributed sorted-neighborhood form (no single-partition window).
     """
     if wd is None:
         wd = within_doc_entities(mentions, entity_type)
     wd = wd.withColumnRenamed("text", "norm")
     wd = wd.withColumn("strong", is_strong_candidate(F.col("norm"), entity_type))
-    strong = _islands(
-        wd.filter(F.col("strong")), ["type", "strong"], "norm", "entity_id"
-    )
+    strong_in = wd.filter(F.col("strong"))
+    if scalable:
+        from .neighborhood import sorted_neighborhood_clusters
+
+        strong = sorted_neighborhood_clusters(
+            strong_in.drop("cluster_seq"), ["type", "strong"], "norm", "entity_id"
+        ).withColumnRenamed("cluster_id", "cluster_seq")
+    else:
+        strong = _islands(strong_in, ["type", "strong"], "norm", "entity_id")
     member_counts = strong.groupBy("type", "strong", "cluster_seq").agg(
         F.count(F.lit(1)).alias("num_members"),
         F.min("entity_id").alias("across_entity_id"),
