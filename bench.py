@@ -40,6 +40,11 @@ HEADLINE = [
     "doc_fingerprint",
     "token_topk",
     "image_decode_resize",  # the Arrow/mapInPandas path
+    # curation/tokenizer track (round 4 operators, tracked since r5)
+    "curation_funnel",
+    "tfidf_topk",
+    "bpe_merges",
+    "sequence_packing",
 ]
 
 

@@ -10,6 +10,7 @@ from vizlinc_ingester_spark.suite.relational import (
     _cents,
     _events,
     q_events_approx_profile,
+    q_events_exact_profile,
     q_value_percentiles,
 )
 
@@ -17,21 +18,23 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_profile_within_bounds(spark):
+    """Bounds the sketch profile against its driver-hash-proven exact
+    twin (q_events_exact_profile shares the loader + grouping), so the
+    only un-gated query is error-bounded against gated values."""
     approx = {r["event_type"]: r for r in q_events_approx_profile(spark, SF).collect()}
-    exact_users = {
-        r["event_type"]: r["n"]
-        for r in _events(spark, SF)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
+    exact = {r["event_type"]: r for r in q_events_exact_profile(spark, SF).collect()}
     exact_p = {r["event_type"]: r for r in q_value_percentiles(spark, SF).collect()}
 
-    assert set(approx) == set(exact_users)
+    assert set(approx) == set(exact)
     for et, row in approx.items():
         # HLL++ with rsd=0.02: allow 5 sigma
-        rel = abs(row["approx_users"] - exact_users[et]) / exact_users[et]
-        assert rel <= 0.10, (et, row["approx_users"], exact_users[et])
+        rel = abs(row["approx_users"] - exact[et]["n_users"]) / exact[et]["n_users"]
+        assert rel <= 0.10, (et, row["approx_users"], exact[et]["n_users"])
+        rel_v = abs(row["approx_values"] - exact[et]["n_values"]) / max(
+            exact[et]["n_values"], 1
+        )
+        assert rel_v <= 0.10, (et, row["approx_values"], exact[et]["n_values"])
+        assert row["n_events"] == exact[et]["n_events"]
         # percentile_approx with accuracy 10000 on ~2k rows/group is
         # exact-rank; allow one value of slack around the interpolated
         # exact percentile (approx returns an actual data value,

@@ -197,3 +197,33 @@ def test_pdf_extractor(spark):
         _extract_one(spark, pdf, "pdf")
         == "Hello (World) kerned \\ back quoted line"
     )
+
+
+def test_docx_extractor_roundtrip(spark):
+    from vizlinc_ingester_spark.io.sources import _docx_bytes_of_text
+
+    docx = _docx_bytes_of_text("Hello <World> & áll\n\nsecond para")
+    # the renderer emits one paragraph; collapse-ws semantics match html
+    assert _extract_one(spark, docx, "docx") == "Hello <World> & áll second para"
+
+
+def test_docx_extractor_multiparagraph_and_junk(spark):
+    import io
+    import zipfile
+
+    # hand-built document.xml: 2 paragraphs, split runs, attributes
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://x"><w:body>'
+        '<w:p w:rsidR="0"><w:r><w:t>He</w:t></w:r><w:r>'
+        '<w:t xml:space="preserve">llo</w:t></w:r></w:p>'
+        "<w:p/>"
+        "<w:p><w:r><w:t>a &amp;&lt;b&gt;</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    assert _extract_one(spark, buf.getvalue(), "docx") == "Hello a &<b>"
+    # non-zip bytes -> NULL, not an exception
+    assert _extract_one(spark, b"not a zip at all", "docx") is None

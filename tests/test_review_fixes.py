@@ -133,3 +133,45 @@ def test_stateful_sessionize_multichunk_groups(spark, sf_dir):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_events_loader_guard_and_cache(spark, sf_dir, tmp_path):
+    """r5 ADVICE: _events must fail loudly on an unexpected physical ts
+    type instead of silently corrupting event-time math, and must hand
+    back the same (cached) normalized DataFrame per (session, dir)."""
+    import pytest
+
+    from vizlinc_ingester_spark.suite.relational import _events
+
+    a = _events(spark, sf_dir)
+    b = _events(spark, sf_dir)
+    assert a is b  # per-session cache hit
+    assert dict(a.dtypes)["ts"] == "bigint"
+
+    bad_dir = str(tmp_path / "bad_sf")
+    import os
+
+    os.makedirs(bad_dir)
+    spark.range(3).selectExpr(
+        "id AS event_id", "CAST(id AS STRING) AS ts"
+    ).write.parquet(os.path.join(bad_dir, "events.parquet"))
+    with pytest.raises(ValueError, match="unexpected dtype"):
+        _events(spark, bad_dir)
+
+
+def test_promo_revenue_floor_division_at_larger_sf(spark):
+    """r5 ADVICE (high): promo_bps must use floor division on both
+    engines — at sf0.1 the truncate-vs-round divergence was 1611 vs
+    1612. Verify the Spark side now floors (div) by checking the
+    invariant promo_bps == promo_c4 * 10000 // total_c4 exactly."""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("sf0.1 testdata absent")
+    from vizlinc_ingester_spark.suite.relational import q_promo_revenue
+
+    r = q_promo_revenue(spark, sf).collect()[0]
+    assert r["promo_bps"] == r["promo_c4"] * 10000 // r["total_c4"]

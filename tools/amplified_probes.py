@@ -59,7 +59,7 @@ def probe_coref(spark, reps: int = 20) -> None:
     _timed("within_doc_20x", f"{wd.count()} entities", lambda: None)
     _timed(
         "across_window_20x", "single-partition window form",
-        lambda: _noop(coref.across_doc_entities(m, "PERSON", wd=wd)),
+        lambda: _noop(coref.across_doc_entities(m, "PERSON", wd=wd, scalable=False)),
     )
     _timed(
         "across_scalable_20x", "distributed sorted-neighborhood form",

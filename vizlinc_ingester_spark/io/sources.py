@@ -24,6 +24,7 @@ Reference behavior being re-expressed:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -80,6 +81,12 @@ def extract_text(
     if extractor == "utf8":
         text = F.decode(F.col("content"), "UTF-8")
     elif extractor in _EXTRACTORS:
+        # registered extractors may be Arrow-batched pandas UDFs whose
+        # code lives in this package — ship it so executor Python
+        # workers can import it (idempotent; no-op for Column logic)
+        from ..session import ship_package
+
+        ship_package(binary_docs.sparkSession)
         text = _EXTRACTORS[extractor](F.col("content"))
     else:
         raise NotImplementedError(
@@ -147,7 +154,106 @@ def pdf_extract(content: "F.Column") -> "F.Column":
     return F.replace(s, F.lit(_PDF_ESC_MARK), F.lit("\\"))
 
 
-_EXTRACTORS: dict = {"html": html_extract, "pdf": pdf_extract}
+# --- DOCX (S2: the most common Tika format after txt/html/pdf,
+# src/TextExtractor.groovy:12-28). A .docx is a zip whose main part is
+# word/document.xml; text lives in <w:t> runs grouped into <w:p>
+# paragraphs. stdlib zipfile + regex — zero new dependencies. Python
+# is unavoidable here (zip inflation is not expressible in Column
+# algebra), so it runs as an Arrow-batched pandas UDF: extraction
+# stays in the scan stage, no shuffle, ~10-100x over row-at-a-time.
+
+_XML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),  # &amp; last — unescape once
+)
+
+
+def _docx_text_of_bytes(b) -> str | None:
+    import io as _io
+    import re as _re
+    import zipfile
+
+    if b is None:
+        return None
+    try:
+        with zipfile.ZipFile(_io.BytesIO(bytes(b))) as zf:
+            xml = zf.read("word/document.xml").decode("utf-8", "replace")
+    except Exception:  # not a zip / no document part — not a docx
+        return None
+    paras = []
+    for p in _re.findall(r"(?s)<w:p[ >].*?</w:p>|<w:p/>", xml):
+        runs = _re.findall(r"(?s)<w:t(?: [^>]*)?>(.*?)</w:t>", p)
+        paras.append("".join(runs))
+    out = " ".join(paras)
+    for ent, ch in _XML_ENTITIES:
+        out = out.replace(ent, ch)
+    return _re.sub(r"\s+", " ", out).strip()
+
+
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+
+def _docx_bytes_of_text(text: str) -> bytes:
+    """Render text as a minimal valid .docx (one paragraph per newline
+    run). Fixture/round-trip helper for the extractor above; fixed zip
+    timestamps keep output deterministic."""
+    import io as _io
+    import zipfile
+
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:body><w:p><w:r><w:t xml:space="preserve">'
+        + esc
+        + "</w:t></w:r></w:p></w:body></w:document>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in (
+            ("[Content_Types].xml", _DOCX_CONTENT_TYPES),
+            ("_rels/.rels", _DOCX_RELS),
+            ("word/document.xml", doc),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data, compress_type=zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+@F.pandas_udf(T.StringType())
+def _docx_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_docx_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_docx(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _docx_bytes_of_text(t))
+
+
+def docx_extract(content: "F.Column") -> "F.Column":
+    return _docx_extract_udf(content)
+
+
+_EXTRACTORS: dict = {
+    "html": html_extract,
+    "pdf": pdf_extract,
+    "docx": docx_extract,
+}
 
 
 def register_extractor(name: str, fn) -> None:

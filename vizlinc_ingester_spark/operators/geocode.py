@@ -126,6 +126,83 @@ def parse_nominatim_xml(
     )
 
 
+def live_osm_fetch(
+    http_get: Callable[[str], str] | None = None,
+    base_url: str = NOMINATIM_BASE_URL,
+    limit: int = 1,
+) -> Callable[[DataFrame], DataFrame]:
+    """Build an ``osm_fetch`` implementation for the resolver seam —
+    the live half of src/OSMFetcher.groovy:9-17 that the sandbox
+    cannot exercise (no network).
+
+    Gating: with no ``http_get`` injected, a real ``urllib`` transport
+    is used ONLY when ``SPARK_GRAFT_ALLOW_NETWORK=1`` — default-off so
+    tests and the driver stay deterministic and offline; CI exercises
+    the full chain by injecting a recorded-response ``http_get``
+    (tests/test_geocode.py), which needs no flag.
+
+    Spark design: request URLs are built Column-side
+    (``nominatim_search_url``); the HTTP round-trips run executor-side
+    in an Arrow-batched ``mapInPandas`` over the DISTINCT unresolved
+    names the seam supplies — IO parallelism scales with executors,
+    and the fetch count is bounded by unique names, never mentions.
+    Responses parse via ``parse_nominatim_xml`` (JVM regex), and the
+    reference's ``-999`` sentinel results are discarded
+    (src/Geocoder.groovy:27,130-133).
+    """
+    import os as _os
+
+    if http_get is None:
+        if _os.environ.get("SPARK_GRAFT_ALLOW_NETWORK") != "1":
+            raise RuntimeError(
+                "live_osm_fetch performs network IO: set "
+                "SPARK_GRAFT_ALLOW_NETWORK=1, or inject http_get "
+                "(e.g. recorded responses) for offline use"
+            )
+
+        def http_get(url: str) -> str:
+            import urllib.request
+
+            req = urllib.request.Request(
+                url, headers={"User-Agent": "vizlinc-ingester-spark"}
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return resp.read().decode("utf-8", "replace")
+
+    def fetch(names: DataFrame) -> DataFrame:
+        from ..session import ship_package
+
+        ship_package(names.sparkSession)
+        name_c = names.columns[0]
+        urls = names.select(
+            F.col(name_c).alias("name"),
+            nominatim_search_url(F.col(name_c), base_url, limit).alias("url"),
+        )
+
+        def run(batches):
+            for pdf in batches:
+                pdf = pdf.assign(xml=[http_get(u) for u in pdf["url"]])
+                yield pdf[["name", "xml"]]
+
+        responses = urls.mapInPandas(run, "name string, xml string")
+        parsed = parse_nominatim_xml(responses)
+        return parsed.filter(
+            (F.col("latitude") != geo.BAD_COORDINATE)
+            & (F.col("longitude") != geo.BAD_COORDINATE)
+        ).select(
+            "name",
+            F.col("latitude").alias("lat"),
+            F.col("longitude").alias("lon"),
+            "country",
+            "rank",
+            "latitude_south", "latitude_north",
+            "longitude_west", "longitude_east",
+            "display_name", "osm_type",
+        )
+
+    return fetch
+
+
 def resolve_locations(
     locations: DataFrame,
     gazetteer: DataFrame,

@@ -7,43 +7,64 @@ handful of distinct values — so the corpus-wide sort funnels through
 one window partition (Spark's "Moving all data to a single partition"
 warning). Correct at test scale; a non-starter at 100 TB.
 
-This module runs the same algorithm with a parallel sort:
+This module runs the same algorithm with a parallel sort, entirely
+JVM-side (the round-2 version did the island scan in two Arrow
+``mapInPandas`` passes; the serialization overhead made it 1.7× the
+window form at small scale — rewritten round 5 as pure Column logic,
+which removed both Python crossings AND the need to ship the package
+to executor workers):
 
-1. ``repartitionByRange`` + ``sortWithinPartitions`` on
-   (scope, name, tiebreak) — Spark's distributed range sort; every
-   physical partition holds a contiguous run of the global order.
-2. One ``mapInPandas`` pass per partition computes island breaks
-   sequentially (Arrow-batched, state carried across batches), giving
-   each row a per-partition island seq, and tags each partition's
-   first/last row.
-3. Boundary stitching: only the (last row of partition p, first row of
-   partition p+1) pairs can merge across the cut — ≤ numPartitions-1
-   pairs, evaluated on the driver, then folded into a broadcast
-   offset/merge mapping.
+1. ``repartitionByRange`` on (scope, name, tiebreak) — Spark's
+   distributed range sort; every physical partition holds a
+   contiguous run of the global order. ``spark_partition_id()``
+   becomes the partition label.
+2. One window PER PHYSICAL PARTITION (``partitionBy(__pid)``) — a
+   32-way (→ N-way) parallel window, never a single global one —
+   computes island breaks with the same Column predicate
+   ``coref._islands`` uses (levenshtein ≤ 1 AND equal digit runs,
+   src/CorefBase.groovy:176-218), numbering islands 1..n per
+   partition via a running sum.
+3. Boundary stitching: only the (last row of partition p, first row
+   of partition p+1) pairs can merge across the cut — ≤
+   numPartitions-1 pairs, evaluated on the driver with the Python
+   twin of the predicate, then folded into offset/merge map literals
+   applied in the scan stage (``element_at`` on a broadcast-sized
+   ``create_map``).
 
 Semantics are byte-identical to the single-partition window form
-(verified by tests/test_neighborhood.py on the real mention data);
-the predicate (Levenshtein ≤ 1 AND equal digit runs,
-src/CorefBase.groovy:176-218) is implemented in Python here and in
-Column form in coref.py — the parity test pins them together.
+(verified by tests/test_neighborhood.py on the real mention data and
+by the driver hash gate: `across_doc_entities_person_scalable` shares
+its oracle with the window form). The Python ``merge_pred`` below is
+the driver-side/stitching twin of the Column predicate; the parity
+test pins them together.
 """
 
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
+import weakref
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.normalize import all_numbers_match
 from ..operators.coref import LEVENSHTEIN_MAX
+
+# Memoize results per (session, input-plan semantic hash, params):
+# each call persists its windowed relation (two consumers), so a
+# long-lived suite/bench session would otherwise accumulate one
+# orphaned cache entry per CALL (measured: enough pressure to turn a
+# 0.65 s bench query into 3.9 s); and evicting via unpersist costs
+# ~1 s of driver-side CacheManager work per call. Memoizing bounds
+# the entries by distinct *inputs* (a handful per suite) and makes
+# repeat invocations free. Safe because the clustering is a pure
+# function of the input plan.
+_SNC_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Plain DP Levenshtein (only ever called on adjacent sorted names
-    whose lengths differ by <= a few chars; and driver-side on at most
-    one pair per partition boundary)."""
+    """Plain DP Levenshtein — driver-side only, called on at most one
+    (last, first) pair per partition boundary."""
     if a == b:
         return 0
     if len(a) > len(b):
@@ -65,7 +86,8 @@ _DIGITS = re.compile(r"\d+")
 def merge_pred(prev_name: str, name: str) -> bool:
     """The reference's adjacent-merge predicate
     (src/CorefBase.groovy:176-218): distance <= 1 and identical digit
-    runs."""
+    runs. Python twin of the Column predicate in ``_cluster_breaks``;
+    tests/test_neighborhood.py pins the two together."""
     return (
         levenshtein(prev_name, name) <= LEVENSHTEIN_MAX
         and _DIGITS.findall(prev_name) == _DIGITS.findall(name)
@@ -83,61 +105,57 @@ def sorted_neighborhood_clusters(
     id of the island) to ``df`` — maximal runs of consecutive
     merge-pred matches in the global (scope, name, tiebreak) order.
 
-    Scales as: one range-shuffle (the sort), one Arrow scan, a
-    driver-side reduction over numPartitions rows, one broadcast-map
-    projection. No corpus-sized single-partition stage anywhere.
+    Scales as: one range-shuffle (the sort), one pid-keyed window
+    (N-way parallel — `__pid` has exactly num_partitions values, so no
+    single-partition stage), a driver-side reduction over
+    numPartitions rows, and a map-literal projection. Everything
+    JVM-side; zero Python crossings on the data path.
     """
-    from ..session import ship_package
-
     spark = df.sparkSession
-    # the Arrow passes below close over module-level helpers
-    # (merge_pred, levenshtein) — cloudpickle serializes them by
-    # reference, so the workers must be able to import this package
-    # regardless of the driver's cwd
-    ship_package(spark)
+    try:
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - py4j surface drift
+        plan_hash = None
+    memo_key = (plan_hash, tuple(scope_cols), name_col, tiebreak_col, num_partitions)
+    per_session = _SNC_CACHE.setdefault(spark, {})
+    if plan_hash is not None and memo_key in per_session:
+        return per_session[memo_key]
     if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism, 2)
+        # Default: a few range partitions per 8 cores. Each partition
+        # is a sequential island scan, so parallelism only has to
+        # cover the data volume, not the core count — more partitions
+        # mean more boundary stitches and more fixed task overhead
+        # (measured: np=32 costs ~2x np=4 on a 7.5k-row input with
+        # identical output). A 1000-executor corpus passes an explicit
+        # count sized to ~10^7 rows per partition.
+        num_partitions = max(spark.sparkContext.defaultParallelism // 8, 2)
 
     cols = list(df.columns)
     key_cols = [*scope_cols, name_col, tiebreak_col]
-    arranged = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(
-        *key_cols
+    arranged = df.repartitionByRange(num_partitions, *key_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
 
-    out_schema = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-        + ", __pid int, __island long, __row_in_part long"
+    w = Window.partitionBy("__pid").orderBy(*key_cols)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_name = F.lag(name_col).over(w)
+    same_scope = F.lit(True)
+    for c in scope_cols:
+        same_scope = same_scope & F.lag(c).over(w).eqNullSafe(F.col(c))
+    merged = (
+        prev_name.isNotNull()
+        & same_scope
+        & (F.levenshtein(prev_name, F.col(name_col)) <= LEVENSHTEIN_MAX)
+        & all_numbers_match(prev_name, F.col(name_col))
     )
-    scope_idx = scope_cols
-    name_c = name_col
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        island = 0
-        row_no = 0
-        prev_scope = None
-        prev_name = None
-        for pdf in batches:
-            islands = []
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                d = rec._asdict()
-                scope = tuple(d[c] for c in scope_idx)
-                nm = d[name_c]
-                if prev_scope is None or scope != prev_scope or not merge_pred(prev_name, nm):
-                    island += 1
-                islands.append(island)
-                rows.append(row_no)
-                row_no += 1
-                prev_scope, prev_name = scope, nm
-            pdf = pdf.assign(__pid=pid, __island=islands, __row_in_part=rows)
-            yield pdf
-
-    assigned = arranged.mapInPandas(assign, out_schema)
-    # Persist: consumed by the stats aggregation AND the final
-    # projection; without it the range sort + Arrow scan runs twice.
+    assigned = arranged.select(
+        *cols,
+        "__pid",
+        F.sum(F.when(merged, 0).otherwise(1)).over(wrows).alias("__island"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    # Persist: consumed by the boundary-stats job AND the final
+    # projection; without it the range sort + window run twice.
     assigned = assigned.persist()
 
     # Per-partition summary: island count + boundary rows' (scope, name).
@@ -148,15 +166,17 @@ def sorted_neighborhood_clusters(
         .agg(
             F.max("__island").alias("n_islands"),
             F.min_by(
-                F.struct(*[F.col(c) for c in key_cols]), F.col("__row_in_part")
+                F.struct(*[F.col(c) for c in key_cols]), F.col("__rn")
             ).alias("first_row"),
             F.max_by(
-                F.struct(*[F.col(c) for c in key_cols]), F.col("__row_in_part")
+                F.struct(*[F.col(c) for c in key_cols]), F.col("__rn")
             ).alias("last_row"),
         )
         .orderBy("__pid")
         .collect()
     )
+    if not first_last:  # empty input
+        return df.select(*cols, F.lit(0).cast("long").alias("cluster_id"))
 
     # Global id offsets + boundary merges (union by "merge into the
     # previous partition's last island").
@@ -165,7 +185,6 @@ def sorted_neighborhood_clusters(
     for r in first_last:
         offsets[r["__pid"]] = total
         total += r["n_islands"]
-    # parent mapping for merged global ids
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -185,28 +204,23 @@ def sorted_neighborhood_clusters(
             if a != b:
                 parent[max(a, b)] = min(a, b)
 
-    # broadcast the (sparse) resolution map; identity for unmerged ids
+    # offsets and the (sparse) resolution map become map LITERALS —
+    # numPartitions + merge-count entries, evaluated in the scan stage
+    off_map = F.create_map(
+        *[F.lit(x).cast("long") for k, v in offsets.items() for x in (k, v)]
+    )
+    gid = (F.col("__island") + F.element_at(off_map, F.col("__pid").cast("long"))).cast(
+        "long"
+    )
     resolve = {k: find(k) for k in parent}
-    boffsets = spark.sparkContext.broadcast(offsets)
-    bresolve = spark.sparkContext.broadcast(resolve)
-
-    res_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", cluster_id long"
-
-    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        off = boffsets.value
-        res = bresolve.value
-        for pdf in batches:
-            gids = [
-                res.get(g, g)
-                for g in (
-                    off[p] + i for p, i in zip(pdf["__pid"], pdf["__island"])
-                )
-            ]
-            yield pdf.drop(columns=["__pid", "__island", "__row_in_part"]).assign(
-                cluster_id=gids
-            )
-
-    out = assigned.mapInPandas(finalize, res_schema)
-    return out.select(*cols, "cluster_id")
+    if resolve:
+        res_map = F.create_map(
+            *[F.lit(x).cast("long") for k, v in resolve.items() for x in (k, v)]
+        )
+        cluster = F.coalesce(F.element_at(res_map, gid), gid)
+    else:
+        cluster = gid
+    out = assigned.select(*cols, cluster.cast("long").alias("cluster_id"))
+    if plan_hash is not None:
+        per_session[memo_key] = out
+    return out

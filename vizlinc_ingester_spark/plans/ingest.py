@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import geo
 from ..io import sinks, sources
-from ..operators import coref, counts, geocode, mentions, social
+from ..operators import coref, counts, curation, geocode, mentions, social
 
 COREF_TYPES = ("PERSON", "ORGANIZATION", "LOCATION")
 
@@ -55,6 +55,8 @@ def ingest(
     extractor: Callable[[DataFrame], DataFrame] | None = None,
     gazetteer: DataFrame | None = None,
     graphml_path: str | None = None,
+    curate: bool = False,
+    bench_grams: DataFrame | None = None,
 ) -> IngestResult:
     """Run the 10-step pipeline.
 
@@ -64,6 +66,14 @@ def ingest(
     deterministic test double (the CRF seam, src/EntityExtractor.groovy:
     12-14). Writes the star schema to ``out_dir`` (default
     ``work_dir/star``) and optionally a GraphML export.
+
+    ``curate=True`` appends the LLM training-data funnel as a pipeline
+    stage (operators/curation.py — the same oracle-gated transforms as
+    suite/curation.py): decontaminate against ``bench_grams`` (a
+    1-column (gram) DataFrame of held-out n-grams; stage skipped when
+    None) -> PII-redact -> context-window chunk -> pack into token
+    budgets per language stratum. Adds checkpointed ``curated_docs``,
+    ``chunks``, ``packed_sequences`` tables.
     """
     res = IngestResult()
 
@@ -196,6 +206,50 @@ def ingest(
             return sinks.write_graphml(nodes, kept, graphml_path)
 
         res["graphml_counts"] = step("export_graphml", export_graphml)
+
+    # 10 (optional): LLM training-data curation funnel over the
+    # extracted corpus — runs after coref so entity tables come from
+    # the UNREDACTED text (matching the reference's graph), while the
+    # training-mix tables are decontaminated + redacted.
+    if curate:
+        from ..functions import text as tx
+
+        def run_curate():
+            clean = docs
+            if bench_grams is not None:
+                tainted = curation.decontaminate_scores(docs, bench_grams)
+                clean = docs.join(tainted, "doc_id", "left_anti")
+            from pyspark.sql import functions as F
+
+            red = curation.redact_pii(clean)
+            curated = _checkpoint(
+                red.select(
+                    "doc_id", "name", "path",
+                    F.col("text_redacted").alias("text"),
+                    "n_emails", "n_phones",
+                ),
+                spark,
+                os.path.join(work_dir, "curated_docs"),
+            )
+            chunks = _checkpoint(
+                curation.chunk_documents(curated),
+                spark,
+                os.path.join(work_dir, "chunks"),
+            )
+            strata = curated.select(
+                "doc_id", tx.lang_id(F.col("text")).alias("lang")
+            )
+            packed = _checkpoint(
+                curation.pack_chunks(chunks, strata),
+                spark,
+                os.path.join(work_dir, "packed_sequences"),
+            )
+            return curated, chunks, packed
+
+        curated, chunks, packed = step("curate_corpus", run_curate)
+        tables["curated_docs"] = curated
+        tables["chunks"] = chunks
+        tables["packed_sequences"] = packed
 
     res.update(tables)
     res["sn_edges"] = sn_edges

@@ -7,6 +7,10 @@ don't cover.
 
 All pure Column logic (scan-stage, whole-stage codegen; the only
 shuffles are the keyed aggregations), each under a DuckDB oracle.
+
+The DataFrame->DataFrame cores live in ``operators/curation.py`` (the
+same code ``plans/ingest.py`` composes into its curate stage); these
+queries are thin oracle-gated wrappers over them.
 """
 
 from __future__ import annotations
@@ -16,11 +20,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CHUNK_TOKENS = 64  # context-window size (tokens)
-CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
-DECON_N = 5  # n-gram order for decontamination
+from ..operators.curation import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    DECON_N,
+    PACK_BUDGET,
+    REP_N,
+    chunk_documents,
+    decontaminate_scores,
+    doc_ngrams,
+    pack_chunks,
+    redact_pii,
+)
+
 BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" set
-REP_N = 3  # n-gram order for repetition scoring
 
 _EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
 _PHONE_RE = r"\+?[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
@@ -38,24 +51,7 @@ def q_doc_chunking(spark, sf_dir):
     expressions; ``posexplode`` multiplies rows in the scan stage. At
     100 TB this is the shape you want — chunking is embarrassingly
     parallel and never leaves the input partitioning."""
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
-    return (
-        d.filter(F.length("text") > 0)
-        .select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_idx", "start"))
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.array_join(
-                F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS), " "
-            ).alias("chunk_text"),
-            F.least(
-                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start")
-            ).cast("long").alias("n_chunk_tokens"),
-        )
-    )
+    return chunk_documents(_docs(spark, sf_dir))
 
 
 ORACLE_DOC_CHUNKING = f"""
@@ -63,7 +59,7 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
   FROM documents WHERE len(text) > 0
 ),
-idx AS (SELECT unnest(range(4096)) AS i)
+idx AS (SELECT unnest(range((SELECT coalesce(max(len(string_split(text, ' '))), 0) + 1 FROM documents))) AS i)
 SELECT doc_id,
        CAST(i AS BIGINT) AS chunk_idx,
        array_to_string(t[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
@@ -82,26 +78,11 @@ def q_decontaminate(spark, sf_dir):
     corpus side never shuffles for the join; the per-doc rollup is the
     one keyed aggregation. Output: per contaminated doc, how many of
     its grams are tainted — the score used to drop or quarantine."""
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("t") - DECON_N),
-        lambda i: F.array_join(F.slice(F.col("t"), i + 1, DECON_N), " "),
-    )
-    with_grams = d.filter(F.size("t") >= DECON_N).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    )
-    bench = (
-        with_grams.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select("gram")
-        .distinct()
-    )
-    train = with_grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    hits = train.join(F.broadcast(bench), "gram")
-    return (
-        hits.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tainted_grams"))
-        .select("doc_id", "n_tainted_grams")
-    )
+    d = _docs(spark, sf_dir)
+    bench_grams = doc_ngrams(d.filter(F.col("doc_id") % BENCH_MOD == 0), DECON_N)
+    return decontaminate_scores(
+        d.filter(F.col("doc_id") % BENCH_MOD != 0), bench_grams, DECON_N
+    ).select("doc_id", "n_tainted_grams")
 
 
 ORACLE_DECONTAMINATE = f"""
@@ -112,7 +93,7 @@ WITH toks AS (
 grams AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i+1 : i+{DECON_N}], ' ') AS gram
-  FROM toks JOIN (SELECT unnest(range(4096)) AS i) idx
+  FROM toks JOIN (SELECT unnest(range((SELECT coalesce(max(len(string_split(text, ' '))), 0) + 1 FROM documents))) AS i) idx
     ON i <= len(t) - {DECON_N}
 ),
 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0)
@@ -152,17 +133,8 @@ def q_pii_redact(spark, sf_dir):
         .otherwise(F.col("text"))
     )
     with_pii = d.select("doc_id", injected.alias("text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE, "<PHONE>",
-    )
-    return with_pii.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
-        .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
-        .cast("long").alias("n_phones"),
-        redacted.alias("text_redacted"),
+    return redact_pii(with_pii).select(
+        "doc_id", "n_emails", "n_phones", "text_redacted"
     )
 
 
@@ -222,7 +194,7 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, array_to_string(t[i+1 : i+{REP_N}], ' ') AS gram
-  FROM toks JOIN (SELECT unnest(range(4096)) AS i) idx
+  FROM toks JOIN (SELECT unnest(range((SELECT coalesce(max(len(string_split(text, ' '))), 0) + 1 FROM documents))) AS i) idx
     ON i <= len(t) - {REP_N}
 )
 SELECT doc_id,
@@ -249,9 +221,6 @@ ORACLES = {
 }
 
 
-PACK_BUDGET = 256  # tokens per training sequence
-
-
 def q_sequence_packing(spark, sf_dir):
     """Pack chunked documents into fixed token budgets — the step
     between chunking and batching in a pretraining pipeline. Greedy
@@ -266,26 +235,8 @@ def q_sequence_packing(spark, sf_dir):
     Output: (lang, doc_id, chunk_idx, n_chunk_tokens, pack_id,
     pack_offset) where pack_offset is the chunk's starting token
     position inside its pack."""
-    from pyspark.sql import Window
-
-    chunks = q_doc_chunking(spark, sf_dir).select(
-        "doc_id", "chunk_idx", "n_chunk_tokens"
-    )
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    c = chunks.join(d, "doc_id")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id", "chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_chunk_tokens").over(w)
-    return c.select(
-        "lang", "doc_id", "chunk_idx", "n_chunk_tokens",
-        F.floor((cum - F.col("n_chunk_tokens")) / PACK_BUDGET)
-        .cast("long").alias("pack_id"),
-        ((cum - F.col("n_chunk_tokens")) % PACK_BUDGET)
-        .cast("long").alias("pack_offset"),
-    )
+    d = _docs(spark, sf_dir)
+    return pack_chunks(chunk_documents(d), d.select("doc_id", "lang"))
 
 
 ORACLE_SEQUENCE_PACKING = f"""
@@ -321,38 +272,102 @@ def q_curation_funnel(spark, sf_dir):
     what a mixing recipe consumes. One corpus scan + one tiny
     aggregation per stage; a hash match here proves the STAGES
     COMPOSE (same row set survives in both engines), which the
-    per-stage gates alone don't show."""
+    per-stage gates alone don't show.
+
+    Plan note (r5): the heavy per-doc expressions are STAGED as
+    projected columns (PLANS.md 'higher-order-function inlining
+    trap') — the naive composed form inlined the tokenizer into every
+    per-language hit count and the gram array into three references,
+    re-splitting each document ~10x (measured 6.5 s -> ~1 s at
+    sf0.1); the scan is also repartitioned since per-row compute
+    dominates and the testdata parquet is single-split."""
     from ..functions import text as tx
 
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    langs = sorted(tx.STOPWORDS)
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - REP_N),
-        lambda i: F.array_join(F.slice(toks, i + 1, REP_N), " "),
+        F.sequence(F.lit(0), F.size("_st") - REP_N),
+        lambda i: F.array_join(F.slice(F.col("_st"), i + 1, REP_N), " "),
     )
-    dup_micro = F.when(
-        F.size(toks) < REP_N, F.lit(0)
-    ).otherwise(
-        ((F.size(grams) - F.size(F.array_distinct(grams))) * 1_000_000
-         / F.size(grams)).cast("long")
-    )
-    scored = d.select(
+    staged = d.select(
         "doc_id",
-        "text",
-        tx.lang_id(F.col("text")).alias("pred_lang"),
-        tx.quality_score_micro(F.col("text")).alias("quality_micro"),
-        tx.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
-        dup_micro.alias("dup_micro"),
+        tx.tokens(F.col("text")).alias("_toks"),
+        F.split(F.col("text"), " ").alias("_st"),
         F.md5("text").alias("content_md5"),
+        tx.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        tx.alpha_ratio(F.col("text")).alias("_alpha"),
+    ).select(
+        "doc_id", "content_md5", "n_tokens", "_alpha",
+        F.size("_toks").alias("_ntok"),
+        F.when(F.size("_st") >= REP_N, grams)
+        .otherwise(F.array().cast("array<string>")).alias("_grams"),
+        F.aggregate(
+            F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("_toklen"),
+        *[
+            tx.stopword_hits(F.col("_toks"), lang).alias(f"_h_{lang}")
+            for lang in langs
+        ],
+    )
+    # quality_score_micro, re-expressed over the staged columns with
+    # the identical IEEE op sequence (same doubles -> same floor)
+    mean_len = F.when(
+        F.col("_ntok") > 0,
+        F.col("_toklen").cast("double") / F.col("_ntok").cast("double"),
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when(
+        (mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        F.col("_ntok") > 0,
+        F.col("_h_en").cast("double") / F.col("_ntok").cast("double"),
+    ).otherwise(F.lit(0.0))
+    quality = F.floor(
+        (0.5 * F.col("_alpha") + 0.25 * len_ok
+         + 0.25 * F.least(stop_ratio * 5.0, F.lit(1.0))) * 1000000.0
+    ).cast("long")
+    n_grams = F.size("_grams")
+    dup_micro = F.when(n_grams == 0, F.lit(0)).otherwise(
+        ((n_grams - F.size(F.array_distinct("_grams"))) * 1_000_000
+         / n_grams).cast("long")
+    )
+    # _nd is a pushdown barrier: PushPredicateThroughProject requires
+    # an all-deterministic project list, so the quality/dup filters
+    # below evaluate HERE on the staged attributes instead of being
+    # substituted through the staging projections and re-inlined into
+    # a single-partition scan filter (measured: 6.3 s single-threaded
+    # filter without the barrier).
+    scored = staged.select(
+        "doc_id",
+        tx.lang_id_from_hits(
+            {lang: F.col(f"_h_{lang}") for lang in langs}
+        ).alias("pred_lang"),
+        quality.alias("quality_micro"),
+        "n_tokens",
+        dup_micro.alias("dup_micro"),
+        "content_md5",
+        F.spark_partition_id().alias("_nd"),
     )
     keeper = scored.groupBy("content_md5").agg(
         F.min("doc_id").alias("keep_doc_id")
     )
-    kept = (
-        scored.join(F.broadcast(keeper), "content_md5")
-        .filter(F.col("doc_id") == F.col("keep_doc_id"))
-        .filter(F.col("quality_micro") >= QUALITY_MIN_MICRO)
-        .filter(F.col("dup_micro") <= REP_MAX_MICRO)
+    # One combined filter with a never-true nondeterministic guard
+    # (`_nd < 0`; spark_partition_id() is always >= 0): Catalyst does
+    # not push or substitute nondeterministic predicates, so the
+    # survivor conditions evaluate HERE against the staged
+    # quality/dup attributes. Without the guard, ColumnPruning drops
+    # _nd and PushPredicateThroughProject re-inlines the full scoring
+    # expressions into the scan filter — single-threaded on the
+    # single-split testdata parquet (measured 6.3 s vs ~1 s).
+    kept = scored.join(F.broadcast(keeper), "content_md5").filter(
+        (
+            (F.col("doc_id") == F.col("keep_doc_id"))
+            & (F.col("quality_micro") >= QUALITY_MIN_MICRO)
+            & (F.col("dup_micro") <= REP_MAX_MICRO)
+        )
+        | (F.col("_nd") < 0)
     )
     return (
         kept.groupBy("pred_lang")
@@ -378,7 +393,7 @@ WITH scored AS (
            SELECT CAST((count(*) - count(DISTINCT g)) * 1000000 // count(*) AS BIGINT)
            FROM (
              SELECT array_to_string((string_split(text, ' '))[i+1 : i+{REP_N}], ' ') AS g
-             FROM (SELECT unnest(range(4096)) AS i) ix
+             FROM (SELECT unnest(range((SELECT coalesce(max(len(string_split(text, ' '))), 0) + 1 FROM documents))) AS i) ix
              WHERE i <= len(string_split(text, ' ')) - {REP_N}
            ) gg
          ) END AS dup_micro,

@@ -477,6 +477,51 @@ def q_events_approx_profile(spark, sf_dir):
     )
 
 
+def q_events_exact_profile(spark, sf_dir):
+    """Exact twin of ``events_approx_profile``, sharing its lineage
+    (same loader, same grouping, same measures) but computed with
+    exact countDistinct + exact interpolated percentiles so it sits
+    under the cross-engine hash gate. The sketch query stays rows-only
+    (its estimators differ across engines by construction) and
+    ``tests/test_approx.py`` bounds it against THIS query's answers —
+    so the profile shape is driver-provable and the sketch is
+    error-bounded against the proven values."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("cents", _cents(F.col("value")))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("cents").alias("n_values"),
+            F.expr("percentile(cents, array(0.5, 0.99))").alias("p"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_values").cast("long").alias("n_values"),
+            F.col("p")[0].alias("p50_cents"),
+            F.col("p")[1].alias("p99_cents"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_EXACT_PROFILE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS n_values,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_shipping_priority(spark, sf_dir):
     """TPC-H q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem
     with date predicates on both fact scans, top-10 open orders by
@@ -917,6 +962,7 @@ QUERIES = {
     "supplier_nation_volume": q_supplier_nation_volume,
     "value_percentiles": q_value_percentiles,
     "events_approx_profile": q_events_approx_profile,
+    "events_exact_profile": q_events_exact_profile,
     "revenue_by_nation": q_revenue_by_nation,
     "revenue_by_nation_salted": q_revenue_by_nation_salted,
     "top_customers": q_top_customers,
@@ -941,6 +987,7 @@ ORACLES = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "supplier_nation_volume": ORACLE_SUPPLIER_NATION_VOLUME,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
+    "events_exact_profile": ORACLE_EVENTS_EXACT_PROFILE,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "revenue_by_nation_salted": ORACLE_REVENUE_BY_NATION,
     "top_customers": ORACLE_TOP_CUSTOMERS,

@@ -114,16 +114,19 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 3 (plain UTF-8 bytes, an HTML
+    container format chosen by doc_id % 4 (plain UTF-8 bytes, an HTML
     page with head/style/comment chrome and escaped entities, an
-    uncompressed PDF content stream with escaped literal strings),
-    then run the real ``extract_text`` path per format and union. The
-    oracle is the identity (modulo HTML whitespace collapse) — a hash
-    match proves every encode->extract round-trip is exact, i.e. the
+    uncompressed PDF content stream with escaped literal strings, a
+    real zipped .docx with word/document.xml), then run the real
+    ``extract_text`` path per format and union. The oracle is the
+    identity (modulo HTML/DOCX whitespace collapse) — a hash match
+    proves every encode->extract round-trip is exact, i.e. the
     extractors actually invert the formats (the reference's Tika front
     door, src/TextExtractor.groovy:12-28)."""
-    from ..io.sources import extract_text
+    from ..io.sources import extract_text, render_docx
+    from ..session import ship_package
 
+    ship_package(spark)
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     esc_html = F.replace(
         F.replace(
@@ -140,8 +143,8 @@ def q_extract_text_formats(spark, sf_dir):
         F.lit(")"), F.lit("\\)"),
     )
     fmt = F.element_at(
-        F.array(F.lit("txt"), F.lit("html"), F.lit("pdf")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+        F.array(F.lit("txt"), F.lit("html"), F.lit("pdf"), F.lit("docx")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
     )
     rendered = (
         F.when(fmt == "txt", F.col("text"))
@@ -166,22 +169,29 @@ def q_extract_text_formats(spark, sf_dir):
             F.lit("mem://corpus/"), F.col("doc_id").cast("string"),
             F.lit("."), fmt,
         ).alias("path"),
-        F.encode(rendered, "UTF-8").alias("content"),
+        F.when(fmt == "docx", render_docx(F.col("text")))
+        .otherwise(F.encode(rendered, "UTF-8"))
+        .alias("content"),
         fmt.alias("fmt"),
     )
     parts = [
         extract_text(files.filter(F.col("fmt") == f), extractor=x)
-        for f, x in (("txt", "utf8"), ("html", "html"), ("pdf", "pdf"))
+        for f, x in (
+            ("txt", "utf8"), ("html", "html"),
+            ("pdf", "pdf"), ("docx", "docx"),
+        )
     ]
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out.select("name", "text")
 
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf'][CAST(doc_id % 3 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx'][CAST(doc_id % 4 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 3 = 1
+       CASE WHEN doc_id % 4 IN (1, 3)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
@@ -247,7 +257,9 @@ def _bpe_oracle() -> str:
   SELECT word, cnt, '~' || regexp_replace(word, '(.)', '\1~', 'g') AS s
   FROM vocab
 )""",
-        """idx AS (SELECT unnest(range(512)) AS i)""",
+        # position bound derived from the data (longest vocab word),
+        # not a fixed literal — a silent-truncation hazard otherwise
+        """idx AS (SELECT unnest(range((SELECT coalesce(max(len(word)), 0) + 2 FROM vocab))) AS i)""",
     ]
     for k in range(1, BPE_N_MERGES + 1):
         p = k - 1
