@@ -79,19 +79,26 @@ def _merge_fold(l: str, r: str) -> "F.Column":
     )
 
 
-def learn_bpe_merges(words: DataFrame, n_merges: int) -> list[tuple]:
+def learn_bpe_merges(
+    words: DataFrame, n_merges: int, checkpoint_every: int = 8
+) -> list[tuple]:
     """words(word, cnt) -> [(iteration, left, right, pair_count)].
 
-    Each iteration materializes the vocabulary (persist + count) so
-    the per-iteration action doesn't recompute the whole lineage —
-    the same iterative-algorithm discipline as PageRank
-    (suite/graph_q.py), with the state table being the vocabulary.
-    """
+    The base vocabulary is persisted once; iterations chain their
+    merge folds LAZILY on top of it and re-materialize (persist +
+    count, dropping the previous cache) only every
+    ``checkpoint_every`` iterations — the same keep-lineage-short
+    discipline as PageRank (suite/graph_q.py), but without paying a
+    persist/count/unpersist round-trip per iteration (measured: the
+    per-iteration cache churn was most of the wall clock at small
+    vocab sizes; re-running <= checkpoint_every folds over the cached
+    vocabulary is cheaper than one driver-side unpersist)."""
     vocab = words.select(
         "word", F.col("cnt").cast("long").alias("cnt"),
         F.split("word", "").alias("symbols"),
     ).persist()
     vocab.count()
+    checkpointed = vocab
 
     merges: list[tuple] = []
     for it in range(1, n_merges + 1):
@@ -105,11 +112,13 @@ def learn_bpe_merges(words: DataFrame, n_merges: int) -> list[tuple]:
             break
         b = best[0]
         merges.append((it, b["l"], b["r"], b["pair_count"]))
-        nxt = vocab.select(
+        vocab = vocab.select(
             "word", "cnt", _merge_fold(b["l"], b["r"]).alias("symbols")
-        ).persist()
-        nxt.count()
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+        )
+        if it % checkpoint_every == 0:
+            vocab = vocab.persist()
+            vocab.count()
+            checkpointed.unpersist()
+            checkpointed = vocab
+    checkpointed.unpersist()
     return merges

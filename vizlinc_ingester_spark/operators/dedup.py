@@ -202,7 +202,14 @@ def hashed_shingle_docs(documents: DataFrame, text_col: str = "text") -> DataFra
     attribute, not a re-evaluated split() (see shingles_from_tokens).
     CollapseProject keeps the two selects separate because the alias
     is non-cheap and multiply-referenced."""
-    with_toks = documents.filter(
+    # repartition first: the md5-per-shingle transform is per-row
+    # compute and the testdata parquet is single-split (PLANS.md
+    # 'Single-split inputs') — without this the whole hashing pass
+    # runs in one task
+    spark = documents.sparkSession
+    with_toks = documents.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).filter(
         F.size(tokens(F.col(text_col))) >= SHINGLE_K
     ).select("doc_id", tokens(F.col(text_col)).alias("_toks"))
     return with_toks.select(
@@ -253,12 +260,26 @@ def minhash_lsh_verified(
     band buckets -> candidate pairs -> exact-Jaccard verify. The
     hashed-shingle relation is persisted: it feeds three branches
     (signatures, sizes, intersection) and recomputing it would triple
-    the scan+md5 work.
+    the scan+md5 work. Result memoized per (session, input plan) so
+    repeat calls don't stack persisted intermediates
+    (session.plan_memo).
 
     ``vectorized=True`` computes signatures with the numpy sweep
     (``minhash_signatures_vec``) instead of the interpreted JVM fold —
     bit-identical output (integer arithmetic), measurably faster once
     shingle counts grow."""
+    from ..session import plan_key, plan_memo
+
+    return plan_memo(
+        documents.sparkSession,
+        plan_key(documents, "minhash_lsh_verified", text_col, vectorized),
+        lambda: _minhash_lsh_verified(documents, text_col, vectorized),
+    )
+
+
+def _minhash_lsh_verified(
+    documents: DataFrame, text_col: str, vectorized: bool
+) -> DataFrame:
     if vectorized:
         from ..session import ship_package
 
@@ -377,6 +398,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     vectorized: bool = False,
+    _memo: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED recall for
     ``max_hamming <= 3``: band the 16-bit hash into 4 disjoint 4-bit
@@ -391,8 +413,19 @@ def simhash_near_dups(
     materialized before the self-join — both join sides are the same
     subplan and Spark would otherwise run the full tokenize+hash scan
     twice. The cached relation is 12 bytes/doc: cacheable at any
-    corpus size that fits a cluster at all."""
+    corpus size that fits a cluster at all. Result memoized per
+    (session, input plan) — see session.plan_memo."""
     from ..functions.hashing import hamming16
+    from ..session import plan_key, plan_memo
+
+    if _memo:
+        return plan_memo(
+            documents.sparkSession,
+            plan_key(documents, "simhash_near_dups", text_col, max_hamming, vectorized),
+            lambda: simhash_near_dups(
+                documents, text_col, max_hamming, vectorized, _memo=False
+            ),
+        )
 
     n_bands, band_bits = 4, 4
     if max_hamming >= n_bands:

@@ -42,7 +42,6 @@ test pins them together.
 from __future__ import annotations
 
 import re
-import weakref
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -50,16 +49,12 @@ from pyspark.sql import functions as F
 from ..functions.normalize import all_numbers_match
 from ..operators.coref import LEVENSHTEIN_MAX
 
-# Memoize results per (session, input-plan semantic hash, params):
-# each call persists its windowed relation (two consumers), so a
+# Results are memoized per (session, input plan) via session.plan_memo
+# — each call persists its windowed relation (two consumers), and a
 # long-lived suite/bench session would otherwise accumulate one
-# orphaned cache entry per CALL (measured: enough pressure to turn a
-# 0.65 s bench query into 3.9 s); and evicting via unpersist costs
-# ~1 s of driver-side CacheManager work per call. Memoizing bounds
-# the entries by distinct *inputs* (a handful per suite) and makes
-# repeat invocations free. Safe because the clustering is a pure
-# function of the input plan.
-_SNC_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# orphaned cache entry per CALL (measured: enough block-manager
+# pressure to turn an unrelated 0.65 s bench query into 3.9 s, and
+# explicit unpersist costs ~1 s of driver-side CacheManager work).
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -111,15 +106,29 @@ def sorted_neighborhood_clusters(
     numPartitions rows, and a map-literal projection. Everything
     JVM-side; zero Python crossings on the data path.
     """
+    from ..session import plan_key, plan_memo
+
     spark = df.sparkSession
-    try:
-        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:  # pragma: no cover - py4j surface drift
-        plan_hash = None
-    memo_key = (plan_hash, tuple(scope_cols), name_col, tiebreak_col, num_partitions)
-    per_session = _SNC_CACHE.setdefault(spark, {})
-    if plan_hash is not None and memo_key in per_session:
-        return per_session[memo_key]
+    key = plan_key(
+        df, "snc", tuple(scope_cols), name_col, tiebreak_col, num_partitions
+    )
+    return plan_memo(
+        spark,
+        key,
+        lambda: _sorted_neighborhood_clusters(
+            df, scope_cols, name_col, tiebreak_col, num_partitions
+        ),
+    )
+
+
+def _sorted_neighborhood_clusters(
+    df: DataFrame,
+    scope_cols: list[str],
+    name_col: str,
+    tiebreak_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    spark = df.sparkSession
     if num_partitions is None:
         # Default: a few range partitions per 8 cores. Each partition
         # is a sequential island scan, so parallelism only has to
@@ -220,7 +229,4 @@ def sorted_neighborhood_clusters(
         cluster = F.coalesce(F.element_at(res_map, gid), gid)
     else:
         cluster = gid
-    out = assigned.select(*cols, cluster.cast("long").alias("cluster_id"))
-    if plan_hash is not None:
-        per_session[memo_key] = out
-    return out
+    return assigned.select(*cols, cluster.cast("long").alias("cluster_id"))

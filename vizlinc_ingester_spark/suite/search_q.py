@@ -39,7 +39,12 @@ SCALE = 1_000_000
 
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = docs(spark, sf_dir)
+    # per-row compute (split+explode) dominates and the testdata
+    # parquet is single-split — run it wide (PLANS.md 'Single-split
+    # inputs'); at real scale file count makes the repartition moot
+    d = docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

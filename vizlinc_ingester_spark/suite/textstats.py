@@ -230,7 +230,9 @@ def q_bpe_merges(spark, sf_dir):
     (same discipline as sn_pagerank's unrolled-CTE oracle)."""
     from ..operators.bpe import learn_bpe_merges
 
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
