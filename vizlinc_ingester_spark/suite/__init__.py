@@ -85,9 +85,12 @@ DRIVER_WINDOW = [
     "events_pivot_hourly", "events_cube", "events_rollup",
     "events_unpivot_roundtrip", "events_json_extract",
     "events_stratified_sample", "value_percentiles", "user_outliers",
-    "events_approx_profile", "users_intersect", "users_full_outer",
-    # (c) oldest-proven rotation (r1/r2 green, untouched since)
-    "doc_scan_filter", "mention_type_filter", "prefix_merge_pairs",
-    "global_id_clusters", "top_mention_per_doc", "union_mentions",
-    "dms_parse", "country_suffix_join", "dedup_exact", "gazetteer_join",
+    "users_intersect", "users_full_outer",
+    # (c) new this round: TPC-H shapes (q7/q13/q16/q22) + LLM track
+    # (bigram LM scoring, BPE encode, corpus mixing)
+    "customer_order_histogram", "idle_rich_customers",
+    "nation_trade_volume", "part_supplier_breadth",
+    "lm_doc_scores", "bpe_encode", "corpus_mixing",
+    # (d) oldest-proven rotation (r1/r2 green, untouched since)
+    "doc_scan_filter", "dedup_exact", "gazetteer_join", "dms_parse",
 ]

@@ -418,3 +418,80 @@ ORDER BY pred_lang
 
 QUERIES["curation_funnel"] = q_curation_funnel
 ORACLES["curation_funnel"] = _funnel_oracle()
+
+
+# --- corpus mixing (source-weighted resampling, round 5) ------------------
+
+#: mixing recipe: per-source repetition factor in basis points
+#: (5000 = 0.5 epochs = downsample half; 15000 = 1.5 epochs =
+#: every doc once + half the docs twice). Derived from the source id
+#: so the fixture is self-describing on the synthetic corpus.
+MIX_BPS = "(1 + (CAST(substr(source, 4) AS INT) % 3)) * 5000"
+
+
+def q_corpus_mixing(spark, sf_dir):
+    """Training-mix assembly: deterministic source-weighted
+    resampling with UP-sampling (epochs > 1), the step that turns a
+    curated corpus + mixing recipe into the actual training stream.
+    Every doc gets floor(w) full copies plus one extra copy iff
+    stable_hash(doc_id) lands under the fractional remainder — so the
+    realized mix converges to the recipe per source, is exactly
+    reproducible (no RNG), and is computed row-local in the scan
+    stage: the only shuffle is the output ordering. At 100 TB this
+    composes with the curation funnel as one more scan-stage column.
+
+    Output: one row per (doc_id, copy) via posexplode — the actual
+    repeated stream a data loader would read, plus the n_copies
+    audit column."""
+    from ..functions.hashing import stable_hash64
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    w_bps = F.expr(MIX_BPS).cast("long")
+    frac_bps = w_bps % 10000
+    extra = (
+        stable_hash64(F.col("doc_id").cast("string")) % 10000 < frac_bps
+    ).cast("long")
+    n_copies = (F.expr(MIX_BPS).cast("long") / 10000).cast("long") + extra
+    with_n = d.select(
+        "doc_id", "source", n_copies.alias("n_copies")
+    ).filter(F.col("n_copies") > 0)
+    return with_n.select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.posexplode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx", "_c"),
+    ).select("doc_id", "source", "n_copies", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+ORACLE_CORPUS_MIXING = f"""
+WITH weighted AS (
+  SELECT doc_id, source,
+         CAST({MIX_BPS} AS BIGINT) AS w_bps,
+         {{h}} AS h
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, source,
+         w_bps // 10000
+           + CASE WHEN h % 10000 < w_bps % 10000 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM weighted
+)
+SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(i AS BIGINT) AS copy_idx
+FROM counted
+JOIN (SELECT unnest(range(3)) AS i) ix ON i < n_copies
+WHERE n_copies > 0
+"""
+
+
+def _mixing_oracle() -> str:
+    from ..functions.hashing import sql_stable_hash64
+
+    return ORACLE_CORPUS_MIXING.format(
+        h=sql_stable_hash64("CAST(doc_id AS VARCHAR)")
+    )
+
+
+QUERIES["corpus_mixing"] = q_corpus_mixing
+ORACLES["corpus_mixing"] = _mixing_oracle()

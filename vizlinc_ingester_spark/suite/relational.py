@@ -999,3 +999,199 @@ ORACLES = {
     "events_json_extract": ORACLE_EVENTS_JSON,
     "events_stratified_sample": ORACLE_EVENTS_SAMPLE,
 }
+
+
+# --- round-5 TPC-H shape extensions --------------------------------------
+
+def q_customer_order_histogram(spark, sf_dir):
+    """TPC-H q13 shape: orders-per-customer distribution. Exercises
+    LEFT OUTER join (customers with zero orders must survive with
+    n_orders = 0) followed by a double aggregation. Plan: the outer
+    join shuffles on custkey once (or broadcasts the smaller side
+    under AQE); both rollups are map-side combinable; the histogram
+    key space (distinct order counts) is tiny at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_HISTOGRAM = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H q22 shape: customers above the average account balance
+    with NO orders, rolled up per nation. Exercises the scalar
+    aggregate subquery (broadcast 1-row crossJoin — never a
+    SinglePartition sort) and the LEFT ANTI join (the scalable EXCEPT
+    shape: shuffles on custkey only). Balance math in exact integer
+    cents; the avg is one exact-int division, bit-identical in both
+    engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    o = _t(spark, sf_dir, "orders")
+    positive = c.filter(F.col("bal_cents") > 0)
+    avg_row = positive.agg(
+        F.sum("bal_cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select((F.col("s") / F.col("n")).alias("avg_bal"))
+    rich = (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("bal_cents").cast("double") > F.col("avg_bal"))
+    )
+    idle_rich = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return (
+        idle_rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+avg_bal AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) * 1.0 / CAST(count(*) AS BIGINT)
+           AS avg_bal
+  FROM bal WHERE bal_cents > 0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM bal, avg_bal
+WHERE CAST(bal_cents AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H q7 shape: shipping volume between two nation pairs by
+    ship year — the 6-table snowflake (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation×2). All dimensions broadcast; the date window
+    pushes into the lineitem scan; volume is exact integer c4."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    vol = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(F.sum(vol).cast("long").alias("volume_c4"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.col("ship_year").cast("long").alias("ship_year"), "volume_c4",
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS volume_c4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q_part_supplier_breadth(spark, sf_dir):
+    """TPC-H q16 shape (partsupp stood in by lineitem's part-supplier
+    pairs): distinct supplier count per (brand, type, size), one brand
+    excluded. Exercises countDistinct under a grouped rollup — the
+    two-level (dedup pairs, then count) plan, both shuffles on the
+    group key."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(p.filter(F.col("p_brand") != "Brand#1")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type",
+            F.col("p_size").cast("long").alias("p_size"), "supplier_cnt",
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_PART_SUPPLIER_BREADTH = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+QUERIES["customer_order_histogram"] = q_customer_order_histogram
+QUERIES["idle_rich_customers"] = q_idle_rich_customers
+QUERIES["nation_trade_volume"] = q_nation_trade_volume
+QUERIES["part_supplier_breadth"] = q_part_supplier_breadth
+ORACLES["customer_order_histogram"] = ORACLE_CUSTOMER_ORDER_HISTOGRAM
+ORACLES["idle_rich_customers"] = ORACLE_IDLE_RICH_CUSTOMERS
+ORACLES["nation_trade_volume"] = ORACLE_NATION_TRADE_VOLUME
+ORACLES["part_supplier_breadth"] = ORACLE_PART_SUPPLIER_BREADTH

@@ -220,6 +220,23 @@ BPE_N_MERGES = 4
 BPE_VOCAB_TOP = 2000
 
 
+def _bpe_vocab(spark, sf_dir) -> DataFrame:
+    """Top BPE_VOCAB_TOP pure-alphabetic corpus words with
+    frequencies — the training set for merge learning AND the input
+    the encoder is applied to."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(BPE_VOCAB_TOP)
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training under the hash gate: learn BPE_N_MERGES
     byte-pair merges over the corpus vocabulary (top BPE_VOCAB_TOP
@@ -230,20 +247,40 @@ def q_bpe_merges(spark, sf_dir):
     (same discipline as sn_pagerank's unrolled-CTE oracle)."""
     from ..operators.bpe import learn_bpe_merges
 
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(BPE_VOCAB_TOP)
-    )
-    merges = learn_bpe_merges(words, BPE_N_MERGES)
+    merges = learn_bpe_merges(_bpe_vocab(spark, sf_dir), BPE_N_MERGES)
     return spark.createDataFrame(
         merges, "iteration long, pair_left string, pair_right string, pair_count long"
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """The ENCODE half of the tokenizer (learn is q_bpe_merges): apply
+    the learned merges in order to the vocabulary and emit the
+    resulting token (symbol) frequency table — what a trained BPE
+    tokenizer produces over a corpus. The greedy left-to-right fold is
+    the same higher-order `aggregate` used during learning; per-merge
+    cost is O(vocab) with the corpus touched only by the vocabulary
+    rollup. The oracle replays learning AND encoding through the same
+    recursive-CTE machinery, so a hash match proves the merges
+    APPLY identically, not just that they were chosen identically."""
+    from ..operators.bpe import _merge_fold, learn_bpe_merges
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = learn_bpe_merges(vocab, BPE_N_MERGES)
+    seqs = vocab.select(
+        "word", "cnt", F.split("word", "").alias("symbols")
+    )
+    for _, l, r, _cnt in merges:
+        seqs = seqs.select("word", "cnt", _merge_fold(l, r).alias("symbols"))
+    return (
+        seqs.select("cnt", F.explode("symbols").alias("symbol"))
+        .filter(F.col("symbol") != "")
+        .groupBy("symbol")
+        .agg(
+            F.sum("cnt").cast("long").alias("token_count"),
+            F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        )
+        .orderBy("symbol")
     )
 
 
@@ -301,5 +338,130 @@ def _bpe_oracle() -> str:
     return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
 
 
+def _bpe_encode_oracle() -> str:
+    """Replays merge learning through the same CTE chain as
+    ``_bpe_oracle`` and then reads the FINAL symbol sequences
+    (seqs_{N}) as the encoded tokens — the encode half shares the
+    learn half's machinery by construction."""
+    learn = _bpe_oracle()
+    ctes = learn[: learn.rindex("\n")]  # strip the merges SELECT
+    final = f"""
+SELECT sym AS symbol,
+       CAST(sum(cnt) AS BIGINT) AS token_count,
+       CAST(count(*) AS BIGINT) AS n_vocab_words
+FROM (SELECT cnt, unnest(string_split(s, '~')) AS sym FROM seqs_{BPE_N_MERGES}) t
+WHERE sym <> ''
+GROUP BY sym
+ORDER BY symbol
+"""
+    return ctes + final
+
+
 QUERIES["bpe_merges"] = q_bpe_merges
+QUERIES["bpe_encode"] = q_bpe_encode
 ORACLES["bpe_merges"] = _bpe_oracle()
+ORACLES["bpe_encode"] = _bpe_encode_oracle()
+
+
+# --- bigram language-model scoring (LLM-track, round 5) -------------------
+
+def q_lm_doc_scores(spark, sf_dir):
+    """Count-based bigram language-model scoring — the KenLM-style
+    quality signal of a pretraining pipeline (docs whose bigrams are
+    improbable under the corpus LM are OCR junk / boilerplate / wrong
+    language). Add-one smoothing: P(w2|w1) = (c2+1)/(c1+V).
+
+    Cross-engine float discipline: each bigram term is floored to
+    integer micro-nats IMMEDIATELY (`floor(1e6 * ln((c2+1)/(c1+V)))`
+    with integer adds before a single cast — identical doubles, same
+    ln input), then summed as exact int64 — so the per-doc total is
+    order-independent and hash-stable (same discipline as tfidf).
+
+    Plan: the corpus is tokenized once; bigram/unigram counts are two
+    map-side-combinable rollups; V is a 1-row broadcast; the model
+    joins back to the per-doc bigram stream on (w1, w2) — at 100 TB
+    that join shuffles on the bigram key (model >> broadcast), and
+    every stage before it is scan-local."""
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        )
+    )
+    big = toked.select("doc_id", bg.alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    uni = toked.select(F.explode("_t").alias("w"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    v_row = uni.agg(F.countDistinct("w").cast("long").alias("v"))
+    model = (
+        c2.join(c1, c2["w1"] == c1["w"])
+        .crossJoin(F.broadcast(v_row))
+        .select(
+            "w1", "w2",
+            F.floor(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1000000.0
+            ).cast("long").alias("term_micro"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("term_micro")).cast("long").alias("nll_micro_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "nll_micro_sum",
+            F.expr("nll_micro_sum div n_bigrams").alias("avg_nll_micro"),
+        )
+    )
+
+
+_SQL_TOKS = tx.sql_tokens("text")
+
+ORACLE_LM_DOC_SCORES = f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+  WHERE len({_SQL_TOKS}) >= 2
+),
+idx AS (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 2) FROM toked))) AS i),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toked JOIN idx ON i <= len(t) - 1
+),
+uni AS (SELECT unnest(t) AS w FROM toked),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+vt AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM uni),
+model AS (
+  SELECT w1, w2,
+         CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS term_micro
+  FROM c2 JOIN c1 ON w1 = w CROSS JOIN vt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(term_micro) AS BIGINT) AS nll_micro_sum,
+       CAST(-sum(term_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS avg_nll_micro
+FROM big JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+QUERIES["lm_doc_scores"] = q_lm_doc_scores
+ORACLES["lm_doc_scores"] = ORACLE_LM_DOC_SCORES
