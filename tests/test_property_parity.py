@@ -107,3 +107,49 @@ def test_token_count_parity(spark, vals):
         lambda c: normalize.token_count(c).cast("long"),
         lambda e: f"CAST({normalize.sql_token_count(e)} AS BIGINT)",
     )
+
+
+# --- distributed sorted-neighborhood == window islands (hypothesis) -------
+
+_NAMEISH = st.lists(
+    st.text(
+        alphabet="AB C12ÁÑ-'",  # tiny alphabet -> dense near-collisions
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(names=_NAMEISH)
+def test_sorted_neighborhood_matches_islands_on_random_names(spark, names):
+    """The distributed form must equal the single-window form on
+    adversarial name lists — dense near-duplicates force boundary
+    merges and multi-partition chains that corpus data rarely hits."""
+    from pyspark.sql import functions as F
+
+    from vizlinc_ingester_spark.operators import coref
+    from vizlinc_ingester_spark.operators.neighborhood import (
+        sorted_neighborhood_clusters,
+    )
+
+    rows = [(i, "T", n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, type string, norm string")
+    got_df = sorted_neighborhood_clusters(
+        df, ["type"], "norm", "id", num_partitions=5
+    )
+    want_df = coref._islands(df, ["type"], "norm", "id")
+
+    def sets(d, col):
+        by = {}
+        for r in d.collect():
+            by.setdefault(r[col], set()).add(r["id"])
+        return sorted((frozenset(v) for v in by.values()), key=min)
+
+    assert sets(got_df, "cluster_id") == sets(want_df, "cluster_seq")
