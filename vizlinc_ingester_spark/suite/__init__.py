@@ -90,7 +90,7 @@ DRIVER_WINDOW = [
     # (bigram LM scoring, BPE encode, corpus mixing)
     "customer_order_histogram", "idle_rich_customers",
     "nation_trade_volume", "part_supplier_breadth",
-    "lm_doc_scores", "bpe_encode", "corpus_mixing",
+    "lm_doc_scores", "bpe_encode", "corpus_mixing", "snapshot_diff",
     # (d) oldest-proven rotation (r1/r2 green, untouched since)
-    "doc_scan_filter", "dedup_exact", "gazetteer_join", "dms_parse",
+    "doc_scan_filter", "dedup_exact", "gazetteer_join",
 ]

@@ -495,3 +495,78 @@ def _mixing_oracle() -> str:
 
 QUERIES["corpus_mixing"] = q_corpus_mixing
 ORACLES["corpus_mixing"] = _mixing_oracle()
+
+
+# --- snapshot diff (recurring-crawl delta, round 5) -----------------------
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style corpus delta: given the previous snapshot and a new
+    crawl, classify every doc_id as added / removed / changed /
+    unchanged — the primitive that turns recurring crawls into
+    incremental training-data updates (only 'added' + 'changed' flow
+    into re-curation; 'removed' triggers takedown propagation).
+
+    Self-deriving fixture: the new snapshot drops doc_id % 11 == 0,
+    rewrites text where doc_id % 7 == 0, and adds fresh ids
+    (doc_id + 10^12 for doc_id % 13 == 0). Comparison is FULL OUTER
+    on doc_id with md5 content compare — one shuffle on the id key,
+    no text moves beyond the scan (md5 computed scan-stage). At
+    100 TB both sides are id-bucketed parquet, so this becomes a
+    co-located merge join with zero extra shuffles."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    old = d.select("doc_id", F.md5("text").alias("old_md5"))
+    new_side = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev2]")),
+                ).otherwise(F.col("text"))
+            ).alias("new_md5"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+                F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("new_md5"),
+            )
+        )
+    )
+    j = old.join(new_side, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_md5").isNull(), "added")
+        .when(F.col("new_md5").isNull(), "removed")
+        .when(F.col("old_md5") != F.col("new_md5"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("doc_id", change.alias("change_type")).filter(
+        F.col("change_type") != "unchanged"
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+new_side AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END)
+           AS new_md5
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, md5('new:' || text) AS new_md5
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT doc_id,
+       CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 <> new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN new_side USING (doc_id)
+WHERE (CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 <> new_md5 THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
