@@ -36,6 +36,7 @@ HEADLINE = [
     "ann_cosine_topk_vec",
     "ann_ivf",
     "ann_lsh",
+    "ann_pq",
     "lang_id",
     "doc_fingerprint",
     "token_topk",

@@ -85,12 +85,14 @@ DRIVER_WINDOW = [
     "events_pivot_hourly", "events_cube", "events_rollup",
     "events_unpivot_roundtrip", "events_json_extract",
     "events_stratified_sample", "value_percentiles", "user_outliers",
-    "users_intersect", "users_full_outer",
+    "users_intersect",
     # (c) new this round: TPC-H shapes (q7/q13/q16/q22) + LLM track
-    # (bigram LM scoring, BPE encode, corpus mixing)
+    # (bigram LM, BPE encode, corpus mixing, snapshot delta, product
+    # quantization: codebook training / codes / ADC search)
     "customer_order_histogram", "idle_rich_customers",
     "nation_trade_volume", "part_supplier_breadth",
     "lm_doc_scores", "bpe_encode", "corpus_mixing", "snapshot_diff",
+    "pq_codebooks", "pq_codes", "ann_pq",
     # (d) oldest-proven rotation (r1/r2 green, untouched since)
-    "doc_scan_filter", "dedup_exact", "gazetteer_join",
+    "gazetteer_join",
 ]

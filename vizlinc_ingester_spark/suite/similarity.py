@@ -402,3 +402,276 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_lsh": ORACLE_ANN_LSH,
 }
+
+
+# --- product quantization (round 5) ---------------------------------------
+
+PQ_M = 4        # subvectors per embedding
+PQ_SUBDIM = 16  # dims per subvector (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_K = 4        # centroids per subvector codebook
+PQ_ITERS = 2    # Lloyd iterations
+
+
+def _pq_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, dim, q): embeddings split into PQ_M subvectors,
+    components quantized to exact integer micro-units (the same
+    discipline as embedding_label_stats — no float sums anywhere)."""
+    e = _emb(spark, sf_dir)
+    dim_val = F.posexplode(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        )
+    )
+    return e.select("vec_id", dim_val.alias("gdim", "q")).select(
+        "vec_id",
+        (F.col("gdim") / PQ_SUBDIM).cast("int").alias("m"),
+        (F.col("gdim") % PQ_SUBDIM).cast("int").alias("dim"),
+        "q",
+    )
+
+
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Integer-exact Lloyd iterations. Assignment and centroid updates
+    are distributed (keyed shuffles on (vec_id, m) and (m, cid, dim));
+    only the codebook itself — PQ_M*PQ_K*PQ_SUBDIM = 256 values,
+    inherently tiny at ANY corpus size — round-trips through the
+    driver per iteration (the same global-argmax pattern as BPE).
+    Empty clusters keep their previous centroid. Distances are exact
+    int64 squared-L2; updates floor(sum/n) on an exact double divide
+    — bit-identical cross-engine, so the whole iterative training
+    sits under the hash gate (PageRank discipline). The trained
+    (comp, codebook) pair is memoized per (session, sf_dir) — three
+    queries (codebooks/codes/ann_pq) share one training run."""
+    from ..session import plan_memo
+
+    return plan_memo(
+        spark,
+        ("pq_train", os.path.abspath(sf_dir)),
+        lambda: _pq_train_impl(spark, sf_dir),
+    )
+
+
+def _pq_train_impl(spark: SparkSession, sf_dir: str):
+    comp = _pq_comp(spark, sf_dir).persist()
+    # seeds: the first PQ_K vectors' subvectors
+    cents = {
+        (r["m"], int(r["vec_id"]), r["dim"]): r["q"]
+        for r in comp.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    for _ in range(PQ_ITERS):
+        cdf = spark.createDataFrame(
+            [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
+            "m int, cid int, dim int, c long",
+        )
+        diff = F.col("q") - F.col("c")
+        assign = (
+            comp.join(F.broadcast(cdf), ["m", "dim"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(F.sum(diff * diff).cast("long").alias("d2"))
+            .groupBy("vec_id", "m")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+        )
+        sums = (
+            comp.join(assign, ["vec_id", "m"])
+            .groupBy("m", "cid", "dim")
+            .agg(
+                F.sum("q").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .select(
+                "m", "cid", "dim",
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+                .cast("long").alias("c"),
+            )
+            .collect()
+        )
+        new_cents = dict(cents)  # empty clusters keep previous centroid
+        for r in sums:
+            new_cents[(r["m"], r["cid"], r["dim"])] = r["c"]
+        cents = new_cents
+    return comp, cents
+
+
+def q_pq_codebooks(spark, sf_dir):
+    """PQ codebook training under the hash gate — the memory-scale
+    path for embedding search (64 dims -> PQ_M byte codes). The
+    oracle replays every Lloyd iteration as unrolled CTEs, so a hash
+    match proves assignment, update, tie-breaks and empty-cluster
+    handling all agree across engines."""
+    _comp, cents = _pq_train(spark, sf_dir)
+    rows = [(m, c, d, v) for (m, c, d), v in sorted(cents.items())]
+    return spark.createDataFrame(
+        rows, "m long, cid long, dim long, c_micro long"
+    ).orderBy("m", "cid", "dim")
+
+
+def q_pq_codes(spark, sf_dir):
+    """The ENCODE half of PQ: every vector's per-subvector nearest
+    final centroid — the actual compressed representation (PQ_M small
+    ints per vector instead of 64 floats; at 100 TB this is what the
+    ANN index stores). Distributed assignment against the broadcast
+    codebook; deterministic (distance, cid) tie-break."""
+    comp, cents = _pq_train(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
+        "m int, cid int, dim int, c long",
+    )
+    diff = F.col("q") - F.col("c")
+    out = (
+        comp.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).cast("long").alias("cid"),
+            F.min(F.struct("d2", "cid")).getField("d2").alias("d2"),
+        )
+        .select(
+            "vec_id", F.col("m").cast("long").alias("m"), "cid",
+            F.col("d2").cast("long").alias("d2"),
+        )
+    )
+    return out
+
+
+def _pq_oracle_ctes() -> str:
+    comp = f"""comp AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS INT) AS m,
+         CAST((generate_subscripts(embedding, 1) - 1) % {PQ_SUBDIM} AS INT) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+)"""
+    ctes = [comp, f"""c_0 AS (
+  SELECT m, CAST(vec_id AS INT) AS cid, dim, q AS c
+  FROM comp WHERE vec_id < {PQ_K}
+)"""]
+    for it in range(1, PQ_ITERS + 1):
+        p = it - 1
+        ctes.append(f"""d_{it} AS (
+  SELECT vec_id, comp.m, cid, CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+  FROM comp JOIN c_{p} ON comp.m = c_{p}.m AND comp.dim = c_{p}.dim
+  GROUP BY vec_id, comp.m, cid
+)""")
+        ctes.append(f"""a_{it} AS (
+  SELECT vec_id, m, cid FROM d_{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+)""")
+        ctes.append(f"""s_{it} AS (
+  SELECT comp.m, cid, dim,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+  FROM comp JOIN a_{it} ON comp.vec_id = a_{it}.vec_id AND comp.m = a_{it}.m
+  GROUP BY comp.m, cid, dim
+)""")
+        ctes.append(f"""c_{it} AS (
+  SELECT c_{p}.m, c_{p}.cid, c_{p}.dim, coalesce(s_{it}.c, c_{p}.c) AS c
+  FROM c_{p} LEFT JOIN s_{it}
+    ON c_{p}.m = s_{it}.m AND c_{p}.cid = s_{it}.cid AND c_{p}.dim = s_{it}.dim
+)""")
+    return "WITH " + ",\n".join(ctes)
+
+
+ORACLE_PQ_CODEBOOKS = _pq_oracle_ctes() + f"""
+SELECT CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS cid,
+       CAST(dim AS BIGINT) AS dim, c AS c_micro
+FROM c_{PQ_ITERS}
+ORDER BY m, cid, dim
+"""
+
+ORACLE_PQ_CODES = _pq_oracle_ctes() + f""",
+d_final AS (
+  SELECT vec_id, comp.m, cid, CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+  FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
+  GROUP BY vec_id, comp.m, cid
+)
+SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cid AS BIGINT) AS cid, d2
+FROM d_final
+QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+"""
+
+QUERIES["pq_codebooks"] = q_pq_codebooks
+QUERIES["pq_codes"] = q_pq_codes
+ORACLES["pq_codebooks"] = ORACLE_PQ_CODEBOOKS
+ORACLES["pq_codes"] = ORACLE_PQ_CODES
+
+
+def q_ann_pq(spark, sf_dir):
+    """ANN via PQ asymmetric distance (ADC): queries score the corpus
+    through a per-(query, subvector, centroid) lookup table instead of
+    touching raw vectors — the memory-bounded search PQ exists for (at
+    100 TB the index holds PQ_M small ints per vector; the distance
+    table is n_queries*PQ_M*PQ_K rows, always broadcastable). Exact
+    int64 distances, (distance, vec_id) deterministic ranking, top-K
+    per query. Codebook + codes come from the gated training run."""
+    comp, cents = _pq_train(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
+        "m int, cid int, dim int, c long",
+    )
+    diff = F.col("q") - F.col("c")
+    codes = (
+        comp.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    # per-(query, m, cid) distance table — tiny, broadcast
+    qcomp = comp.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "m", "dim", F.col("q").alias("qq")
+    )
+    qtab = (
+        qcomp.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("qid", "m", "cid")
+        .agg(
+            F.sum((F.col("qq") - F.col("c")) * (F.col("qq") - F.col("c")))
+            .cast("long").alias("qd2")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").cast("long").alias("adc"))
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "vec_id", "adc", "rnk")
+    )
+
+
+ORACLE_ANN_PQ = _pq_oracle_ctes() + f""",
+d_final AS (
+  SELECT vec_id, comp.m, cid, CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+  FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
+  GROUP BY vec_id, comp.m, cid
+),
+codes AS (
+  SELECT vec_id, m, cid FROM d_final
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+qtab AS (
+  SELECT comp.vec_id AS qid, comp.m, cid,
+         CAST(sum((q - c) * (q - c)) AS BIGINT) AS qd2
+  FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
+  WHERE comp.vec_id % {QUERY_MOD} = 0
+  GROUP BY comp.vec_id, comp.m, cid
+),
+scored AS (
+  SELECT qid, codes.vec_id, CAST(sum(qd2) AS BIGINT) AS adc
+  FROM codes JOIN qtab ON codes.m = qtab.m AND codes.cid = qtab.cid
+  GROUP BY qid, codes.vec_id
+)
+SELECT qid, vec_id, adc,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS BIGINT)
+         AS rnk
+FROM scored
+WHERE qid <> vec_id
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) <= {TOPK}
+"""
+
+QUERIES["ann_pq"] = q_ann_pq
+ORACLES["ann_pq"] = ORACLE_ANN_PQ
