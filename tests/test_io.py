@@ -227,3 +227,40 @@ def test_docx_extractor_multiparagraph_and_junk(spark):
     assert _extract_one(spark, buf.getvalue(), "docx") == "Hello a &<b>"
     # non-zip bytes -> NULL, not an exception
     assert _extract_one(spark, b"not a zip at all", "docx") is None
+
+
+def test_odt_extractor_roundtrip(spark):
+    from vizlinc_ingester_spark.io.sources import _odt_bytes_of_text
+
+    odt = _odt_bytes_of_text("Olá <mundo> & friends\n\nnext para")
+    assert _extract_one(spark, odt, "odt") == "Olá <mundo> & friends next para"
+    assert _extract_one(spark, b"not a zip", "odt") is None
+
+
+def test_odt_extractor_nested_spans(spark):
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?><office:document-content>'
+        "<office:body><office:text>"
+        '<text:h text:outline-level="1">Head</text:h>'
+        "<text:p>a <text:span>b&amp;c</text:span> d</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", content)
+    assert _extract_one(spark, buf.getvalue(), "odt") == "Head a b&c d"
+
+
+def test_rtf_extractor(spark):
+    rtf = (
+        rb"{\rtf1\ansi\deff0 {\fonttbl f0} {\*\generator skipme;}"
+        rb"Hello \b bold\b0  world\par"
+        rb" braces \{x\} and back\\slash\tab end\par}"
+    )
+    assert (
+        _extract_one(spark, rtf, "rtf")
+        == "f0 Hello bold world braces {x} and back\\slash end"
+    )

@@ -240,6 +240,108 @@ def _docx_extract_udf(content: pd.Series) -> pd.Series:
     return content.map(_docx_text_of_bytes)
 
 
+# --- ODT (OpenDocument text): zip + content.xml, text in <text:p>/<text:h>
+# paragraphs with nested spans — same machinery as DOCX.
+
+def _odt_text_of_bytes(b) -> str | None:
+    import io as _io
+    import re as _re
+    import zipfile
+
+    if b is None:
+        return None
+    try:
+        with zipfile.ZipFile(_io.BytesIO(bytes(b))) as zf:
+            xml = zf.read("content.xml").decode("utf-8", "replace")
+    except Exception:
+        return None
+    paras = []
+    for p in _re.findall(r"(?s)<text:[ph][ >].*?</text:[ph]>", xml):
+        inner = _re.sub(r"(?s)<[^>]+>", "", p)
+        paras.append(inner)
+    out = " ".join(paras)
+    for ent, ch in _XML_ENTITIES:
+        out = out.replace(ent, ch)
+    return _re.sub(r"\s+", " ", out).strip()
+
+
+def _odt_bytes_of_text(text: str) -> bytes:
+    import io as _io
+    import zipfile
+
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text><text:p><text:span>"
+        + esc
+        + "</text:span></text:p></office:text></office:body>"
+        "</office:document-content>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in (
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("content.xml", content),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data, compress_type=zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+@F.pandas_udf(T.StringType())
+def _odt_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_odt_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_odt(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _odt_bytes_of_text(t))
+
+
+def odt_extract(content: "F.Column") -> "F.Column":
+    return _odt_extract_udf(content)
+
+
+# --- RTF: text-based format, extractable with pure Column regex (JVM,
+# scan-stage, same family as html/pdf). Documented subset: character
+# escapes (\\ \{ \}), \par/\tab/\line breaks, skip-destinations
+# ({\*\...} without nested braces), control-word stripping. Nested
+# destination groups (\fonttbl with embedded groups) need a real
+# parser — out of the honest subset, like compressed PDF streams.
+
+_RTF_ESC = {"\\\\": "\x02", "\\{": "\x03", "\\}": "\x04"}
+
+
+def rtf_extract(content: "F.Column") -> "F.Column":
+    t = F.decode(content, "UTF-8")
+    for esc, mark in _RTF_ESC.items():
+        t = F.replace(t, F.lit(esc), F.lit(mark))
+    t = F.regexp_replace(t, r"\{\\\*[^{}]*\}", " ")  # skip-destinations
+    t = F.regexp_replace(t, r"\\(par|tab|line)\b ?", " ")
+    t = F.regexp_replace(t, r"\\[a-zA-Z]+-?[0-9]* ?", "")  # control words
+    t = F.regexp_replace(t, r"[{}]", " ")
+    for esc, mark in (("\\", "\x02"), ("{", "\x03"), ("}", "\x04")):
+        t = F.replace(t, F.lit(mark), F.lit(esc))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def rtf_render(text: "F.Column") -> "F.Column":
+    """Column-side RTF fixture renderer (inverse of the extractor's
+    subset): escape the three specials, wrap in a document group."""
+    esc = F.replace(text, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("{"), F.lit("\\{"))
+    esc = F.replace(esc, F.lit("}"), F.lit("\\}"))
+    return F.concat(
+        F.lit("{\\rtf1\\ansi\\deff0 "),
+        esc,
+        F.lit("\\par}"),
+    )
+
+
 @F.pandas_udf(T.BinaryType())
 def render_docx(text: pd.Series) -> pd.Series:
     return text.map(lambda t: None if t is None else _docx_bytes_of_text(t))
@@ -253,6 +355,8 @@ _EXTRACTORS: dict = {
     "html": html_extract,
     "pdf": pdf_extract,
     "docx": docx_extract,
+    "odt": odt_extract,
+    "rtf": rtf_extract,
 }
 
 

@@ -114,16 +114,17 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 4 (plain UTF-8 bytes, an HTML
+    container format chosen by doc_id % 6 (plain UTF-8 bytes, an HTML
     page with head/style/comment chrome and escaped entities, an
     uncompressed PDF content stream with escaped literal strings, a
-    real zipped .docx with word/document.xml), then run the real
+    real zipped .docx with word/document.xml, a real zipped .odt with
+    content.xml, an RTF document group), then run the real
     ``extract_text`` path per format and union. The oracle is the
-    identity (modulo HTML/DOCX whitespace collapse) — a hash match
-    proves every encode->extract round-trip is exact, i.e. the
-    extractors actually invert the formats (the reference's Tika front
-    door, src/TextExtractor.groovy:12-28)."""
-    from ..io.sources import extract_text, render_docx
+    identity (modulo whitespace collapse for the markup formats) — a
+    hash match proves every encode->extract round-trip is exact, i.e.
+    the extractors actually invert the formats (the reference's Tika
+    front door, src/TextExtractor.groovy:12-28)."""
+    from ..io.sources import extract_text, render_docx, render_odt, rtf_render
     from ..session import ship_package
 
     ship_package(spark)
@@ -143,8 +144,11 @@ def q_extract_text_formats(spark, sf_dir):
         F.lit(")"), F.lit("\\)"),
     )
     fmt = F.element_at(
-        F.array(F.lit("txt"), F.lit("html"), F.lit("pdf"), F.lit("docx")),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        F.array(
+            F.lit("txt"), F.lit("html"), F.lit("pdf"),
+            F.lit("docx"), F.lit("odt"), F.lit("rtf"),
+        ),
+        (F.col("doc_id") % 6 + 1).cast("int"),
     )
     rendered = (
         F.when(fmt == "txt", F.col("text"))
@@ -157,12 +161,14 @@ def q_extract_text_formats(spark, sf_dir):
                 F.lit("</p></body></html>"),
             ),
         )
-        .otherwise(
+        .when(
+            fmt == "pdf",
             F.concat(
                 F.lit("%PDF-1.4\nBT /F1 12 Tf ("), esc_pdf,
                 F.lit(") Tj ET\n%%EOF"),
             )
         )
+        .otherwise(rtf_render(F.col("text")))
     )
     files = d.select(
         F.concat(
@@ -170,6 +176,7 @@ def q_extract_text_formats(spark, sf_dir):
             F.lit("."), fmt,
         ).alias("path"),
         F.when(fmt == "docx", render_docx(F.col("text")))
+        .when(fmt == "odt", render_odt(F.col("text")))
         .otherwise(F.encode(rendered, "UTF-8"))
         .alias("content"),
         fmt.alias("fmt"),
@@ -177,8 +184,8 @@ def q_extract_text_formats(spark, sf_dir):
     parts = [
         extract_text(files.filter(F.col("fmt") == f), extractor=x)
         for f, x in (
-            ("txt", "utf8"), ("html", "html"),
-            ("pdf", "pdf"), ("docx", "docx"),
+            ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
+            ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
         )
     ]
     out = parts[0]
@@ -189,9 +196,9 @@ def q_extract_text_formats(spark, sf_dir):
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf', 'docx'][CAST(doc_id % 4 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf'][CAST(doc_id % 6 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 4 IN (1, 3)
+       CASE WHEN doc_id % 6 IN (1, 3, 4, 5)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
