@@ -254,6 +254,71 @@ def test_odt_extractor_nested_spans(spark):
     assert _extract_one(spark, buf.getvalue(), "odt") == "Head a b&c d"
 
 
+def test_pdf_flate_extractor(spark):
+    import zlib
+
+    from vizlinc_ingester_spark.io.sources import _pdf_bytes_of_text
+
+    # renderer round-trip, compressed
+    pdf = _pdf_bytes_of_text("Deflated (text) with \\escapes\nand lines", True)
+    assert b"/FlateDecode" in pdf
+    assert (
+        _extract_one(spark, pdf, "pdf")
+        == "Deflated (text) with \\escapes\nand lines"
+    )
+    # hand-built: two streams, one Flate one raw, /Length present
+    body = zlib.compress(b"BT (one) Tj ET", 6)
+    pdf2 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + body
+        + b"\nendstream\nendobj\n2 0 obj\n<< /Length 14 >>\nstream\n"
+        b"BT (two) Tj ET\nendstream\nendobj\n%%EOF"
+    )
+    assert _extract_one(spark, pdf2, "pdf") == "one two"
+    # the uncompressed-subset Column path still works for raw streams
+    raw = b"%PDF-1.4\nBT (plain \\(x\\)) Tj ET\n%%EOF"
+    assert _extract_one(spark, raw, "pdf_uncompressed") == "plain (x)"
+    # and the UDF path agrees with it byte-for-byte on that subset
+    assert _extract_one(spark, raw, "pdf") == "plain (x)"
+
+
+def test_doc_extractor_roundtrip(spark):
+    from vizlinc_ingester_spark.io.sources import (
+        _cfb_bytes, _cfb_streams, _doc_bytes_of_text,
+    )
+
+    doc = _doc_bytes_of_text("Legacy Word: áccents, (parens)\nand lines")
+    # it is a real CFB container with the two Word streams
+    st = _cfb_streams(doc)
+    assert set(st) == {"WordDocument", "0Table"}
+    assert (
+        _extract_one(spark, doc, "doc")
+        == "Legacy Word: áccents, (parens)\nand lines"
+    )
+    # big text crosses the 4096 mini-stream cutoff -> regular sectors
+    big = "word " * 2000
+    assert _extract_one(spark, _doc_bytes_of_text(big), "doc") == big
+    # non-CFB bytes -> NULL, not an exception
+    assert _extract_one(spark, b"not an ole2 file", "doc") is None
+    # CFB without a WordDocument stream -> NULL
+    assert _extract_one(spark, _cfb_bytes({"Other": b"x"}), "doc") is None
+
+
+def test_doc_extractor_word6_contiguous(spark):
+    import struct
+
+    from vizlinc_ingester_spark.io.sources import _cfb_bytes
+
+    # Word 6/95 layout: nFib < 101, contiguous cp1252 [fcMin, fcMac)
+    text = b"Old Word six text."
+    wd = bytearray(512 + len(text))
+    struct.pack_into("<HH", wd, 0, 0xA5DC, 100)
+    struct.pack_into("<II", wd, 24, 512, 512 + len(text))
+    wd[512:] = text
+    doc = _cfb_bytes({"WordDocument": bytes(wd)})
+    assert _extract_one(spark, doc, "doc") == "Old Word six text."
+
+
 def test_rtf_extractor(spark):
     rtf = (
         rb"{\rtf1\ansi\deff0 {\fonttbl f0} {\*\generator skipme;}"

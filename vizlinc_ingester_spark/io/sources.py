@@ -127,15 +127,13 @@ def html_extract(content: "F.Column") -> "F.Column":
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
-def pdf_extract(content: "F.Column") -> "F.Column":
-    """Minimal PDF text extractor: pulls literal strings out of the
-    text-showing operators (``(s) Tj``, ``(s) '``, ``[..] TJ``) in
-    UNCOMPRESSED content streams and undoes PDF string escapes.
-    Honest scope note: Flate/LZW-compressed streams and hex strings
-    need a real PDF library — this covers the uncompressed subset the
-    way `strings`+`grep` would, but exactly and under the oracle gate.
-    Decoding is ISO-8859-1 (PDF bytes are not UTF-8; latin-1 is the
-    identity byte map).
+def pdf_extract_column(content: "F.Column") -> "F.Column":
+    """Uncompressed-subset PDF text extractor, pure Column: pulls
+    literal strings out of the text-showing operators (``(s) Tj``,
+    ``(s) '``, ``[..] TJ``) and undoes PDF string escapes. Stays in
+    whole-stage codegen — the fast path when the corpus is known to
+    carry uncompressed content streams. Decoding is ISO-8859-1 (PDF
+    bytes are not UTF-8; latin-1 is the identity byte map).
     """
     raw = F.decode(content, "ISO-8859-1")
     shows = F.regexp_extract_all(raw, F.lit(_PDF_SHOW_RE), 0)
@@ -152,6 +150,127 @@ def pdf_extract(content: "F.Column") -> "F.Column":
                     ("\\r", "\r"), ("\\t", "\t")):
         s = F.replace(s, F.lit(esc), F.lit(ch))
     return F.replace(s, F.lit(_PDF_ESC_MARK), F.lit("\\"))
+
+
+def _pdf_inflate_streams(raw: bytes) -> bytes:
+    """Inflate every ``/Filter /FlateDecode`` stream object in a PDF
+    byte string, in place; other streams pass through untouched.
+
+    Stream extent uses the dict's ``/Length`` when it is a literal
+    integer (the common case and what our renderer emits), else falls
+    back to scanning for ``endstream``. ``decompressobj`` tolerates
+    the trailing EOL the spec allows before ``endstream``.
+    """
+    import re as _re
+    import zlib
+
+    out = []
+    pos = 0
+    for m in _re.finditer(rb"<<(.*?)>>\s*stream(?:\r\n|\n)", raw, _re.S):
+        if m.start() < pos:  # nested/overlapping match inside a stream
+            continue
+        d = m.group(1)
+        start = m.end()
+        lm = _re.search(rb"/Length\s+(\d+)(?![^/>]*R)", d)
+        if lm:
+            end = start + int(lm.group(1))
+            em = raw.find(b"endstream", end)
+        else:
+            em = raw.find(b"endstream", start)
+            end = em
+        if em < 0 or end > len(raw):
+            continue
+        body = raw[start:end]
+        if b"/FlateDecode" in d:
+            try:
+                body = zlib.decompressobj().decompress(body.rstrip(b"\r\n"))
+            except zlib.error:
+                pass  # not actually deflate — leave raw
+        out.append(raw[pos:m.start()])
+        out.append(b"\nstream\n" + body + b"\nendstream")
+        pos = em + len(b"endstream")
+    out.append(raw[pos:])
+    return b"".join(out)
+
+
+_PDF_SHOW_PY = None  # compiled lazily on executors
+_PDF_STR_PY = None
+
+
+def _pdf_text_of_bytes(b) -> str | None:
+    """Full PDF text extraction: inflate FlateDecode content streams
+    (stdlib zlib — real-world PDFs are ~all Flate-compressed), then
+    apply exactly the same text-showing-operator extraction as
+    :func:`pdf_extract_column` (same regexes, same escape order), so
+    the two paths agree byte-for-byte on the uncompressed subset.
+    """
+    global _PDF_SHOW_PY, _PDF_STR_PY
+    import re as _re
+
+    if b is None:
+        return None
+    if _PDF_SHOW_PY is None:
+        _PDF_SHOW_PY = _re.compile(_PDF_SHOW_RE.replace("(?s)", ""), _re.S)
+        _PDF_STR_PY = _re.compile(_PDF_STR_RE, _re.S)
+    raw = bytes(b)
+    if b"/FlateDecode" in raw:
+        raw = _pdf_inflate_streams(raw)
+    txt = raw.decode("ISO-8859-1")
+    joined = " ".join(
+        "".join(_PDF_STR_PY.findall(op)) for op in _PDF_SHOW_PY.findall(txt)
+    )
+    s = joined.replace("\\\\", _PDF_ESC_MARK)
+    for esc, ch in (("\\(", "("), ("\\)", ")"), ("\\n", "\n"),
+                    ("\\r", "\r"), ("\\t", "\t")):
+        s = s.replace(esc, ch)
+    return s.replace(_PDF_ESC_MARK, "\\")
+
+
+@F.pandas_udf(T.StringType())
+def _pdf_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_pdf_text_of_bytes)
+
+
+def pdf_extract(content: "F.Column") -> "F.Column":
+    """S2 PDF extractor (default path): handles both uncompressed and
+    ``/FlateDecode``-compressed content streams. zlib inflation is not
+    expressible in Column algebra, so this runs as an Arrow-batched
+    pandas UDF in the scan stage (no shuffle) — same machinery as
+    docx/odt. Corpora known to be uncompressed can use
+    :func:`pdf_extract_column` to stay in whole-stage codegen.
+    Reference front door: src/TextExtractor.groovy:12-28 (Tika).
+    """
+    return _pdf_extract_udf(content)
+
+
+def _pdf_bytes_of_text(text: str, compress: bool) -> bytes:
+    """Render text as a minimal one-stream PDF; ``compress=True``
+    wraps the content stream in ``/Filter /FlateDecode`` (what every
+    real-world producer emits). Fixture/round-trip helper."""
+    import zlib
+
+    esc = (
+        text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    )
+    payload = ("BT /F1 12 Tf (" + esc + ") Tj ET").encode("utf-8")
+    if not compress:
+        return b"%PDF-1.4\n" + payload + b"\n%%EOF"
+    body = zlib.compress(payload, 6)
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + body
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def render_pdf(text: pd.Series, compress: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if t is None else _pdf_bytes_of_text(t, bool(c))
+            for t, c in zip(text, compress)
+        ]
+    )
 
 
 # --- DOCX (S2: the most common Tika format after txt/html/pdf,
@@ -342,6 +461,327 @@ def rtf_render(text: "F.Column") -> "F.Column":
     )
 
 
+# --- Legacy binary .doc (OLE2/CFB container + Word binary format).
+# The reference's headline input class is "Microsoft Office files"
+# (src/TextExtractor.groovy:12-28; install doc, Inputs) and a
+# 2013-era corpus is .doc-heavy. Two stdlib-only pieces, both public
+# formats ([MS-CFB], [MS-DOC]):
+#   1. a Compound File Binary reader/writer (FAT chains, mini FAT,
+#      mini stream, directory) — the container walk;
+#   2. Word text extraction via the FIB + Clx piece table in the
+#      0Table/1Table stream (Word 97+), with the Word 6/95
+#      contiguous-[fcMin,fcMac) cp1252 layout as fallback.
+# Documented subset: text pieces only (no fields/OLE objects/fastsave
+# revision chains beyond what the piece table expresses).
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_CFB_EOC = 0xFFFFFFFE
+_CFB_FREE = 0xFFFFFFFF
+_CFB_FATSEC = 0xFFFFFFFD
+
+
+def _cfb_streams(raw: bytes) -> dict[str, bytes] | None:
+    """Parse a CFB container into {stream_name: bytes}. Returns None
+    if the magic is absent. Handles v3 (512 B) and v4 (4096 B)
+    sectors, extended DIFAT, and the mini stream for streams below
+    the 4096-byte cutoff."""
+    import struct
+
+    if len(raw) < 512 or raw[:8] != _CFB_MAGIC:
+        return None
+    ssz = 1 << struct.unpack_from("<H", raw, 30)[0]
+    mssz = 1 << struct.unpack_from("<H", raw, 32)[0]
+    n_fat = struct.unpack_from("<I", raw, 44)[0]
+    first_dir = struct.unpack_from("<I", raw, 48)[0]
+    cutoff = struct.unpack_from("<I", raw, 56)[0]
+    first_minifat = struct.unpack_from("<I", raw, 60)[0]
+    first_difat = struct.unpack_from("<I", raw, 68)[0]
+    difat = list(struct.unpack_from("<109I", raw, 76))
+
+    def sector(n: int) -> bytes:
+        off = (n + 1) * ssz
+        return raw[off : off + ssz].ljust(ssz, b"\0")
+
+    per_sec = ssz // 4
+    s = first_difat
+    seen_d: set[int] = set()
+    while s < 0xFFFFFFFA and s not in seen_d:
+        seen_d.add(s)
+        vals = struct.unpack(f"<{per_sec}I", sector(s))
+        difat.extend(vals[:-1])
+        s = vals[-1]
+    fat: list[int] = []
+    for fs in [x for x in difat if x < 0xFFFFFFFA][:n_fat]:
+        fat.extend(struct.unpack(f"<{per_sec}I", sector(fs)))
+
+    def chain(start: int, table: list[int]) -> list[int]:
+        out: list[int] = []
+        s, seen = start, set()
+        while s < 0xFFFFFFFA and s not in seen and s < len(table):
+            seen.add(s)
+            out.append(s)
+            s = table[s]
+        return out
+
+    dir_raw = b"".join(sector(x) for x in chain(first_dir, fat))
+    entries = []
+    for off in range(0, len(dir_raw) - 127, 128):
+        e = dir_raw[off : off + 128]
+        nlen = struct.unpack_from("<H", e, 64)[0]
+        typ = e[66]
+        if typ not in (2, 5) or nlen < 2:
+            continue
+        name = e[: min(nlen - 2, 64)].decode("utf-16-le", "replace")
+        start = struct.unpack_from("<I", e, 116)[0]
+        size = struct.unpack_from("<Q", e, 120)[0]
+        entries.append((name, typ, start, size))
+    root = next((e for e in entries if e[1] == 5), None)
+    minifat: list[int] = []
+    if first_minifat < 0xFFFFFFFA:
+        for ms in chain(first_minifat, fat):
+            minifat.extend(struct.unpack(f"<{per_sec}I", sector(ms)))
+    mini_raw = (
+        b"".join(sector(x) for x in chain(root[2], fat)) if root else b""
+    )
+    streams: dict[str, bytes] = {}
+    for name, typ, start, size in entries:
+        if typ != 2:
+            continue
+        if size < cutoff:
+            data = b"".join(
+                mini_raw[x * mssz : (x + 1) * mssz]
+                for x in chain(start, minifat)
+            )
+        else:
+            data = b"".join(sector(x) for x in chain(start, fat))
+        streams[name] = data[:size]
+    return streams
+
+
+def _cfb_bytes(streams: dict[str, bytes]) -> bytes:
+    """Write streams into a minimal valid CFB v3 container (512-byte
+    sectors, mini stream for streams under the 4096 cutoff).
+    Deterministic layout: big streams, mini stream, mini FAT,
+    directory, FAT. Directory siblings form a right-leaning chain —
+    degenerate but within spec shape; linear-scanning readers (ours,
+    and every mainstream parser) accept it."""
+    import struct
+
+    ssz, mssz, cutoff = 512, 64, 4096
+    sectors: list[bytes] = []
+    fat: list[int] = []
+
+    def add_chain(data: bytes) -> int:
+        if not data:
+            return _CFB_EOC
+        n = (len(data) + ssz - 1) // ssz
+        start = len(sectors)
+        for i in range(n):
+            sectors.append(data[i * ssz : (i + 1) * ssz].ljust(ssz, b"\0"))
+            fat.append(start + i + 1 if i < n - 1 else _CFB_EOC)
+        return start
+
+    names = list(streams)
+    starts: dict[str, int] = {}
+    mini_data = bytearray()
+    minifat: list[int] = []
+    for name in names:
+        data = streams[name]
+        if len(data) >= cutoff:
+            starts[name] = add_chain(data)
+    for name in names:
+        data = streams[name]
+        if len(data) < cutoff:
+            n = max(1, (len(data) + mssz - 1) // mssz)
+            starts[name] = len(minifat)
+            for i in range(n):
+                minifat.append(
+                    len(minifat) + 1 if i < n - 1 else _CFB_EOC
+                )
+            mini_data += data.ljust(n * mssz, b"\0")
+    mini_start = add_chain(bytes(mini_data))
+    mf_raw = b"".join(struct.pack("<I", x) for x in minifat)
+    pad = (-len(mf_raw)) % ssz
+    mf_raw += struct.pack("<I", _CFB_FREE) * (pad // 4)
+    minifat_start = add_chain(mf_raw)
+    n_minifat_sec = (len(mf_raw) + ssz - 1) // ssz
+
+    def dir_entry(
+        name: str, typ: int, start: int, size: int,
+        left: int = _CFB_FREE, right: int = _CFB_FREE,
+        child: int = _CFB_FREE,
+    ) -> bytes:
+        nb = name.encode("utf-16-le")[:62]
+        e = bytearray(128)
+        e[: len(nb)] = nb
+        struct.pack_into("<H", e, 64, len(nb) + 2)
+        e[66] = typ
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, left, right, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    dirents = [
+        dir_entry(
+            "Root Entry", 5, mini_start, len(mini_data),
+            child=1 if names else _CFB_FREE,
+        )
+    ]
+    for i, name in enumerate(names):
+        right = i + 2 if i + 1 < len(names) else _CFB_FREE
+        dirents.append(
+            dir_entry(name, 2, starts[name], len(streams[name]), right=right)
+        )
+    while len(dirents) % (ssz // 128):
+        dirents.append(bytes(128))
+    dir_start = add_chain(b"".join(dirents))
+
+    n_data = len(sectors)
+    n_fat_sec = max(1, (n_data + ssz // 4) // (ssz // 4))
+    while (ssz // 4) * n_fat_sec < n_data + n_fat_sec:
+        n_fat_sec += 1
+    full_fat = fat + [_CFB_FATSEC] * n_fat_sec
+    full_fat += [_CFB_FREE] * ((ssz // 4) * n_fat_sec - len(full_fat))
+    fat_raw = b"".join(struct.pack("<I", x) for x in full_fat)
+    fat_sec_ids = list(range(n_data, n_data + n_fat_sec))
+    for i in range(n_fat_sec):
+        sectors.append(fat_raw[i * ssz : (i + 1) * ssz])
+
+    hdr = bytearray(512)
+    hdr[:8] = _CFB_MAGIC
+    struct.pack_into("<HHH", hdr, 24, 0x003E, 3, 0xFFFE)
+    struct.pack_into("<HH", hdr, 30, 9, 6)
+    struct.pack_into("<I", hdr, 44, n_fat_sec)
+    struct.pack_into("<I", hdr, 48, dir_start)
+    struct.pack_into("<I", hdr, 56, cutoff)
+    struct.pack_into(
+        "<I", hdr, 60,
+        minifat_start if n_minifat_sec else _CFB_EOC,
+    )
+    struct.pack_into("<I", hdr, 64, n_minifat_sec)
+    struct.pack_into("<I", hdr, 68, _CFB_EOC)
+    difat = fat_sec_ids[:109] + [_CFB_FREE] * (109 - min(109, len(fat_sec_ids)))
+    struct.pack_into("<109I", hdr, 76, *difat)
+    return bytes(hdr) + b"".join(sectors)
+
+
+def _doc_text_of_bytes(b) -> str | None:
+    """Extract text from a legacy binary .doc: CFB walk -> FIB in the
+    WordDocument stream -> Clx piece table in the 0Table/1Table
+    stream; each piece is cp1252 (fc bit 30 set, "fCompressed") or
+    UTF-16LE. Word 6/95 files (nFib < 101) use the contiguous
+    [fcMin, fcMac) cp1252 layout."""
+    import struct
+
+    if b is None:
+        return None
+    streams = _cfb_streams(bytes(b))
+    if not streams or "WordDocument" not in streams:
+        return None
+    wd = streams["WordDocument"]
+    if len(wd) < 34:
+        return None
+    w_ident, n_fib = struct.unpack_from("<HH", wd, 0)
+    if w_ident not in (0xA5EC, 0xA5DC, 0xA5DB):
+        return None
+    fc_min, fc_mac = struct.unpack_from("<II", wd, 24)
+
+    def contiguous() -> str:
+        return wd[fc_min:fc_mac].decode("cp1252", "replace")
+
+    if n_fib < 101:
+        return contiguous()
+    flags = struct.unpack_from("<H", wd, 0x0A)[0]
+    table = streams.get("1Table" if flags & 0x0200 else "0Table")
+    if table is None:
+        table = streams.get("0Table") or streams.get("1Table")
+    if table is None:
+        return contiguous()
+    # FIB variable part: csw + fibRgW, cslw + fibRgLw, cbRgFcLcb +
+    # fibRgFcLcb; fcClx/lcbClx is pair 33 ([MS-DOC] 2.5.5)
+    try:
+        pos = 32
+        csw = struct.unpack_from("<H", wd, pos)[0]
+        pos += 2 + 2 * csw
+        cslw = struct.unpack_from("<H", wd, pos)[0]
+        pos += 2 + 4 * cslw
+        cb = struct.unpack_from("<H", wd, pos)[0]
+        pos += 2
+        if cb < 34:
+            return contiguous()
+        fc_clx, lcb_clx = struct.unpack_from("<II", wd, pos + 33 * 8)
+        clx = table[fc_clx : fc_clx + lcb_clx]
+        i = 0
+        while i < len(clx) and clx[i] == 1:  # skip Prc entries
+            i += 3 + struct.unpack_from("<H", clx, i + 1)[0]
+        if i >= len(clx) or clx[i] != 2:
+            return contiguous()
+        lcb = struct.unpack_from("<I", clx, i + 1)[0]
+        plc = clx[i + 5 : i + 5 + lcb]
+        n = (lcb - 4) // 12
+        cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+        parts = []
+        for k in range(n):
+            fc_field = struct.unpack_from(
+                "<I", plc, 4 * (n + 1) + 8 * k + 2
+            )[0]
+            n_chars = cps[k + 1] - cps[k]
+            off = fc_field & 0x3FFFFFFF
+            if fc_field & 0x40000000:
+                parts.append(
+                    wd[off // 2 : off // 2 + n_chars].decode("cp1252", "replace")
+                )
+            else:
+                parts.append(
+                    wd[off : off + 2 * n_chars].decode("utf-16-le", "replace")
+                )
+        return "".join(parts)
+    except (struct.error, IndexError):
+        return contiguous()
+
+
+def _doc_bytes_of_text(text: str) -> bytes:
+    """Render text as a minimal Word97 .doc: WordDocument stream with
+    a FIB pointing at a one-piece Clx in 0Table, text stored UTF-16LE
+    (piece fc bit 30 clear). Fixture/round-trip helper; deterministic."""
+    import struct
+
+    tb = text.encode("utf-16-le")
+    ccp = len(tb) // 2
+    csw, cslw, cb_rg = 14, 22, 93
+    text_off = 1024
+    wd = bytearray(text_off + len(tb))
+    struct.pack_into("<HH", wd, 0, 0xA5EC, 0x00C1)
+    struct.pack_into("<II", wd, 24, text_off, text_off + len(tb))
+    pos = 32
+    struct.pack_into("<H", wd, pos, csw)
+    pos += 2 + 2 * csw
+    struct.pack_into("<H", wd, pos, cslw)
+    struct.pack_into("<I", wd, pos + 2 + 4 * 3, ccp)  # ccpText
+    pos += 2 + 4 * cslw
+    struct.pack_into("<H", wd, pos, cb_rg)
+    plc = struct.pack("<II", 0, ccp) + struct.pack("<HIH", 0, text_off, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<II", wd, pos + 2 + 33 * 8, 0, len(clx))
+    wd[text_off:] = tb
+    return _cfb_bytes({"WordDocument": bytes(wd), "0Table": clx})
+
+
+@F.pandas_udf(T.StringType())
+def _doc_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_doc_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_doc(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _doc_bytes_of_text(t))
+
+
+def doc_extract(content: "F.Column") -> "F.Column":
+    return _doc_extract_udf(content)
+
+
 @F.pandas_udf(T.BinaryType())
 def render_docx(text: pd.Series) -> pd.Series:
     return text.map(lambda t: None if t is None else _docx_bytes_of_text(t))
@@ -354,9 +794,11 @@ def docx_extract(content: "F.Column") -> "F.Column":
 _EXTRACTORS: dict = {
     "html": html_extract,
     "pdf": pdf_extract,
+    "pdf_uncompressed": pdf_extract_column,
     "docx": docx_extract,
     "odt": odt_extract,
     "rtf": rtf_extract,
+    "doc": doc_extract,
 }
 
 

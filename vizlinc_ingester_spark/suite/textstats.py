@@ -16,10 +16,12 @@ from ..functions import text as tx
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one small parquet file -> 1 input split; spread scan-heavy
-    # column work across cores
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # column work across cores (probe-gated — no-op on wide scans,
+    # i.e. always at real scale; session.read_spread)
+    from ..session import read_spread
+
+    return read_spread(
+        spark, os.path.join(sf_dir, "documents.parquet"), "doc_id"
     )
 
 
@@ -114,17 +116,22 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 6 (plain UTF-8 bytes, an HTML
-    page with head/style/comment chrome and escaped entities, an
-    uncompressed PDF content stream with escaped literal strings, a
-    real zipped .docx with word/document.xml, a real zipped .odt with
-    content.xml, an RTF document group), then run the real
-    ``extract_text`` path per format and union. The oracle is the
-    identity (modulo whitespace collapse for the markup formats) — a
-    hash match proves every encode->extract round-trip is exact, i.e.
-    the extractors actually invert the formats (the reference's Tika
-    front door, src/TextExtractor.groovy:12-28)."""
-    from ..io.sources import extract_text, render_docx, render_odt, rtf_render
+    container format chosen by doc_id % 7 (plain UTF-8 bytes, an HTML
+    page with head/style/comment chrome and escaped entities, a PDF —
+    FlateDecode-compressed content stream for half the PDF docs,
+    uncompressed for the other half — a real zipped .docx with
+    word/document.xml, a real zipped .odt with content.xml, an RTF
+    document group, a legacy binary .doc in a real OLE2/CFB container
+    with a Word97 piece table), then run the real ``extract_text``
+    path per format and union. The oracle is the identity (modulo
+    whitespace collapse for the markup formats) — a hash match proves
+    every encode->extract round-trip is exact, i.e. the extractors
+    actually invert the formats (the reference's Tika front door,
+    src/TextExtractor.groovy:12-28)."""
+    from ..io.sources import (
+        extract_text, render_doc, render_docx, render_odt, render_pdf,
+        rtf_render,
+    )
     from ..session import ship_package
 
     ship_package(spark)
@@ -136,19 +143,12 @@ def q_extract_text_formats(spark, sf_dir):
         ),
         F.lit(">"), F.lit("&gt;"),
     )
-    esc_pdf = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
-            F.lit("("), F.lit("\\("),
-        ),
-        F.lit(")"), F.lit("\\)"),
-    )
     fmt = F.element_at(
         F.array(
             F.lit("txt"), F.lit("html"), F.lit("pdf"),
-            F.lit("docx"), F.lit("odt"), F.lit("rtf"),
+            F.lit("docx"), F.lit("odt"), F.lit("rtf"), F.lit("doc"),
         ),
-        (F.col("doc_id") % 6 + 1).cast("int"),
+        (F.col("doc_id") % 7 + 1).cast("int"),
     )
     rendered = (
         F.when(fmt == "txt", F.col("text"))
@@ -161,13 +161,6 @@ def q_extract_text_formats(spark, sf_dir):
                 F.lit("</p></body></html>"),
             ),
         )
-        .when(
-            fmt == "pdf",
-            F.concat(
-                F.lit("%PDF-1.4\nBT /F1 12 Tf ("), esc_pdf,
-                F.lit(") Tj ET\n%%EOF"),
-            )
-        )
         .otherwise(rtf_render(F.col("text")))
     )
     files = d.select(
@@ -177,6 +170,13 @@ def q_extract_text_formats(spark, sf_dir):
         ).alias("path"),
         F.when(fmt == "docx", render_docx(F.col("text")))
         .when(fmt == "odt", render_odt(F.col("text")))
+        .when(fmt == "doc", render_doc(F.col("text")))
+        .when(
+            fmt == "pdf",
+            # half the PDFs Flate-compressed (doc_id % 14 == 2), half
+            # uncompressed (== 9): one gate proves both branches
+            render_pdf(F.col("text"), F.col("doc_id") % 14 == 2),
+        )
         .otherwise(F.encode(rendered, "UTF-8"))
         .alias("content"),
         fmt.alias("fmt"),
@@ -186,6 +186,7 @@ def q_extract_text_formats(spark, sf_dir):
         for f, x in (
             ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
             ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
+            ("doc", "doc"),
         )
     ]
     out = parts[0]
@@ -196,9 +197,9 @@ def q_extract_text_formats(spark, sf_dir):
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf'][CAST(doc_id % 6 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc'][CAST(doc_id % 7 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 6 IN (1, 3, 4, 5)
+       CASE WHEN doc_id % 7 IN (1, 3, 4, 5)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
@@ -231,9 +232,7 @@ def _bpe_vocab(spark, sf_dir) -> DataFrame:
     """Top BPE_VOCAB_TOP pure-alphabetic corpus words with
     frequencies — the training set for merge learning AND the input
     the encoder is applied to."""
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _docs(spark, sf_dir)
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
@@ -291,7 +290,12 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle_ctes() -> list[str]:
+    """The shared CTE chain (vocab -> seqs_0 -> per-iteration
+    sym/pairs/best/merge/seqs) that both the learn and encode oracles
+    compose from — structure, not string surgery (r5 ADVICE: the old
+    encode oracle stripped the learn oracle's final SELECT with
+    rindex('\\n'), which silently corrupts on any reformat)."""
     ctes = [
         """tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)""",
         f"""vocab AS (
@@ -337,21 +341,23 @@ def _bpe_oracle() -> str:
   SELECT word, cnt, s FROM merge_{k} m, best_{k} b
   WHERE NOT contains(s, '~' || b.l || '~' || b.r || '~')
 )""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
     finals = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS iteration, l AS pair_left,"
         f" r AS pair_right, pair_count FROM best_{k}"
         for k in range(1, BPE_N_MERGES + 1)
     )
-    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
+    return "WITH RECURSIVE " + ",\n".join(_bpe_oracle_ctes()) + "\n" + finals
 
 
 def _bpe_encode_oracle() -> str:
     """Replays merge learning through the same CTE chain as
-    ``_bpe_oracle`` and then reads the FINAL symbol sequences
-    (seqs_{N}) as the encoded tokens — the encode half shares the
-    learn half's machinery by construction."""
-    learn = _bpe_oracle()
-    ctes = learn[: learn.rindex("\n")]  # strip the merges SELECT
+    ``_bpe_oracle`` (shared via ``_bpe_oracle_ctes``) and then reads
+    the FINAL symbol sequences (seqs_{N}) as the encoded tokens — the
+    encode half shares the learn half's machinery by construction."""
     final = f"""
 SELECT sym AS symbol,
        CAST(sum(cnt) AS BIGINT) AS token_count,
@@ -361,7 +367,7 @@ WHERE sym <> ''
 GROUP BY sym
 ORDER BY symbol
 """
-    return ctes + final
+    return "WITH RECURSIVE " + ",\n".join(_bpe_oracle_ctes()) + final
 
 
 QUERIES["bpe_merges"] = q_bpe_merges
@@ -389,9 +395,7 @@ def q_lm_doc_scores(spark, sf_dir):
     joins back to the per-doc bigram stream on (w1, w2) — at 100 TB
     that join shuffles on the bigram key (model >> broadcast), and
     every stage before it is scan-local."""
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = _docs(spark, sf_dir)
     toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
         F.size("_t") >= 2
     )
