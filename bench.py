@@ -46,6 +46,12 @@ HEADLINE = [
     "tfidf_topk",
     "bpe_merges",
     "sequence_packing",
+    # round-5 operators not tracked round-over-round until r6
+    "lm_doc_scores",
+    "corpus_mixing",
+    "snapshot_diff",
+    # round-6: learned tagger (train + apply under the gate)
+    "ner_learned",
 ]
 
 

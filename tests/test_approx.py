@@ -39,6 +39,6 @@ def test_approx_profile_within_bounds(spark):
         # exact-rank; allow one value of slack around the interpolated
         # exact percentile (approx returns an actual data value,
         # exact interpolates between two).
-        assert abs(row["ap50_cents"] - exact_p[et]["p50_cents"]) <= 100
-        assert abs(row["ap99_cents"] - exact_p[et]["p99_cents"]) <= 500
+        assert abs(row["ap50_cents"] - exact_p[et]["p50_micro"] / 1e6) <= 100
+        assert abs(row["ap99_cents"] - exact_p[et]["p99_micro"] / 1e6) <= 500
         assert row["n_events"] > 0

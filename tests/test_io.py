@@ -329,3 +329,54 @@ def test_rtf_extractor(spark):
         _extract_one(spark, rtf, "rtf")
         == "f0 Hello bold world braces {x} and back\\slash end"
     )
+
+
+def test_jdbc_roundtrip_real_driver(spark, tmp_path):
+    """S6 JDBC export against a REAL embedded driver (DuckDB JDBC):
+    write two star tables with the reference's batchsize-1000 cadence
+    (src/GraphDBToH2.groovy:40-165, commit every 1000 at :62-64),
+    read them back through spark.read.jdbc, and compare values. The
+    document_entity MERGE-INTO dedupe (:104-105) is asserted via a
+    seeded duplicate."""
+    import pytest
+
+    from tests.conftest import JDBC_JAR
+
+    if JDBC_JAR is None:
+        pytest.skip("no embedded JDBC driver jar found")
+    url = f"jdbc:duckdb:{tmp_path}/star.duckdb"
+    props = {"driver": "org.duckdb.DuckDBDriver"}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", f"/p/d{i}", f"text {i}") for i in range(2500)],
+        "doc_id long, name string, path string, text string",
+    ).coalesce(1)
+    de = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 3), (2, 11, 1)],  # seeded duplicate edge
+        "doc_id long, entity_id long, num_mentions long",
+    ).coalesce(1)
+    try:
+        sinks.write_star_jdbc(
+            {"documents": docs, "document_entity": de}, url,
+            properties=props,
+        )
+    except Exception as exc:  # pragma: no cover - env-specific
+        if "No suitable driver" in str(exc) or "ClassNotFound" in str(exc):
+            pytest.skip(f"JDBC driver not loadable: {exc}")
+        raise
+
+    back_docs = spark.read.jdbc(url, "documents", properties=props)
+    assert back_docs.count() == 2500
+    assert sorted(r["text"] for r in back_docs.collect()) == sorted(
+        f"text {i}" for i in range(2500)
+    )
+    # the generic dialect reads BIGINT back as decimal — cast for compare
+    back_de = (
+        spark.read.jdbc(url, "document_entity", properties=props)
+        .selectExpr(
+            "cast(doc_id as long)", "cast(entity_id as long)",
+            "cast(num_mentions as long)",
+        )
+    )
+    rows = sorted(tuple(r) for r in back_de.collect())
+    assert rows == [(1, 10, 3), (2, 11, 1)]  # duplicate merged away

@@ -175,3 +175,108 @@ def test_promo_revenue_floor_division_at_larger_sf(spark):
 
     r = q_promo_revenue(spark, sf).collect()[0]
     assert r["promo_bps"] == r["promo_c4"] * 10000 // r["total_c4"]
+
+
+def test_plan_memo_lru_eviction_and_reuse(spark):
+    """r5 verdict #7: the session plan memo is LRU-bounded — 2x
+    overflow evicts oldest entries without breaking reuse of hot
+    ones."""
+    from vizlinc_ingester_spark import session as S
+
+    spark_key = spark
+    S._PLAN_MEMO.pop(spark_key, None)
+    old_max = S.PLAN_MEMO_MAX_ENTRIES
+    S.PLAN_MEMO_MAX_ENTRIES = 4
+    try:
+        builds = []
+
+        def builder(i):
+            def b():
+                builds.append(i)
+                return spark.range(i + 1)
+            return b
+
+        # fill to 2x the bound
+        for i in range(8):
+            S.plan_memo(spark, ("lru_t", i), builder(i))
+        per = S._PLAN_MEMO[spark_key]
+        assert len(per) == 4
+        # newest 4 survive; a hit on a survivor does NOT rebuild
+        n_builds = len(builds)
+        df = S.plan_memo(spark, ("lru_t", 7), builder(7))
+        assert len(builds) == n_builds and df.count() == 8
+        # evicted oldest rebuilds
+        S.plan_memo(spark, ("lru_t", 0), builder(0))
+        assert builds[-1] == 0
+        # a hit refreshes LRU position: touch 5, then add 2 new -> 5 stays
+        S.plan_memo(spark, ("lru_t", 5), builder(5))
+        for i in (100, 101):
+            S.plan_memo(spark, ("lru_t", i), builder(i))
+        assert ("lru_t", 5) in S._PLAN_MEMO[spark_key]
+    finally:
+        S.PLAN_MEMO_MAX_ENTRIES = old_max
+        S._PLAN_MEMO.pop(spark_key, None)
+
+
+def test_plan_memo_opt_out_invalidates(spark):
+    """r5 ADVICE (medium): memo=False bypasses AND evicts the stale
+    entry, so stale persisted results cannot be returned after the
+    underlying files change."""
+    from vizlinc_ingester_spark import session as S
+
+    S._PLAN_MEMO.pop(spark, None)
+    calls = []
+
+    def build(tag):
+        def b():
+            calls.append(tag)
+            return spark.range(3)
+        return b
+
+    S.plan_memo(spark, ("inv_t",), build("first"))
+    S.plan_memo(spark, ("inv_t",), build("hit"))
+    assert calls == ["first"]
+    S.plan_memo(spark, ("inv_t",), build("fresh"), memo=False)
+    assert calls == ["first", "fresh"]
+    # the stale entry is gone: the next memoized call rebuilds
+    S.plan_memo(spark, ("inv_t",), build("rebuilt"))
+    assert calls == ["first", "fresh", "rebuilt"]
+    S._PLAN_MEMO.pop(spark, None)
+
+
+def test_plan_key_includes_schema(spark):
+    from vizlinc_ingester_spark.session import plan_key
+
+    a = spark.range(5).selectExpr("id AS x")
+    b = spark.range(5).selectExpr("CAST(id AS INT) AS x")
+    ka, kb = plan_key(a, "p"), plan_key(b, "p")
+    assert ka is not None and ka != kb  # schema disambiguates
+
+
+def test_read_spread_probe(spark, sf_dir, tmp_path):
+    """r5 verdict #4: the single-split spread is conditional — a
+    narrow scan with heavy per-row work repartitions; heavy=False or
+    a wide scan leaves the plan shuffle-free."""
+    import os
+
+    from vizlinc_ingester_spark.session import (
+        read_spread, scan_splits_estimate, spread_if_narrow,
+    )
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    assert scan_splits_estimate(spark, p) < 8
+    wide = read_spread(spark, p, "doc_id", heavy=False)
+    assert "Exchange" not in wide._jdf.queryExecution().optimizedPlan().toString()
+    narrow = read_spread(spark, p, "doc_id", heavy=True)
+    assert "RepartitionByExpression" in narrow._jdf.queryExecution().optimizedPlan().toString()
+    # unknown path (e.g. hdfs:// on a cluster) -> treated as wide
+    assert scan_splits_estimate(spark, "/no/such/path") >= 1 << 20
+    # DataFrame-level twin: narrow input spreads, wide input passes through
+    df = spark.read.parquet(p)
+    assert "RepartitionByExpression" in (
+        spread_if_narrow(df, "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    already_wide = df.repartition(32, "doc_id")
+    again = spread_if_narrow(already_wide, "doc_id")
+    plan = again._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("RepartitionByExpression") == 1  # no second shuffle

@@ -145,6 +145,63 @@ def probe_range(spark, reps: int = 50) -> None:
     e.unpersist()
 
 
+def probe_ann(spark, reps: int = 10) -> None:
+    """10× embeddings: brute-force baseline vs the three indexed
+    paths (IVF / random-hyperplane LSH / PQ-ADC), through the exact
+    gated suite code (PLANS.md 'ANN at scale'). The amplified table
+    is written to a temp dir shaped like an sf_dir so the probes run
+    the same path-keyed loaders/memos as the driver. Index builds are
+    timed separately from probes (build-once/probe-many is the
+    semantics the memo encodes)."""
+    import tempfile
+
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    amplified = e.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+    )
+    # rep stride is a multiple of QUERY_MOD/CENTROID_MOD so the
+    # query/centroid fractions are scale-invariant
+    amplified = amplified.select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        *[c for c in e.columns if c != "vec_id"],
+    ).repartition(64)
+    tmp = tempfile.mkdtemp(prefix="ann_probe_")
+    amplified.write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    n = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).count()
+    _timed(
+        f"ann_brute_{reps}x", f"{n} vectors (linear scan baseline)",
+        lambda: _noop(sim.q_ann_cosine_topk(spark, tmp)),
+    )
+    _timed(
+        f"ann_brute_vec_{reps}x", f"{n} vectors (numpy matmul)",
+        lambda: _noop(sim.q_ann_cosine_topk_vec(spark, tmp)),
+    )
+    _timed(
+        f"ann_ivf_build_{reps}x", f"{n} vectors incl index build",
+        lambda: _noop(sim.q_ann_ivf(spark, tmp)),
+    )
+    _timed(
+        f"ann_ivf_probe_{reps}x", "index memoized",
+        lambda: _noop(sim.q_ann_ivf(spark, tmp)),
+    )
+    _timed(
+        f"ann_lsh_{reps}x", f"{n} vectors",
+        lambda: _noop(sim.q_ann_lsh(spark, tmp)),
+    )
+    _timed(
+        f"ann_pq_train_{reps}x", f"{n} vectors incl codebook training",
+        lambda: _noop(sim.q_ann_pq(spark, tmp)),
+    )
+    _timed(
+        f"ann_pq_adc_{reps}x", "codebook memoized",
+        lambda: _noop(sim.q_ann_pq(spark, tmp)),
+    )
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -154,6 +211,8 @@ def main() -> None:
         probe_asof(spark)
     if which in ("range", "all"):
         probe_range(spark)
+    if which in ("ann", "all"):
+        probe_ann(spark)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,59 @@ def read_star_schema(spark, path: str) -> dict[str, DataFrame]:
     return out
 
 
+#: Spark simpleString -> portable DDL type for pre-created JDBC tables
+_JDBC_DDL_TYPES = {
+    "long": "BIGINT", "bigint": "BIGINT", "int": "INTEGER",
+    "string": "VARCHAR", "double": "DOUBLE", "float": "REAL",
+    "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _jdbc_driver_connection(spark, url: str, driver_class: str):
+    """Open a JDBC connection through the Spark application
+    classloader. ``spark.jars`` jars are NOT on the py4j system
+    classloader, so ``DriverManager``/``Class.forName`` cannot see
+    them from the driver; loading through the context classloader and
+    calling ``Driver.connect`` directly is the supported route."""
+    jvm = spark._jvm
+    loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    cls = loader.loadClass(driver_class)
+    return cls.newInstance().connect(url, jvm.java.util.Properties())
+
+
+def _ensure_jdbc_tables(
+    spark, url: str, tables: dict[str, DataFrame], props: dict, overwrite: bool
+) -> bool:
+    """Pre-create target tables with explicit DDL (drop first on
+    overwrite). Needed because Spark's table-existence probe
+    (``SELECT 1 FROM t WHERE 1=0``) leaks a prepare-time SQLException
+    on embedded engines like DuckDB instead of reporting 'absent'.
+    Returns False (caller falls back to Spark's own DDL) when no
+    driver class is configured or the connection fails."""
+    driver_class = props.get("driver")
+    if not driver_class:
+        return False
+    try:
+        conn = _jdbc_driver_connection(spark, url, driver_class)
+    except Exception:
+        return False
+    try:
+        st = conn.createStatement()
+        for name, df in tables.items():
+            if overwrite:
+                st.execute(f'DROP TABLE IF EXISTS "{name}"')
+            cols = ", ".join(
+                f'"{f.name}" {_JDBC_DDL_TYPES.get(f.dataType.simpleString(), "VARCHAR")}'
+                for f in df.schema.fields
+            )
+            st.execute(f'CREATE TABLE IF NOT EXISTS "{name}" ({cols})')
+        st.close()
+    finally:
+        conn.close()
+    return True
+
+
 def write_star_jdbc(
     tables: dict[str, DataFrame],
     url: str,
@@ -113,14 +166,29 @@ def write_star_jdbc(
     properties: dict | None = None,
 ) -> None:
     """S6 JDBC variant — batchsize mirrors the reference's 1000-row
-    commit cadence (src/GraphDBToH2.groovy:62-64); driver jar must be
-    on the classpath (H2 is not bundled here)."""
+    commit cadence (src/GraphDBToH2.groovy:62-64); the driver jar
+    rides in via ``spark.jars`` / SPARK_GRAFT_EXTRA_JARS. Tables are
+    pre-created with explicit DDL when a ``driver`` property is given
+    (see ``_ensure_jdbc_tables``); writes then append into them.
+    Embedded single-writer engines (DuckDB/H2 file mode) serialize
+    concurrent transactions — coalesce small exports to one partition;
+    a real warehouse target takes partition-parallel writes as-is."""
     props = dict(properties or {})
     props.setdefault("batchsize", str(batchsize))
+    tables = {
+        name: (
+            df.dropDuplicates(["doc_id", "entity_id"])
+            if name == "document_entity" else df
+        )
+        for name, df in tables.items()
+    }
+    spark = next(iter(tables.values())).sparkSession
+    pre_created = _ensure_jdbc_tables(
+        spark, url, tables, props, overwrite=(mode == "overwrite")
+    )
+    write_mode = "append" if pre_created else mode
     for name, df in tables.items():
-        if name == "document_entity":
-            df = df.dropDuplicates(["doc_id", "entity_id"])
-        df.write.mode(mode).jdbc(url, table=name, properties=props)
+        df.write.mode(write_mode).jdbc(url, table=name, properties=props)
 
 
 def social_network_for_export(

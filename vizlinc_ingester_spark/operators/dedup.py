@@ -202,14 +202,15 @@ def hashed_shingle_docs(documents: DataFrame, text_col: str = "text") -> DataFra
     attribute, not a re-evaluated split() (see shingles_from_tokens).
     CollapseProject keeps the two selects separate because the alias
     is non-cheap and multiply-referenced."""
-    # repartition first: the md5-per-shingle transform is per-row
-    # compute and the testdata parquet is single-split (PLANS.md
-    # 'Single-split inputs') — without this the whole hashing pass
-    # runs in one task
-    spark = documents.sparkSession
-    with_toks = documents.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).filter(
+    # spread first: the md5-per-shingle transform is per-row compute
+    # and the testdata parquet is single-split (PLANS.md 'Single-split
+    # inputs') — without this the whole hashing pass runs in one
+    # task. Probe-gated (session.spread_if_narrow): an already-wide
+    # input (always, at real scale) skips the extra full-corpus
+    # shuffle.
+    from ..session import spread_if_narrow
+
+    with_toks = spread_if_narrow(documents, "doc_id").filter(
         F.size(tokens(F.col(text_col))) >= SHINGLE_K
     ).select("doc_id", tokens(F.col(text_col)).alias("_toks"))
     return with_toks.select(
@@ -254,7 +255,8 @@ def jaccard_verify_hashed(hs_docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_verified(
-    documents: DataFrame, text_col: str = "text", vectorized: bool = False
+    documents: DataFrame, text_col: str = "text", vectorized: bool = False,
+    memo: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: hash shingles once -> signatures ->
     band buckets -> candidate pairs -> exact-Jaccard verify. The
@@ -267,13 +269,18 @@ def minhash_lsh_verified(
     ``vectorized=True`` computes signatures with the numpy sweep
     (``minhash_signatures_vec``) instead of the interpreted JVM fold —
     bit-identical output (integer arithmetic), measurably faster once
-    shingle counts grow."""
+    shingle counts grow.
+
+    ``memo=False`` opts out AND invalidates any cached entry for this
+    input plan — use when the files behind an unchanged path were
+    rewritten in-session (plan hashes see paths, not contents)."""
     from ..session import plan_key, plan_memo
 
     return plan_memo(
         documents.sparkSession,
         plan_key(documents, "minhash_lsh_verified", text_col, vectorized),
         lambda: _minhash_lsh_verified(documents, text_col, vectorized),
+        memo=memo,
     )
 
 

@@ -130,6 +130,7 @@ def live_osm_fetch(
     http_get: Callable[[str], str] | None = None,
     base_url: str = NOMINATIM_BASE_URL,
     limit: int = 1,
+    min_interval_s: float | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Build an ``osm_fetch`` implementation for the resolver seam —
     the live half of src/OSMFetcher.groovy:9-17 that the sandbox
@@ -144,13 +145,27 @@ def live_osm_fetch(
     Spark design: request URLs are built Column-side
     (``nominatim_search_url``); the HTTP round-trips run executor-side
     in an Arrow-batched ``mapInPandas`` over the DISTINCT unresolved
-    names the seam supplies — IO parallelism scales with executors,
-    and the fetch count is bounded by unique names, never mentions.
-    Responses parse via ``parse_nominatim_xml`` (JVM regex), and the
-    reference's ``-999`` sentinel results are discarded
-    (src/Geocoder.groovy:27,130-133).
+    names the seam supplies — the fetch count is bounded by unique
+    names, never mentions. Responses parse via
+    ``parse_nominatim_xml`` (JVM regex), and the reference's ``-999``
+    sentinel results are discarded (src/Geocoder.groovy:27,130-133).
+
+    Rate limiting (r5 ADVICE): the public Nominatim endpoint's usage
+    policy caps clients at 1 request/second TOTAL — so with the real
+    urllib transport the fetch runs on a single partition
+    (``coalesce(1)``; per-executor throttles cannot bound a
+    cluster-wide aggregate rate) with ``min_interval_s`` (default
+    1.0 s) of sleep between requests. An injected ``http_get``
+    (recorded responses, or a self-hosted Nominatim) defaults to no
+    throttle and full executor parallelism; pass ``min_interval_s``
+    explicitly to throttle a custom transport too.
     """
     import os as _os
+
+    if http_get is None and min_interval_s is None:
+        min_interval_s = 1.0  # nominatim.org usage policy
+    throttled = bool(min_interval_s)
+    interval = float(min_interval_s or 0.0)
 
     if http_get is None:
         if _os.environ.get("SPARK_GRAFT_ALLOW_NETWORK") != "1":
@@ -178,10 +193,25 @@ def live_osm_fetch(
             F.col(name_c).alias("name"),
             nominatim_search_url(F.col(name_c), base_url, limit).alias("url"),
         )
+        if throttled:
+            # a global rate cap needs a single stream of requests:
+            # N throttled executors would still issue N req/s total
+            urls = urls.coalesce(1)
 
         def run(batches):
+            import time as _time
+
+            last = 0.0
             for pdf in batches:
-                pdf = pdf.assign(xml=[http_get(u) for u in pdf["url"]])
+                xmls = []
+                for u in pdf["url"]:
+                    if interval:
+                        wait = last + interval - _time.monotonic()
+                        if wait > 0:
+                            _time.sleep(wait)
+                        last = _time.monotonic()
+                    xmls.append(http_get(u))
+                pdf = pdf.assign(xml=xmls)
                 yield pdf[["name", "xml"]]
 
         responses = urls.mapInPandas(run, "name string, xml string")

@@ -95,6 +95,7 @@ def sorted_neighborhood_clusters(
     name_col: str,
     tiebreak_col: str,
     num_partitions: int | None = None,
+    memo: bool = True,
 ) -> DataFrame:
     """Adds ``cluster_id`` (long, globally unique, stable = min possible
     id of the island) to ``df`` — maximal runs of consecutive
@@ -105,6 +106,9 @@ def sorted_neighborhood_clusters(
     single-partition stage), a driver-side reduction over
     numPartitions rows, and a map-literal projection. Everything
     JVM-side; zero Python crossings on the data path.
+
+    ``memo=False`` opts out of the per-session memo AND invalidates
+    any cached entry for this input plan (files rewritten in-session).
     """
     from ..session import plan_key, plan_memo
 
@@ -118,6 +122,7 @@ def sorted_neighborhood_clusters(
         lambda: _sorted_neighborhood_clusters(
             df, scope_cols, name_col, tiebreak_col, num_partitions
         ),
+        memo=memo,
     )
 
 

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # Extra driver jars (e.g. an embedded JDBC target for the S6
+    # export parity test) — colon/comma-separated paths.
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS", "")
+    if extra_jars:
+        builder = builder.config(
+            "spark.jars", ",".join(p for p in extra_jars.replace(":", ",").split(",") if p)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
@@ -101,39 +108,157 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     return out
 
 
+# --- scan-width probe -----------------------------------------------------
+
+def scan_splits_estimate(spark: SparkSession, path: str) -> int:
+    """Driver-side estimate of how many input splits a parquet scan of
+    ``path`` gets (no Spark job: file listing + sizes vs
+    ``spark.sql.files.maxPartitionBytes``). Used to decide whether a
+    narrow scan is worth spreading with an explicit repartition. A
+    path this process cannot stat (e.g. an hdfs:// URI on a real
+    cluster) returns a large number — the scale-correct default, since
+    any 100 TB dataset has thousands of splits."""
+    import glob
+    import math
+
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "*.parquet"))
+    else:
+        return 1 << 20
+    if not files:
+        return 1 << 20
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    mpb = int(raw.rstrip("bB")) if raw.rstrip("bB").isdigit() else 128 << 20
+    total = sum(os.path.getsize(f) for f in files)
+    return max(len(files), math.ceil(total / max(1, mpb))) if total else 1
+
+
+def read_spread(
+    spark: SparkSession, path: str, key: str, heavy: bool = True
+):
+    """Read a parquet table, spreading a NARROW scan across cores only
+    when the downstream per-row work is heavy enough to pay for the
+    shuffle.
+
+    The local fixtures are one small file -> 1 input split, which
+    serializes heavy scan-stage work (shingle hashing, dictionary NER,
+    cosine folds) into one task; an explicit hash repartition fixes
+    that. But the repartition is pure shuffle tax whenever (a) the
+    scan is already wide — at 100 TB every scan has thousands of
+    splits, so this repartition NEVER fires at scale — or (b) the
+    per-row work is light (a token explode feeding a two-level agg
+    parallelizes through its own shuffle; measured locally the spread
+    costs more than it buys: token_topk 0.37 s -> 0.59 s). Callers
+    declare (b) with ``heavy=False``; (a) is probed per path.
+    """
+    df = spark.read.parquet(path)
+    if not heavy:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits_estimate(spark, path) < max(2, par // 4):
+        df = df.repartition(par, key)
+    return df
+
+
+def spread_if_narrow(df, key: str):
+    """DataFrame-level twin of :func:`read_spread` for operators that
+    receive a DataFrame, not a path: repartition on ``key`` only when
+    the input plan currently yields fewer partitions than
+    defaultParallelism/4. The probe (`rdd.getNumPartitions`) costs one
+    physical planning pass, no job — cheap next to the heavy per-row
+    stage it guards, and it removes a full-corpus shuffle from the
+    plan whenever the input is already wide (always, at real scale)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning surface drift
+        n = 0
+    if n < max(2, par // 4):
+        return df.repartition(par, key)
+    return df
+
+
 # --- per-session plan memoization ----------------------------------------
 
 import weakref
+
+#: LRU bound per session: entries are keyed by distinct input plans (a
+#: handful per suite run), but a long-lived multi-session host that
+#: keeps rewriting inputs would otherwise grow without bound.
+PLAN_MEMO_MAX_ENTRIES = 64
 
 _PLAN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def plan_key(df, *extra):
     """Memo key for an operator result: the input DataFrame's analyzed
-    semantic hash + the operator parameters. None when the py4j
+    semantic hash + its schema + the operator parameters. The 32-bit
+    ``semanticHash`` alone can alias two distinct plans; adding the
+    canonical schema string keeps the key content-derived (stable for
+    re-built but semantically identical plans, unlike expr-id plan
+    strings) while shrinking the collision space. None when the py4j
     surface is unavailable (callers then skip memoization)."""
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover - py4j surface drift
         return None
-    return (h, *extra)
+    return (h, df.schema.simpleString(), *extra)
 
 
-def plan_memo(spark: SparkSession, key, builder):
-    """Memoize a built DataFrame per (session, key).
+def _unpersist_quietly(value) -> None:
+    items = value if isinstance(value, (tuple, list)) else (value,)
+    for v in items:
+        try:
+            if hasattr(v, "unpersist"):
+                v.unpersist()
+        except Exception:  # session already stopped, etc.
+            pass
+
+
+def plan_memo(spark: SparkSession, key, builder, memo: bool = True):
+    """Memoize a built DataFrame per (session, key), LRU-bounded.
 
     Operators that persist() an intermediate (sorted-neighborhood,
-    MinHash/SimHash dedup) would otherwise add one orphaned cache
-    entry per CALL in a long-lived suite/bench session — measured as
-    enough block-manager pressure to turn an unrelated 0.65 s query
-    into 3.9 s — and explicit unpersist costs ~1 s of driver-side
-    CacheManager work per call. Memoizing bounds entries by distinct
-    *inputs* (a handful per suite) and makes repeat calls free. Safe
-    because every memoized operator is a pure function of its input
-    plan."""
+    MinHash/SimHash dedup, PQ training) would otherwise add one
+    orphaned cache entry per CALL in a long-lived suite/bench session
+    — measured as enough block-manager pressure to turn an unrelated
+    0.65 s query into 3.9 s — and explicit unpersist costs ~1 s of
+    driver-side CacheManager work per call. Memoizing bounds entries
+    by distinct *inputs* and makes repeat calls free. Safe because
+    every memoized operator is a pure function of its input plan.
+
+    ``memo=False`` bypasses the cache AND evicts any existing entry
+    for ``key`` — the invalidation hook for callers that know the
+    files behind an unchanged plan were rewritten in-session (plan
+    hashes see paths, not file contents). Eviction (LRU overflow or
+    explicit) unpersists the evicted DataFrames best-effort; a caller
+    still holding one just recomputes."""
     if key is None:
         return builder()
     per_session = _PLAN_MEMO.setdefault(spark, {})
-    if key not in per_session:
-        per_session[key] = builder()
-    return per_session[key]
+    if not memo:
+        old = per_session.pop(key, None)
+        if old is not None:
+            _unpersist_quietly(old)
+        return builder()
+    if key in per_session:
+        per_session[key] = per_session.pop(key)  # refresh LRU position
+        return per_session[key]
+    value = builder()
+    per_session[key] = value
+    while len(per_session) > PLAN_MEMO_MAX_ENTRIES:
+        _evicted_key = next(iter(per_session))
+        _unpersist_quietly(per_session.pop(_evicted_key))
+    return value
+
+
+def invalidate_plan_memo(spark: SparkSession) -> None:
+    """Drop (and unpersist) every memoized plan for this session —
+    call after rewriting input files under paths already read."""
+    per_session = _PLAN_MEMO.pop(spark, None)
+    if per_session:
+        for v in per_session.values():
+            _unpersist_quietly(v)

@@ -279,13 +279,15 @@ def q_curation_funnel(spark, sf_dir):
     trap') — the naive composed form inlined the tokenizer into every
     per-language hit count and the gram array into three references,
     re-splitting each document ~10x (measured 6.5 s -> ~1 s at
-    sf0.1); the scan is also repartitioned since per-row compute
-    dominates and the testdata parquet is single-split."""
+    sf0.1); the scan is also spread (probe-gated, session.read_spread)
+    since per-row compute dominates and the testdata parquet is
+    single-split."""
     from ..functions import text as tx
+    from ..session import read_spread
 
     langs = sorted(tx.STOPWORDS)
-    d = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    d = read_spread(
+        spark, os.path.join(sf_dir, "documents.parquet"), "doc_id"
     )
     grams = F.transform(
         F.sequence(F.lit(0), F.size("_st") - REP_N),
@@ -424,9 +426,12 @@ ORACLES["curation_funnel"] = _funnel_oracle()
 
 #: mixing recipe: per-source repetition factor in basis points
 #: (5000 = 0.5 epochs = downsample half; 15000 = 1.5 epochs =
-#: every doc once + half the docs twice). Derived from the source id
-#: so the fixture is self-describing on the synthetic corpus.
-MIX_BPS = "(1 + (CAST(substr(source, 4) AS INT) % 3)) * 5000"
+#: every doc once + half the docs twice). Derived from a HASH of the
+#: source id so the fixture is self-describing on the synthetic
+#: corpus and robust to any source-name format (r5 ADVICE: the old
+#: positional CAST(substr(source, 4) AS INT) silently NULLed — and
+#: dropped rows — in non-ANSI Spark on a malformed source while the
+#: DuckDB oracle errored loudly: a latent cross-engine divergence).
 
 
 def q_corpus_mixing(spark, sf_dir):
@@ -446,12 +451,12 @@ def q_corpus_mixing(spark, sf_dir):
     from ..functions.hashing import stable_hash64
 
     d = _docs(spark, sf_dir).select("doc_id", "source")
-    w_bps = F.expr(MIX_BPS).cast("long")
+    w_bps = ((stable_hash64(F.col("source")) % 3 + 1) * 5000).cast("long")
     frac_bps = w_bps % 10000
     extra = (
         stable_hash64(F.col("doc_id").cast("string")) % 10000 < frac_bps
     ).cast("long")
-    n_copies = (F.expr(MIX_BPS).cast("long") / 10000).cast("long") + extra
+    n_copies = (w_bps / 10000).cast("long") + extra
     with_n = d.select(
         "doc_id", "source", n_copies.alias("n_copies")
     ).filter(F.col("n_copies") > 0)
@@ -463,11 +468,11 @@ def q_corpus_mixing(spark, sf_dir):
     ).select("doc_id", "source", "n_copies", F.col("copy_idx").cast("long").alias("copy_idx"))
 
 
-ORACLE_CORPUS_MIXING = f"""
+ORACLE_CORPUS_MIXING = """
 WITH weighted AS (
   SELECT doc_id, source,
-         CAST({MIX_BPS} AS BIGINT) AS w_bps,
-         {{h}} AS h
+         CAST(({h_src} % 3 + 1) * 5000 AS BIGINT) AS w_bps,
+         {h} AS h
   FROM documents
 ),
 counted AS (
@@ -489,7 +494,8 @@ def _mixing_oracle() -> str:
     from ..functions.hashing import sql_stable_hash64
 
     return ORACLE_CORPUS_MIXING.format(
-        h=sql_stable_hash64("CAST(doc_id AS VARCHAR)")
+        h=sql_stable_hash64("CAST(doc_id AS VARCHAR)"),
+        h_src=sql_stable_hash64("source"),
     )
 
 

@@ -22,20 +22,22 @@ from ..operators import dedup as dd
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic corpus is one small parquet file -> 1 input split;
-    # spread the per-doc hashing across cores (at real scale the file
-    # count does this for free)
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # spread the per-doc hashing across cores — probe-gated, so at
+    # real scale (wide scans) no repartition happens
+    from ..session import read_spread
+
+    return read_spread(
+        spark, os.path.join(sf_dir, "documents.parquet"), "doc_id"
     )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-row-group spread as _docs: the cosine fold is the
     # dominant per-row cost and must not run in one task
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    from ..session import read_spread
+
+    return read_spread(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), "vec_id"
     )
 
 

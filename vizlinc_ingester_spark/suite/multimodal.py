@@ -29,8 +29,10 @@ _BUCKETS = [
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the single-split parquet so mapInPandas gets one Arrow
     # stream per core, not one serial stream
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    from ..session import read_spread
+
+    d = read_spread(
+        spark, os.path.join(sf_dir, "documents.parquet"), "doc_id"
     )
     b = F.col("doc_id") % 4
     magic = None

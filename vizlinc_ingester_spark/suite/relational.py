@@ -421,21 +421,27 @@ ORDER BY event_type
 def q_value_percentiles(spark, sf_dir):
     """Exact percentiles (median / p90 / p99) per event type. Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` both use linear
-    interpolation over the sorted values — on integer-cent inputs the
-    doubles agree bit-for-bit (verified), so this sits under the hash
-    gate with no tolerance. Exact percentile is a full-sort-per-group
-    aggregate; the 100 TB path swaps in approx_percentile (t-digest)
-    — see `events_approx_profile` in PLANS.md."""
+    interpolation over the sorted values; emitting the interpolated
+    double raw would put a last-ulp interpolation-order difference
+    under the exact hash gate, so the result is floored to integer
+    micro-cents on BOTH engines (r5 ADVICE; the repo's float
+    discipline). Exact percentile is a full-sort-per-group aggregate;
+    the 100 TB path swaps in approx_percentile (t-digest) — see
+    `events_approx_profile` in PLANS.md."""
     e = _events(spark, sf_dir)
+
+    def micro(c):
+        return F.floor(c * 1_000_000).cast("long")
+
     return (
         e.withColumn("cents", _cents(F.col("value")))
         .groupBy("event_type")
         .agg(F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("p"))
         .select(
             "event_type",
-            F.col("p")[0].alias("p50_cents"),
-            F.col("p")[1].alias("p90_cents"),
-            F.col("p")[2].alias("p99_cents"),
+            micro(F.col("p")[0]).alias("p50_micro"),
+            micro(F.col("p")[1]).alias("p90_micro"),
+            micro(F.col("p")[2]).alias("p99_micro"),
         )
         .orderBy("event_type")
     )
@@ -443,9 +449,9 @@ def q_value_percentiles(spark, sf_dir):
 
 ORACLE_VALUE_PERCENTILES = """
 SELECT event_type,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents
+       CAST(floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) * 1000000) AS BIGINT) AS p50_micro,
+       CAST(floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) * 1000000) AS BIGINT) AS p90_micro,
+       CAST(floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) * 1000000) AS BIGINT) AS p99_micro
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -485,7 +491,9 @@ def q_events_exact_profile(spark, sf_dir):
     (its estimators differ across engines by construction) and
     ``tests/test_approx.py`` bounds it against THIS query's answers —
     so the profile shape is driver-provable and the sketch is
-    error-bounded against the proven values."""
+    error-bounded against the proven values. Percentiles are floored
+    integer micro-cents (r5 ADVICE): hashing the raw interpolated
+    double would gate on last-ulp interpolation-order agreement."""
     e = _events(spark, sf_dir)
     return (
         e.withColumn("cents", _cents(F.col("value")))
@@ -500,8 +508,8 @@ def q_events_exact_profile(spark, sf_dir):
             "event_type",
             F.col("n_users").cast("long").alias("n_users"),
             F.col("n_values").cast("long").alias("n_values"),
-            F.col("p")[0].alias("p50_cents"),
-            F.col("p")[1].alias("p99_cents"),
+            F.floor(F.col("p")[0] * 1_000_000).cast("long").alias("p50_micro"),
+            F.floor(F.col("p")[1] * 1_000_000).cast("long").alias("p99_micro"),
             F.col("n_events").cast("long").alias("n_events"),
         )
         .orderBy("event_type")
@@ -513,8 +521,8 @@ SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS n_values,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
-       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       CAST(floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) * 1000000) AS BIGINT) AS p50_micro,
+       CAST(floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) * 1000000) AS BIGINT) AS p99_micro,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY event_type

@@ -41,10 +41,9 @@ SCALE = 1_000_000
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row compute (split+explode) dominates and the testdata
     # parquet is single-split — run it wide (PLANS.md 'Single-split
-    # inputs'); at real scale file count makes the repartition moot
-    d = docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # inputs'). docs() itself decides whether the spread pays (narrow
+    # scan probe, session.read_spread); at real scale it never fires.
+    d = docs(spark, sf_dir)
     return d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

@@ -25,23 +25,41 @@ PERSON = ("PERSON",)
 # 123-128); we mirror that with persisted DataFrames keyed by
 # (application, sf_dir, stage) so the mentions -> within-doc ->
 # across-doc chain is computed once per session, not once per query.
+# LRU-bounded: a long-lived host cycling many sessions/sf_dirs would
+# otherwise accumulate dead-session entries (and their pinned cache
+# blocks) without bound.
 _STAGE_CACHE: dict[tuple, DataFrame] = {}
+_STAGE_CACHE_MAX = 64
 
 
 def _stage(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     k = (spark.sparkContext.applicationId, sf_dir, key)
-    if k not in _STAGE_CACHE:
-        df = build().persist()
-        df.count()  # materialize before fan-out (cache-race avoidance)
-        _STAGE_CACHE[k] = df
-    return _STAGE_CACHE[k]
+    if k in _STAGE_CACHE:
+        _STAGE_CACHE[k] = _STAGE_CACHE.pop(k)  # refresh LRU position
+        return _STAGE_CACHE[k]
+    df = build().persist()
+    df.count()  # materialize before fan-out (cache-race avoidance)
+    _STAGE_CACHE[k] = df
+    while len(_STAGE_CACHE) > _STAGE_CACHE_MAX:
+        old = _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:  # owning session already stopped
+            pass
+    return df
 
 
-def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one small parquet file -> 1 input split; spread tokenize work
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+def docs(spark: SparkSession, sf_dir: str, heavy: bool = True) -> DataFrame:
+    # one small parquet file -> 1 input split; spread heavy scan-stage
+    # work across cores — but only when the scan is actually narrow
+    # (never at 100 TB) and the per-row work pays for the shuffle
+    # (callers with light scan work pass heavy=False; see
+    # session.read_spread).
+    from ..session import read_spread
+
+    return read_spread(
+        spark, os.path.join(sf_dir, "documents.parquet"), "doc_id",
+        heavy=heavy,
     )
 
 
@@ -455,8 +473,11 @@ def q_docs_person_no_location(spark, sf_dir):
 def q_token_topk(spark, sf_dir):
     """Corpus-wide top-50 tokens: the classic two-level aggregation
     (map-side partial count -> final merge -> TakeOrdered). Ties
-    broken by word ascending for determinism."""
-    d = docs(spark, sf_dir)
+    broken by word ascending for determinism. heavy=False: the
+    explode+partial-agg is light per row and the aggregation
+    parallelizes through its own shuffle, so pre-spreading the scan
+    only adds a shuffle (measured 0.37 s -> 0.59 s at sf0.1)."""
+    d = docs(spark, sf_dir, heavy=False)
     toks = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )
