@@ -380,3 +380,73 @@ def test_jdbc_roundtrip_real_driver(spark, tmp_path):
     )
     rows = sorted(tuple(r) for r in back_de.collect())
     assert rows == [(1, 10, 3), (2, 11, 1)]  # duplicate merged away
+
+
+def test_xls_extractor_roundtrip(spark):
+    from vizlinc_ingester_spark.io.sources import (
+        _cfb_bytes, _xls_bytes_of_text,
+    )
+
+    xls = _xls_bytes_of_text("Cell text: áccents, (x) & more\nlines")
+    assert _extract_one(spark, xls, "xls") == (
+        "Cell text: áccents, (x) & more\nlines"
+    )
+    assert _extract_one(spark, b"not a cfb", "xls") is None
+    assert _extract_one(spark, _cfb_bytes({"Other": b"x"}), "xls") is None
+
+
+def test_xls_extractor_multi_record(spark):
+    """Hand-built BIFF8: 2 SST strings (one compressed 8-bit, one
+    UTF-16), LABELSST refs, a LABEL inline string and a NUMBER."""
+    import struct
+
+    from vizlinc_ingester_spark.io.sources import _cfb_bytes
+
+    def rec(rtype, payload):
+        return struct.pack("<HH", rtype, len(payload)) + payload
+
+    s1 = b"plain"                      # 8-bit compressed
+    s2 = "uni–code".encode("utf-16-le")
+    sst = (
+        struct.pack("<II", 2, 2)
+        + struct.pack("<HB", len(s1), 0x00) + s1
+        + struct.pack("<HB", len(s2) // 2, 0x01) + s2
+    )
+    inline = "inl".encode("utf-16-le")
+    stream = (
+        rec(0x00FC, sst)
+        + rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 1))   # -> s2
+        + rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 0))   # -> s1
+        + rec(0x0204, struct.pack("<HHH", 1, 0, 0)
+              + struct.pack("<HB", 3, 0x01) + inline)
+        + rec(0x0203, struct.pack("<HHH", 2, 0, 0)
+              + struct.pack("<d", 42.0))
+    )
+    doc = _cfb_bytes({"Workbook": stream})
+    assert _extract_one(spark, doc, "xls") == "uni–code plain inl 42"
+
+
+def test_ppt_extractor_roundtrip(spark):
+    import struct
+
+    from vizlinc_ingester_spark.io.sources import (
+        _cfb_bytes, _ppt_bytes_of_text,
+    )
+
+    ppt = _ppt_bytes_of_text("Slide text — with (specials)\nand lines")
+    assert _extract_one(spark, ppt, "ppt") == (
+        "Slide text — with (specials)\nand lines"
+    )
+    # TextBytesAtom (latin-1) next to a nested TextCharsAtom
+    def rec(vi, rt, payload):
+        return struct.pack("<HHI", vi, rt, len(payload)) + payload
+
+    inner = rec(0x0000, 0x0FA8, b"bytes atom") + rec(
+        0x0000, 0x0FA0, "chars".encode("utf-16-le")
+    )
+    doc = rec(0x000F, 0x03E8, rec(0x000F, 0x0FF0, inner))
+    assert (
+        _extract_one(spark, _cfb_bytes({"PowerPoint Document": doc}), "ppt")
+        == "bytes atom chars"
+    )
+    assert _extract_one(spark, b"junk", "ppt") is None

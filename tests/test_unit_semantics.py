@@ -82,3 +82,32 @@ def test_within_doc_coref_empty_input(spark):
         " idx long, global_id string, text_start long, text_stop long",
     )
     assert coref.within_doc_entities(empty, "PERSON").count() == 0
+
+
+def test_ptb_tokens_rules(spark):
+    """PTB rule classes: quotes, contractions, brackets, ellipsis,
+    currency/percent, comma-in-number kept, sentence-final period."""
+    from vizlinc_ingester_spark.functions.text import ptb_tokens
+
+    cases = {
+        '"Dr. Smith isn\'t here," she said. (It\'s over... End[1].)': [
+            "``", "Dr.", "Smith", "is", "n't", "here", ",", "''",
+            "she", "said.", "-LRB-", "It", "'s", "over", "...",
+            "End", "-LSB-", "1", "-RSB-", ".", "-RRB-",
+        ],
+        "don't stop, we'll go; costs $5 & 10% more!": [
+            "do", "n't", "stop", ",", "we", "'ll", "go", ";",
+            "costs", "$", "5", "&", "10", "%", "more", "!",
+        ],
+        "numbers 1,234 stay joined": ["numbers", "1,234", "stay", "joined"],
+        "plain words": ["plain", "words"],
+    }
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {
+        r["t"]: r["toks"]
+        for r in df.select("t", ptb_tokens(F.col("t")).alias("toks")).collect()
+    }
+    for text, want in cases.items():
+        assert got[text] == want, (text, got[text])

@@ -219,3 +219,58 @@ def sql_fingerprint(expr: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}),"
         f" (acc, x) -> (acc * {FP_R} + x) % {P})"
     )
+
+
+# --- PTB tokenization (C14, upgraded r6) -----------------------------------
+# The reference tokenizes NER training text with Stanford's
+# PTBTokenizer (src/XMLToTSVConverter.groovy:148-159). This is the
+# classic sed-pipeline form of PTB tokenization (the public
+# tokenizer.sed rules), expressed as an engine-neutral rule list that
+# compiles to a Spark regexp_replace chain AND a DuckDB
+# regexp_replace(..., 'g') chain — no lookarounds, so both Java regex
+# and RE2 accept every pattern. Documented subset vs full PTB:
+# sentence-final-period splitting applies at end-of-text only
+# (abbreviation-aware per-sentence period logic needs a sentence
+# splitter); directional single quotes are left attached.
+
+PTB_RULES: list[tuple[str, str]] = [
+    (r'^"', r'`` '),                                  # opening quote
+    (r'([ (\[{<])"', r'\1 `` '),
+    (r'\.\.\.', r' ... '),                            # ellipsis
+    (r'([;@#$%&])', r' \1 '),
+    (r'([^0-9]),', r'\1 , '),                         # comma (not 1,234)
+    (r',([^0-9])', r' , \1'),
+    (r'([^.])(\.)([\]\)}>"' + "'" + r']*)\s*$', r'\1 \2\3 '),
+    (r'([?!])', r' \1 '),
+    (r'([\]\[(){}<>])', r' \1 '),
+    (r'\(', r'-LRB-'), (r'\)', r'-RRB-'),
+    (r'\[', r'-LSB-'), (r'\]', r'-RSB-'),
+    (r'\{', r'-LCB-'), (r'\}', r'-RCB-'),
+    (r'"', r" '' "),                                  # closing quote
+    (r"([a-zA-Z])('ll|'LL|'re|'RE|'ve|'VE|'s|'S|'m|'M|'d|'D)\b", r"\1 \2"),
+    (r"([a-zA-Z])(n't|N'T)\b", r"\1 \2"),
+]
+
+
+def ptb_tokens(c: Column) -> Column:
+    """PTB tokenization as a pure-Column regexp_replace chain (JVM,
+    scan-stage, whole-stage codegen) returning array<string>."""
+    import re as _re
+
+    out = c
+    for pat, rep in PTB_RULES:
+        out = F.regexp_replace(out, pat, _re.sub(r"\\(\d)", r"$\1", rep))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.filter(F.split(out, " "), lambda t: t != "")
+
+
+def sql_ptb_tokens(expr: str) -> str:
+    out = expr
+    for pat, rep in PTB_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return (
+        f"list_filter(string_split(trim(regexp_replace({out}, '\\s+', ' ', 'g')), ' '),"
+        " t -> t <> '')"
+    )

@@ -768,6 +768,192 @@ def _doc_bytes_of_text(text: str) -> bytes:
     return _cfb_bytes({"WordDocument": bytes(wd), "0Table": clx})
 
 
+# --- Legacy .xls (BIFF8 in the same CFB container). Text carriers:
+# the SST shared-string table (0x00FC) + LABELSST cell records
+# (0x00FD); LABEL inline strings and NUMBER cells also read.
+# Documented subset: CONTINUE records are spliced but a string may
+# not straddle the splice boundary ([MS-XLS]).
+
+_XLS_SST = 0x00FC
+_XLS_LABELSST = 0x00FD
+_XLS_LABEL = 0x0204
+_XLS_NUMBER = 0x0203
+_XLS_CONTINUE = 0x003C
+
+
+def _xls_unicode_string(buf: bytes, off: int):
+    """Parse one XLUnicodeRichExtendedString; returns (text, next_off)."""
+    import struct
+
+    cch = struct.unpack_from("<H", buf, off)[0]
+    off += 2
+    flags = buf[off]
+    off += 1
+    c_run = cb_ext = 0
+    if flags & 0x08:  # fRichSt
+        c_run = struct.unpack_from("<H", buf, off)[0]
+        off += 2
+    if flags & 0x04:  # fExtSt
+        cb_ext = struct.unpack_from("<I", buf, off)[0]
+        off += 4
+    if flags & 0x01:  # fHighByte -> UTF-16LE
+        s = buf[off : off + 2 * cch].decode("utf-16-le", "replace")
+        off += 2 * cch
+    else:
+        s = buf[off : off + cch].decode("latin-1")
+        off += cch
+    return s, off + 4 * c_run + cb_ext
+
+
+def _xls_text_of_bytes(b) -> str | None:
+    import struct
+
+    if b is None:
+        return None
+    streams = _cfb_streams(bytes(b))
+    if not streams:
+        return None
+    wb = streams.get("Workbook") or streams.get("Book")
+    if wb is None:
+        return None
+    records: list[tuple[int, bytes]] = []
+    pos = 0
+    while pos + 4 <= len(wb):
+        rtype, rlen = struct.unpack_from("<HH", wb, pos)
+        payload = wb[pos + 4 : pos + 4 + rlen]
+        pos += 4 + rlen
+        if rtype == _XLS_CONTINUE and records:
+            records[-1] = (records[-1][0], records[-1][1] + payload)
+        else:
+            records.append((rtype, payload))
+    sst: list[str] = []
+    parts: list[str] = []
+    for rtype, payload in records:
+        try:
+            if rtype == _XLS_SST and len(payload) >= 8:
+                n_unique = struct.unpack_from("<I", payload, 4)[0]
+                off = 8
+                for _ in range(n_unique):
+                    s, off = _xls_unicode_string(payload, off)
+                    sst.append(s)
+            elif rtype == _XLS_LABELSST and len(payload) >= 10:
+                isst = struct.unpack_from("<I", payload, 6)[0]
+                if isst < len(sst):
+                    parts.append(sst[isst])
+            elif rtype == _XLS_LABEL and len(payload) >= 8:
+                s, _ = _xls_unicode_string(payload, 6)
+                parts.append(s)
+            elif rtype == _XLS_NUMBER and len(payload) >= 14:
+                x = struct.unpack_from("<d", payload, 6)[0]
+                parts.append(str(int(x)) if x == int(x) else repr(x))
+        except (struct.error, IndexError):
+            continue
+    return " ".join(parts)
+
+
+def _xls_bytes_of_text(text: str) -> bytes:
+    """Minimal BIFF8 workbook: BOF, SST with one UTF-16 string,
+    LABELSST at (0,0), EOF — in a real CFB container."""
+    import struct
+
+    def rec(rtype: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", rtype, len(payload)) + payload
+
+    tb = text.encode("utf-16-le")
+    sst = (
+        struct.pack("<II", 1, 1)
+        + struct.pack("<HB", len(tb) // 2, 0x01)
+        + tb
+    )
+    stream = (
+        rec(0x0809, struct.pack("<HHHHI", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0))
+        + rec(_XLS_SST, sst)
+        + rec(_XLS_LABELSST, struct.pack("<HHHI", 0, 0, 0, 0))
+        + rec(0x000A, b"")
+    )
+    return _cfb_bytes({"Workbook": stream})
+
+
+# --- Legacy .ppt (binary PowerPoint in the CFB container). Record
+# header [u16 verInstance][u16 type][u32 len]; containers (recVer
+# nibble 0xF) hold child records; text lives in TextCharsAtom
+# (0x0FA0, UTF-16LE) and TextBytesAtom (0x0FA8, latin-1) ([MS-PPT]).
+
+_PPT_TEXTCHARS = 0x0FA0
+_PPT_TEXTBYTES = 0x0FA8
+
+
+def _ppt_walk(buf: bytes, out: list[str]) -> None:
+    import struct
+
+    pos = 0
+    while pos + 8 <= len(buf):
+        ver_inst, rtype, rlen = struct.unpack_from("<HHI", buf, pos)
+        payload = buf[pos + 8 : pos + 8 + rlen]
+        pos += 8 + rlen
+        if (ver_inst & 0x000F) == 0x000F:  # container record
+            _ppt_walk(payload, out)
+        elif rtype == _PPT_TEXTCHARS:
+            out.append(payload.decode("utf-16-le", "replace"))
+        elif rtype == _PPT_TEXTBYTES:
+            out.append(payload.decode("latin-1"))
+
+
+def _ppt_text_of_bytes(b) -> str | None:
+    if b is None:
+        return None
+    streams = _cfb_streams(bytes(b))
+    if not streams:
+        return None
+    doc = streams.get("PowerPoint Document")
+    if doc is None:
+        return None
+    out: list[str] = []
+    _ppt_walk(doc, out)
+    return " ".join(out)
+
+
+def _ppt_bytes_of_text(text: str) -> bytes:
+    """Minimal DocumentContainer > SlideListWithText > TextCharsAtom."""
+    import struct
+
+    def rec(ver_inst: int, rtype: int, payload: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(payload)) + payload
+
+    atom = rec(0x0000, _PPT_TEXTCHARS, text.encode("utf-16-le"))
+    slwt = rec(0x000F, 0x0FF0, atom)  # SlideListWithText
+    doc = rec(0x000F, 0x03E8, slwt)  # DocumentContainer
+    return _cfb_bytes({"PowerPoint Document": doc})
+
+
+@F.pandas_udf(T.StringType())
+def _xls_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_xls_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_xls(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _xls_bytes_of_text(t))
+
+
+def xls_extract(content: "F.Column") -> "F.Column":
+    return _xls_extract_udf(content)
+
+
+@F.pandas_udf(T.StringType())
+def _ppt_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_ppt_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_ppt(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _ppt_bytes_of_text(t))
+
+
+def ppt_extract(content: "F.Column") -> "F.Column":
+    return _ppt_extract_udf(content)
+
+
 @F.pandas_udf(T.StringType())
 def _doc_extract_udf(content: pd.Series) -> pd.Series:
     return content.map(_doc_text_of_bytes)
@@ -799,6 +985,8 @@ _EXTRACTORS: dict = {
     "odt": odt_extract,
     "rtf": rtf_extract,
     "doc": doc_extract,
+    "xls": xls_extract,
+    "ppt": ppt_extract,
 }
 
 

@@ -70,10 +70,12 @@ def collect_suite() -> tuple[
 # remainder (multimodal, streaming, TPC-H shapes, geo/osm, pq) is
 # locally re-proven by tests/test_oracle_parity.py and rotates next.
 DRIVER_WINDOW = [
-    # (a) changed this round
+    # (a) changed/new this round (ptb_tokens is new; the 9-format
+    # extract gate covers the xls/ppt extractors)
     "extract_text_formats", "ner_learned", "ner_learned_model",
-    "events_exact_profile", "value_percentiles", "corpus_mixing",
-    "bpe_merges", "bpe_encode", "ann_ivf", "token_topk",
+    "ptb_tokens", "events_exact_profile", "value_percentiles",
+    "corpus_mixing", "bpe_merges", "bpe_encode", "ann_ivf",
+    "token_topk",
     # (b) r1-proven rotation
     "country_suffix_join", "dedup_exact", "dms_parse",
     "doc_scan_filter", "mention_type_filter", "min_docs_filter",
@@ -84,7 +86,7 @@ DRIVER_WINDOW = [
     "within_doc_entities_org",
     # (c) r3-proven rotation
     "adjacent_close_pairs", "ann_cosine_topk", "ann_cosine_topk_vec",
-    "bm25_search", "candidate_split_person", "customer_value_quartiles",
+    "bm25_search", "candidate_split_person",
     "date_normalize", "dedup_clusters", "dedup_embedding",
     "dedup_ngram_jaccard", "dict_ner", "doc_fingerprint",
     "doc_text_search", "docs_person_no_location",

@@ -116,21 +116,24 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 7 (plain UTF-8 bytes, an HTML
+    container format chosen by doc_id % 9 (plain UTF-8 bytes, an HTML
     page with head/style/comment chrome and escaped entities, a PDF —
     FlateDecode-compressed content stream for half the PDF docs,
     uncompressed for the other half — a real zipped .docx with
     word/document.xml, a real zipped .odt with content.xml, an RTF
-    document group, a legacy binary .doc in a real OLE2/CFB container
-    with a Word97 piece table), then run the real ``extract_text``
-    path per format and union. The oracle is the identity (modulo
-    whitespace collapse for the markup formats) — a hash match proves
-    every encode->extract round-trip is exact, i.e. the extractors
-    actually invert the formats (the reference's Tika front door,
-    src/TextExtractor.groovy:12-28)."""
+    document group, and the three legacy binary Office formats in
+    real OLE2/CFB containers: .doc with a Word97 piece table, .xls
+    with a BIFF8 SST + LABELSST cell, .ppt with a TextCharsAtom
+    record tree), then run the real ``extract_text`` path per format
+    and union. The oracle is the identity (modulo whitespace collapse
+    for the markup formats) — a hash match proves every
+    encode->extract round-trip is exact, i.e. the extractors actually
+    invert the formats (the reference's Tika front door,
+    src/TextExtractor.groovy:12-28: "Microsoft Office files, PDF,
+    plaintext, XML and many other formats")."""
     from ..io.sources import (
         extract_text, render_doc, render_docx, render_odt, render_pdf,
-        rtf_render,
+        render_ppt, render_xls, rtf_render,
     )
     from ..session import ship_package
 
@@ -147,8 +150,9 @@ def q_extract_text_formats(spark, sf_dir):
         F.array(
             F.lit("txt"), F.lit("html"), F.lit("pdf"),
             F.lit("docx"), F.lit("odt"), F.lit("rtf"), F.lit("doc"),
+            F.lit("xls"), F.lit("ppt"),
         ),
-        (F.col("doc_id") % 7 + 1).cast("int"),
+        (F.col("doc_id") % 9 + 1).cast("int"),
     )
     rendered = (
         F.when(fmt == "txt", F.col("text"))
@@ -171,11 +175,13 @@ def q_extract_text_formats(spark, sf_dir):
         F.when(fmt == "docx", render_docx(F.col("text")))
         .when(fmt == "odt", render_odt(F.col("text")))
         .when(fmt == "doc", render_doc(F.col("text")))
+        .when(fmt == "xls", render_xls(F.col("text")))
+        .when(fmt == "ppt", render_ppt(F.col("text")))
         .when(
             fmt == "pdf",
-            # half the PDFs Flate-compressed (doc_id % 14 == 2), half
-            # uncompressed (== 9): one gate proves both branches
-            render_pdf(F.col("text"), F.col("doc_id") % 14 == 2),
+            # half the PDFs Flate-compressed (doc_id % 18 == 2), half
+            # uncompressed (== 11): one gate proves both branches
+            render_pdf(F.col("text"), F.col("doc_id") % 18 == 2),
         )
         .otherwise(F.encode(rendered, "UTF-8"))
         .alias("content"),
@@ -186,7 +192,7 @@ def q_extract_text_formats(spark, sf_dir):
         for f, x in (
             ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
             ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
-            ("doc", "doc"),
+            ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
         )
     ]
     out = parts[0]
@@ -197,13 +203,58 @@ def q_extract_text_formats(spark, sf_dir):
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc'][CAST(doc_id % 7 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt'][CAST(doc_id % 9 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 7 IN (1, 3, 4, 5)
+       CASE WHEN doc_id % 9 IN (1, 3, 4, 5)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
 """
+
+#: punctuation-rich wrapper exercising every PTB rule class under the
+#: hash gate (quotes, contractions, brackets, ellipsis, comma/number,
+#: currency/percent, sentence-final period)
+PTB_PREFIX = '"Dr. Foo isn\'t here," she said (see [1] & {2}); it\'s 1,234.5% done... '
+PTB_SUFFIX = " We'll finish for $5, won't we?"
+
+
+def q_ptb_tokens(spark, sf_dir):
+    """C14 at full strength: PTB tokenization (the public
+    tokenizer.sed rule pipeline) as a pure-Column regexp chain, run
+    over every document wrapped in a punctuation-rich frame so the
+    gate exercises quote conversion, contraction splitting, bracket
+    normalization, ellipsis and number-comma handling — not just the
+    corpus's clean words (reference tokenizes NER training text with
+    PTBTokenizer, src/XMLToTSVConverter.groovy:148-159). Scan-stage,
+    zero shuffles before the output ordering."""
+    from ..functions.text import ptb_tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            ptb_tokens(
+                F.concat(F.lit(PTB_PREFIX), F.col("text"), F.lit(PTB_SUFFIX))
+            )
+        ).alias("pos", "token"),
+    )
+    return toks.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def _ptb_oracle() -> str:
+    from ..functions.text import sql_ptb_tokens
+
+    pre = PTB_PREFIX.replace("'", "''")
+    suf = PTB_SUFFIX.replace("'", "''")
+    toks = sql_ptb_tokens(f"('{pre}' || text || '{suf}')")
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS ts FROM documents)
+SELECT doc_id,
+       CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos,
+       unnest(ts) AS token
+FROM toked
+"""
+
 
 QUERIES = {
     "extract_text_formats": q_extract_text_formats,
@@ -211,6 +262,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "doc_fingerprint": q_fingerprint,
     "corpus_lang_profile": q_corpus_lang_profile,
+    "ptb_tokens": q_ptb_tokens,
 }
 
 ORACLES = {
@@ -219,6 +271,7 @@ ORACLES = {
     "quality_scores": ORACLE_QUALITY,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "corpus_lang_profile": ORACLE_CORPUS_PROFILE,
+    "ptb_tokens": _ptb_oracle(),
 }
 
 
