@@ -50,8 +50,11 @@ HEADLINE = [
     "lm_doc_scores",
     "corpus_mixing",
     "snapshot_diff",
-    # round-6: learned tagger (train + apply under the gate)
+    # round-6: learned tagger (train + apply under the gate),
+    # span-level exact-substring dedup, full PTB tokenization
     "ner_learned",
+    "dedup_exact_substr",
+    "ptb_tokens",
 ]
 
 

@@ -450,3 +450,66 @@ def test_ppt_extractor_roundtrip(spark):
         == "bytes atom chars"
     )
     assert _extract_one(spark, b"junk", "ppt") is None
+
+
+def test_extract_text_auto_mixed_corpus(spark, tmp_path):
+    """The Tika-class front door over FILES: a mixed-format directory
+    tree routed to per-format extractors by extension (reference hands
+    every file to Tika, src/TextExtractor.groovy:12-28)."""
+    from vizlinc_ingester_spark.io.sources import (
+        _doc_bytes_of_text, _docx_bytes_of_text, _odt_bytes_of_text,
+        _pdf_bytes_of_text, _ppt_bytes_of_text, _xls_bytes_of_text,
+    )
+    from vizlinc_ingester_spark.session import ship_package
+
+    ship_package(spark)
+    root = tmp_path / "mixed"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.txt").write_text("plain text file")
+    (root / "b.html").write_text("<html><body><p>web &amp; page</p></body></html>")
+    (root / "c.pdf").write_bytes(_pdf_bytes_of_text("pdf deflated text", True))
+    (root / "d.docx").write_bytes(_docx_bytes_of_text("word xml text"))
+    (root / "sub" / "e.odt").write_bytes(_odt_bytes_of_text("odt text"))
+    (root / "sub" / "f.rtf").write_text(r"{\rtf1\ansi rtf body\par}")
+    (root / "g.doc").write_bytes(_doc_bytes_of_text("legacy word text"))
+    (root / "h.xls").write_bytes(_xls_bytes_of_text("sheet cell text"))
+    (root / "i.ppt").write_bytes(_ppt_bytes_of_text("slide text"))
+    (root / "j.unknownext").write_text("fallback utf8")
+
+    scanned = sources.scan_directory(spark, str(root), "*")
+    out = sources.extract_text_auto(scanned)
+    got = {r["name"]: r["text"] for r in out.collect()}
+    assert got == {
+        "a.txt": "plain text file",
+        "b.html": "web & page",
+        "c.pdf": "pdf deflated text",
+        "d.docx": "word xml text",
+        "e.odt": "odt text",
+        "f.rtf": "rtf body",
+        "g.doc": "legacy word text",
+        "h.xls": "sheet cell text",
+        "i.ppt": "slide text",
+        "j.unknownext": "fallback utf8",
+    }
+
+
+def test_ingest_auto_front_door(spark, tmp_path):
+    """End-to-end: mixed-format corpus -> auto extraction -> mentions
+    -> coref -> star schema, through the real pipeline entry."""
+    from vizlinc_ingester_spark.io.sources import _doc_bytes_of_text
+    from vizlinc_ingester_spark.plans.ingest import ingest
+
+    root = tmp_path / "corpus2"
+    root.mkdir()
+    (root / "a.txt").write_text("Maria Lopez visited Bogota today")
+    (root / "b.doc").write_bytes(
+        _doc_bytes_of_text("Jose Garcia met Maria Lopez in Cali")
+    )
+    res = ingest(
+        spark, str(root), str(tmp_path / "work2"), input_ext="auto"
+    )
+    docs = {r["name"]: r["text"] for r in res["documents"].collect()}
+    assert docs["a.txt"] == "Maria Lopez visited Bogota today"
+    assert docs["b.doc"] == "Jose Garcia met Maria Lopez in Cali"
+    assert res["mentions"].count() > 0
+    assert "extract_text" in res.timings

@@ -51,10 +51,11 @@ def scan_directory(spark: SparkSession, path: str, ext: str = "txt") -> DataFram
     (src/Ingester.groovy:206) only at output time — keep it lazy so
     downstream ops don't inherit a global sort.
     """
+    glob = "*" if ext == "*" else f"*.{ext}"
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", f"*.{ext}")
+        .option("pathGlobFilter", glob)
         .load(path)
     )
 
@@ -993,6 +994,44 @@ _EXTRACTORS: dict = {
 def register_extractor(name: str, fn) -> None:
     """Register a ``Column -> Column`` (or pandas-UDF) text extractor."""
     _EXTRACTORS[name] = fn
+
+
+#: file extension -> extractor name for the auto front door
+_EXT_ROUTES: dict[str, str] = {
+    "txt": "utf8", "text": "utf8", "xml": "utf8",
+    "html": "html", "htm": "html",
+    "pdf": "pdf", "docx": "docx", "odt": "odt", "rtf": "rtf",
+    "doc": "doc", "xls": "xls", "ppt": "ppt",
+}
+
+
+def extract_text_auto(binary_docs: DataFrame, id_offset: int = 0) -> DataFrame:
+    """S2 auto front door: route each file to its extractor by
+    extension — the reference hands EVERY file to Tika and lets it
+    sniff (src/TextExtractor.groovy:12-28); here routing is explicit
+    so each format's subset stays documented. Files split into
+    per-extension partitions of one scan and each slice runs its own
+    extractor (a plain union — NOT a when-chain over UDF branches,
+    which would evaluate every pandas UDF on every row). Unknown
+    extensions fall back to UTF-8 decode, like Tika's text heuristic.
+    Rows whose extractor returns NULL (wrong container) keep the NULL
+    so callers can audit failures."""
+    ext = F.lower(F.element_at(F.split("path", r"\."), -1))
+    tagged = binary_docs.withColumn("__ext", ext)
+    parts = []
+    routed = sorted(set(_EXT_ROUTES.values()))
+    for extractor in routed:
+        exts = [e for e, x in _EXT_ROUTES.items() if x == extractor]
+        part = tagged.filter(F.col("__ext").isin(*exts)).drop("__ext")
+        parts.append(extract_text(part, extractor=extractor, id_offset=id_offset))
+    fallback = tagged.filter(
+        ~F.col("__ext").isin(*list(_EXT_ROUTES))
+    ).drop("__ext")
+    parts.append(extract_text(fallback, extractor="utf8", id_offset=id_offset))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_mentions_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -25,6 +25,7 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import geo
 from ..io import sinks, sources
@@ -57,10 +58,14 @@ def ingest(
     graphml_path: str | None = None,
     curate: bool = False,
     bench_grams: DataFrame | None = None,
+    input_ext: str = "txt",
 ) -> IngestResult:
     """Run the 10-step pipeline.
 
-    Inputs: either ``input_dir`` (a recursive tree of .txt files, S1+S2)
+    Inputs: either ``input_dir`` (a recursive tree of source files,
+    S1+S2; ``input_ext`` selects one extension, or ``"auto"`` scans
+    every file and routes each to its extractor by extension —
+    txt/html/pdf/docx/odt/rtf/doc/xls/ppt, the Tika-class front door)
     or a prebuilt ``documents`` DataFrame (doc_id, name, path, text).
     ``extractor``: documents -> mentions DataFrame; defaults to the
     deterministic test double (the CRF seam, src/EntityExtractor.groovy:
@@ -89,8 +94,17 @@ def ingest(
     def load_docs():
         if documents is not None:
             d = documents
+        elif input_ext == "auto":
+            from ..session import ship_package
+
+            ship_package(spark)  # pandas-UDF extractors run on workers
+            d = sources.extract_text_auto(
+                sources.scan_directory(spark, input_dir, "*")
+            ).filter(F.col("text").isNotNull())
         else:
-            d = sources.extract_text(sources.scan_directory(spark, input_dir, "txt"))
+            d = sources.extract_text(
+                sources.scan_directory(spark, input_dir, input_ext)
+            )
         return _checkpoint(d, spark, os.path.join(work_dir, "documents"))
 
     docs = step("extract_text", load_docs)

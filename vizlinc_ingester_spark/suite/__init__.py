@@ -73,9 +73,9 @@ DRIVER_WINDOW = [
     # (a) changed/new this round (ptb_tokens is new; the 9-format
     # extract gate covers the xls/ppt extractors)
     "extract_text_formats", "ner_learned", "ner_learned_model",
-    "ptb_tokens", "events_exact_profile", "value_percentiles",
-    "corpus_mixing", "bpe_merges", "bpe_encode", "ann_ivf",
-    "token_topk",
+    "ptb_tokens", "dedup_exact_substr", "events_exact_profile",
+    "value_percentiles", "corpus_mixing", "bpe_merges", "bpe_encode",
+    "ann_ivf", "token_topk",
     # (b) r1-proven rotation
     "country_suffix_join", "dedup_exact", "dms_parse",
     "doc_scan_filter", "mention_type_filter", "min_docs_filter",
@@ -92,6 +92,6 @@ DRIVER_WINDOW = [
     "doc_text_search", "docs_person_no_location",
     "document_entity_counts", "global_id_clusters", "lang_id",
     "normalize_mentions", "orders_running_revenue", "pricing_summary",
-    "quality_scores", "tfidf_topk", "users_full_outer",
+    "quality_scores", "tfidf_topk",
     "within_doc_entities_person_merged",
 ]

@@ -15,6 +15,7 @@ from ..functions.hashing import (
     sql_minhash_term,
     sql_simhash16,
     sql_stable_hash64,
+    stable_hash64,
 )
 from ..functions.text import sql_tokens
 from ..operators import dedup as dd
@@ -308,6 +309,138 @@ WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= 200000
 """
 
 
+SUBSTR_L = 8  # tokens per exact-substring window
+
+
+def q_dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr-style dedup (the "Deduplicating Training Data Makes
+    Language Models Better" approach, re-expressed relationally): any
+    SUBSTR_L-token window that occurs verbatim in >= 2 documents marks
+    a repeated span; per document we report how many of its windows
+    are repeated and what fraction of its TOKENS is covered by at
+    least one repeated window — the quantity an exact-substring
+    deduper would cut. Complements MinHash/SimHash (whole-doc
+    near-dup) with span-level exact duplication.
+
+    Plan at 100 TB: windows are scan-stage array expressions
+    (posexplode); the duplicate-window set is one count-distinct
+    aggregation shuffled on the 60-bit window hash (uniform key, no
+    skew); occurrences semi-join that set on the same key; coverage
+    is a position explode (x SUBSTR_L, linear) + distinct keyed on
+    doc_id. No pair space anywhere — cost is O(corpus tokens), which
+    is the property that makes suffix-array dedup's relational cousin
+    feasible on Spark."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        toks.alias("t"),
+    )
+    grams = base.filter(F.col("n_tokens") >= SUBSTR_L).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - SUBSTR_L + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    stable_hash64(
+                        F.array_join(F.slice(F.col("t"), i, SUBSTR_L), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    occ = grams.join(dup_gh, "gh", "left_semi")
+    n_rep = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeated_grams")
+    )
+    covered = (
+        occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + SUBSTR_L - 1)
+            ).alias("pos"),
+        )
+        .dropDuplicates(["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    stats = (
+        base.select(
+            "doc_id", "n_tokens",
+            F.greatest(
+                F.col("n_tokens") - SUBSTR_L + 1, F.lit(0)
+            ).cast("long").alias("n_grams"),
+        )
+        .join(n_rep, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+    )
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+    return stats.select(
+        "doc_id", "n_tokens", "n_grams",
+        F.coalesce(F.col("n_repeated_grams"), F.lit(0)).cast("long")
+        .alias("n_repeated_grams"),
+        cov.alias("covered_tokens"),
+        F.expr(
+            f"div(coalesce(covered_tokens, 0) * cast(1000000 as bigint),"
+            f" n_tokens)"
+        ).alias("covered_micro"),
+    )
+
+
+def _substr_oracle() -> str:
+    gram = f"array_to_string(t[start:start + {SUBSTR_L - 1}], ' ')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, n_tokens - {SUBSTR_L - 1})) AS BIGINT)
+           AS start, t
+  FROM base WHERE n_tokens >= {SUBSTR_L}
+),
+hashed AS (
+  SELECT doc_id, start, {sql_stable_hash64(gram)} AS gh FROM grams
+),
+dup_gh AS (
+  SELECT gh FROM hashed GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT h.doc_id, h.start FROM hashed h WHERE h.gh IN (SELECT gh FROM dup_gh)
+),
+n_rep AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated_grams
+  FROM occ GROUP BY doc_id
+),
+covered AS (
+  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS covered_tokens
+  FROM (
+    SELECT doc_id, unnest(generate_series(start, start + {SUBSTR_L - 1})) AS pos
+    FROM occ
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(greatest(b.n_tokens - {SUBSTR_L - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_rep.n_repeated_grams, 0) AS BIGINT) AS n_repeated_grams,
+       CAST(coalesce(covered.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(covered.covered_tokens, 0) * 1000000 // b.n_tokens AS BIGINT)
+         AS covered_micro
+FROM base b
+LEFT JOIN n_rep ON b.doc_id = n_rep.doc_id
+LEFT JOIN covered ON b.doc_id = covered.doc_id
+"""
+
+
 DUP_THRESH_MICRO = 600_000  # verified-Jaccard cut for "same document"
 
 
@@ -395,6 +528,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_exact_substr": q_dedup_exact_substr,
     "dedup_clusters": q_dedup_clusters,
 }
 
@@ -406,5 +540,6 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_exact_substr": _substr_oracle(),
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

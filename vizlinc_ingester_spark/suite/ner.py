@@ -61,9 +61,22 @@ def _tagged_xml(d: DataFrame) -> DataFrame:
 
 
 def _models(spark: SparkSession, sf_dir: str):
+    """Train once per (session, input plan) — a trained model is a
+    build-once/apply-many artifact (same memo semantics as the PQ
+    codebook and the IVF index); the model tables are persisted so
+    the apply query's two broadcast sides don't re-run training."""
+    from ..session import plan_key, plan_memo
+
     train_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
-    token_tags = xml_to_token_tags(_tagged_xml(train_docs))
-    return train_tagger(token_tags)
+
+    def build():
+        token_tags = xml_to_token_tags(_tagged_xml(train_docs))
+        tm, sm = train_tagger(token_tags)
+        tm, sm = tm.persist(), sm.persist()
+        tm.count(), sm.count()
+        return tm, sm
+
+    return plan_memo(spark, plan_key(train_docs, "ner_models"), build)
 
 
 def q_ner_learned_model(spark, sf_dir):

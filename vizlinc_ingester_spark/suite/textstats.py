@@ -464,24 +464,40 @@ def q_lm_doc_scores(spark, sf_dir):
     big = toked.select("doc_id", bg.alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    uni = toked.select(F.explode("_t").alias("w"))
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    v_row = uni.agg(F.countDistinct("w").cast("long").alias("v"))
-    model = (
-        c2.join(c1, c2["w1"] == c1["w"])
-        .crossJoin(F.broadcast(v_row))
-        .select(
-            "w1", "w2",
-            F.floor(
-                F.log(
-                    (F.col("c2") + 1).cast("double")
-                    / (F.col("c1") + F.col("v")).cast("double")
-                )
-                * 1000000.0
-            ).cast("long").alias("term_micro"),
+
+    def build_model():
+        # the LM itself is a build-once artifact (train once, score
+        # many) — persisted + memoized per (session, input plan), the
+        # same semantics as the PQ codebook / IVF index / NER model.
+        # Without the memo the counts sub-DAG (a second tokenize +
+        # explode over the whole corpus) re-runs on every call.
+        uni = toked.select(F.explode("_t").alias("w"))
+        c2 = big.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c2")
         )
-    )
+        c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        v_row = uni.agg(F.countDistinct("w").cast("long").alias("v"))
+        m = (
+            c2.join(c1, c2["w1"] == c1["w"])
+            .crossJoin(F.broadcast(v_row))
+            .select(
+                "w1", "w2",
+                F.floor(
+                    F.log(
+                        (F.col("c2") + 1).cast("double")
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                    * 1000000.0
+                ).cast("long").alias("term_micro"),
+            )
+            .persist()
+        )
+        m.count()
+        return m
+
+    from ..session import plan_key, plan_memo
+
+    model = plan_memo(spark, plan_key(toked, "bigram_lm"), build_model)
     return (
         big.join(model, ["w1", "w2"])
         .groupBy("doc_id")
