@@ -55,6 +55,11 @@ HEADLINE = [
     "ner_learned",
     "dedup_exact_substr",
     "ptb_tokens",
+    # round-6b: boilerplate segment removal, SemDeDup, learned NB
+    # quality classifier
+    "dedup_segments",
+    "dedup_semantic",
+    "quality_classifier_nb",
 ]
 
 

@@ -73,7 +73,8 @@ DRIVER_WINDOW = [
     # (a) changed/new this round (ptb_tokens is new; the 9-format
     # extract gate covers the xls/ppt extractors)
     "extract_text_formats", "ner_learned", "ner_learned_model",
-    "ptb_tokens", "dedup_exact_substr", "events_exact_profile",
+    "ptb_tokens", "dedup_exact_substr", "dedup_segments",
+    "dedup_semantic", "quality_classifier_nb", "events_exact_profile",
     "value_percentiles", "corpus_mixing", "bpe_merges", "bpe_encode",
     "ann_ivf", "token_topk",
     # (b) r1-proven rotation
@@ -87,11 +88,17 @@ DRIVER_WINDOW = [
     # (c) r3-proven rotation
     "adjacent_close_pairs", "ann_cosine_topk", "ann_cosine_topk_vec",
     "bm25_search", "candidate_split_person",
-    "date_normalize", "dedup_clusters", "dedup_embedding",
+    "date_normalize", "dedup_clusters",
     "dedup_ngram_jaccard", "dict_ner", "doc_fingerprint",
     "doc_text_search", "docs_person_no_location",
-    "document_entity_counts", "global_id_clusters", "lang_id",
+    "document_entity_counts", "global_id_clusters",
     "normalize_mentions", "orders_running_revenue", "pricing_summary",
-    "quality_scores", "tfidf_topk",
+    "tfidf_topk",
     "within_doc_entities_person_merged",
 ]
+# Dropped from (c) to fit the 3 new r6 operators at the front:
+# dedup_embedding (its cos_micro lineage is re-proven by
+# dedup_semantic), quality_scores (its heuristic is re-proven inside
+# quality_classifier_nb's label derivation), lang_id (pure Column,
+# unchanged since r3). All three remain locally re-proven every
+# session by tests/test_oracle_parity.py.

@@ -441,6 +441,126 @@ LEFT JOIN covered ON b.doc_id = covered.doc_id
 """
 
 
+SEG_L = 12      # tokens per segment (the "line" proxy; the corpus has no newlines)
+BOILER_K = 2    # segment is boilerplate if it appears in >= K distinct docs
+
+
+def q_dedup_segments(spark, sf_dir):
+    """Segment-level boilerplate removal (the line-dedup stage of
+    CCNet/RefinedWeb-style pipelines, on a corpus without newlines):
+    split each doc into consecutive SEG_L-token segments; any FULL
+    segment whose exact text occurs in >= BOILER_K distinct docs is
+    boilerplate and is cut; the doc is re-assembled from the retained
+    segments in order. Unlike ``dedup_exact_substr`` (span statistics)
+    this is a TRANSFORMATION — the output carries the cleaned text, so
+    the hash gate proves order-correct reassembly, not just counts.
+
+    Plan at 100 TB: segments are scan-stage array expressions; the
+    boilerplate set is one aggregation keyed on the segment hash
+    (uniform key) and is SMALL by construction (only segments repeated
+    across docs), so the removal join broadcasts it — the corpus
+    itself shuffles once, on doc_id, for reassembly. Partial tail
+    segments are never boilerplate candidates (a short tail repeating
+    is not evidence of boilerplate)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        toks.alias("t"),
+    )
+    seg = base.select(
+        "doc_id", "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor((F.col("n") - 1) / SEG_L)),
+                lambda si: F.struct(
+                    si.cast("long").alias("si"),
+                    F.array_join(
+                        F.slice(F.col("t"), si * SEG_L + 1, SEG_L), " "
+                    ).alias("stext"),
+                    F.least(
+                        F.col("n") - si * SEG_L, F.lit(SEG_L)
+                    ).cast("long").alias("slen"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.si", "s.stext", "s.slen")
+    boiler = (
+        seg.filter(F.col("slen") == SEG_L)
+        .groupBy("stext")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_K)
+        .select("stext")
+    )
+    kept = seg.join(F.broadcast(boiler), "stext", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("slen").cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("si", "stext"))),
+                lambda x: x.getField("stext"),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = base.select(
+        "doc_id",
+        (F.floor((F.col("n") - 1) / SEG_L) + 1).cast("long").alias("n_segments"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id", "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
+        .alias("kept_tokens"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+ORACLE_DEDUP_SEGMENTS = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, n,
+         CAST(unnest(generate_series(0, (n - 1) // {SEG_L})) AS BIGINT) AS si,
+         t
+  FROM base
+),
+segtext AS (
+  SELECT doc_id, si,
+         array_to_string(t[si * {SEG_L} + 1 : si * {SEG_L} + {SEG_L}], ' ')
+           AS stext,
+         CAST(least(n - si * {SEG_L}, {SEG_L}) AS BIGINT) AS slen
+  FROM seg
+),
+boiler AS (
+  SELECT stext FROM segtext WHERE slen = {SEG_L}
+  GROUP BY stext HAVING count(DISTINCT doc_id) >= {BOILER_K}
+),
+kept AS (
+  SELECT s.* FROM segtext s WHERE s.stext NOT IN (SELECT stext FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(slen) AS BIGINT) AS kept_tokens,
+         string_agg(stext, ' ' ORDER BY si) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST((b.n - 1) // {SEG_L} + 1 AS BIGINT) AS n_segments,
+       CAST((b.n - 1) // {SEG_L} + 1 - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 DUP_THRESH_MICRO = 600_000  # verified-Jaccard cut for "same document"
 
 
@@ -529,6 +649,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "dedup_exact_substr": q_dedup_exact_substr,
+    "dedup_segments": q_dedup_segments,
     "dedup_clusters": q_dedup_clusters,
 }
 
@@ -541,5 +662,6 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_exact_substr": _substr_oracle(),
+    "dedup_segments": ORACLE_DEDUP_SEGMENTS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

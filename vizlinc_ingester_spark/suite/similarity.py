@@ -710,3 +710,90 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) <= {TOPK}
 
 QUERIES["ann_pq"] = q_ann_pq
 ORACLES["ann_pq"] = ORACLE_ANN_PQ
+
+
+SEM_THRESH_MICRO = 300_000  # within-cluster cosine cut for "semantic dup"
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then compare vectors
+    only WITHIN their cluster; a vector is a semantic duplicate if any
+    lower-id vector in its cluster has cosine >= SEM_THRESH_MICRO.
+    ``dup_of`` is the smallest such neighbor (-1 for keepers) — the
+    keeper a deduper would collapse it into.
+
+    Plan at 100 TB: reuses the memoized IVF assignment
+    (``_ivf_assigned``) as the cluster index — clustering is the step
+    that makes semantic dedup feasible at scale, because the pair
+    space is bounded by the largest cluster, not the corpus. The
+    self-join shuffles on centroid_id only; no all-pairs anywhere.
+    Skewed (giant) clusters would be re-split by a second-level
+    assignment — not needed at this SF, noted as the known lever."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "centroid_id",
+    )
+    close = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_b", "vec_a",
+            cos_micro(F.col("emb_a"), F.col("emb_b")).alias("cm"),
+        )
+        .filter(F.col("cm") >= SEM_THRESH_MICRO)
+    )
+    dup_of = close.groupBy("vec_b").agg(F.min("vec_a").alias("dup_of"))
+    return assigned.join(
+        dup_of, assigned["vec_id"] == dup_of["vec_b"], "left"
+    ).select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNotNull().cast("long").alias("is_dup"),
+    )
+
+
+ORACLE_DEDUP_SEMANTIC = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {sql_cos_micro('e.embedding', 'c.cent_emb')} AS cm
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) x WHERE rn = 1
+),
+close_p AS (
+  SELECT b.vec_id AS vec_b, a.vec_id AS vec_a
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= {SEM_THRESH_MICRO}
+),
+dup_of AS (
+  SELECT vec_b, CAST(min(vec_a) AS BIGINT) AS dup_of
+  FROM close_p GROUP BY vec_b
+)
+SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM assigned s LEFT JOIN dup_of d ON s.vec_id = d.vec_b
+"""
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC

@@ -545,3 +545,178 @@ GROUP BY doc_id
 
 QUERIES["lm_doc_scores"] = q_lm_doc_scores
 ORACLES["lm_doc_scores"] = ORACLE_LM_DOC_SCORES
+
+
+# --- learned quality classifier (Naive Bayes, LLM-track round 6) ----------
+
+QC_THRESH_MICRO = 730_000  # heuristic-quality cut that defines the weak label
+
+
+def q_quality_classifier_nb(spark, sf_dir):
+    """Learned document-quality classifier — the fastText-classifier
+    stage of CCNet/GPT-3-style pipelines (train a cheap linear model
+    on weak labels, score the whole corpus), expressed as multinomial
+    Naive Bayes so training is a SINGLE counting pass (no iterations):
+    docs with heuristic quality >= QC_THRESH_MICRO on the train split
+    (doc_id % 2 == 0) are the positive class; per-token log-likelihood
+    ratios with add-one smoothing score the held-out split.
+
+    Float discipline: every model term is floored to integer
+    micro-nats immediately (same as lm_doc_scores), so per-doc scores
+    are order-independent exact int64 sums and the whole train+apply
+    pipeline sits under the cross-engine hash gate — a LEARNED
+    classifier with hash-proven training.
+
+    Plan at 100 TB: counting rollups are map-side combinable; the
+    weight table is vocabulary-sized (joined on the token key, AQE
+    broadcasts it when small); the corpus is scanned once to train
+    and once to score. No driver round-trips, no iterations."""
+    from ..session import plan_key, plan_memo
+
+    d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id",
+        tx.tokens(F.col("text")).alias("_t"),
+        (tx.quality_score_micro(F.col("text")) >= QC_THRESH_MICRO)
+        .cast("int").alias("pos"),
+    ).filter(F.size("_t") >= 1)
+    train = toked.filter(F.col("doc_id") % 2 == 0)
+
+    def build_model():
+        # one explode pass over the train split builds the per-token
+        # counts; np/nn/v derive FROM those counts (sum(cp), sum(cn),
+        # row count — identical values, no second corpus scan); only
+        # dp/dn need a doc-level pass (no explode). Persisted +
+        # memoized per (session, input plan) like the other learned
+        # artifacts (NER tagger, bigram LM, PQ codebook).
+        ttok = train.select("pos", F.explode("_t").alias("w"))
+        counts = ttok.groupBy("w").agg(
+            F.sum("pos").cast("long").alias("cp"),
+            F.sum(1 - F.col("pos")).cast("long").alias("cn"),
+        ).persist()
+        counts.count()
+        cs = counts.agg(
+            F.sum("cp").cast("long").alias("np"),
+            F.sum("cn").cast("long").alias("nn"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        ds = train.agg(
+            F.sum("pos").cast("long").alias("dp"),
+            F.sum(1 - F.col("pos")).cast("long").alias("dn"),
+        )
+        scal = cs.crossJoin(F.broadcast(ds))
+
+        def lratio(num_p, num_n):
+            return (
+                F.floor(
+                    F.log(num_p.cast("double") / (F.col("np") + F.col("v")).cast("double"))
+                    * 1000000.0
+                ).cast("long")
+                - F.floor(
+                    F.log(num_n.cast("double") / (F.col("nn") + F.col("v")).cast("double"))
+                    * 1000000.0
+                ).cast("long")
+            )
+
+        m = counts.crossJoin(F.broadcast(scal)).select(
+            "w", lratio(F.col("cp") + 1, F.col("cn") + 1).alias("w_micro")
+        ).persist()
+        m.count()
+        c = scal.select(
+            lratio(F.lit(1), F.lit(1)).alias("default_micro"),
+            (
+                F.floor(
+                    F.log(F.col("dp").cast("double") / (F.col("dp") + F.col("dn")).cast("double"))
+                    * 1000000.0
+                ).cast("long")
+                - F.floor(
+                    F.log(F.col("dn").cast("double") / (F.col("dp") + F.col("dn")).cast("double"))
+                    * 1000000.0
+                ).cast("long")
+            ).alias("prior_micro"),
+        ).persist()
+        c.count()
+        counts.unpersist()
+        return m, c
+
+    model, consts = plan_memo(spark, plan_key(train, "nb_model"), build_model)
+    held = toked.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode("_t").alias("w")
+    )
+    return (
+        held.join(model, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("w_micro"), F.col("default_micro")))
+                + F.first("prior_micro")
+            ).cast("long").alias("score_micro"),
+        )
+        .select(
+            "doc_id", "n_tokens", "score_micro",
+            (F.col("score_micro") >= 0).cast("long").alias("pred_quality"),
+        )
+    )
+
+
+ORACLE_QUALITY_NB = f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKS} AS t,
+         CASE WHEN {tx.sql_quality_score_micro('text')} >= {QC_THRESH_MICRO}
+              THEN 1 ELSE 0 END AS pos
+  FROM documents WHERE len({_SQL_TOKS}) >= 1
+),
+train AS (SELECT * FROM toked WHERE doc_id % 2 = 0),
+ttok AS (SELECT pos, unnest(t) AS w FROM train),
+counts AS (
+  SELECT w, CAST(sum(pos) AS BIGINT) AS cp,
+         CAST(sum(1 - pos) AS BIGINT) AS cn
+  FROM ttok GROUP BY w
+),
+scal AS (
+  SELECT CAST(sum(len(t) * pos) AS BIGINT) AS np,
+         CAST(sum(len(t) * (1 - pos)) AS BIGINT) AS nn,
+         CAST(sum(pos) AS BIGINT) AS dp,
+         CAST(sum(1 - pos) AS BIGINT) AS dn,
+         (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM ttok) AS v
+  FROM train
+),
+model AS (
+  SELECT w,
+         CAST(floor(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS w_micro
+  FROM counts CROSS JOIN scal
+),
+consts AS (
+  SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(nn + v AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS default_micro,
+         CAST(floor(ln(CAST(dp AS DOUBLE) / CAST(dp + dn AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(dn AS DOUBLE) / CAST(dp + dn AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS prior_micro
+  FROM scal
+),
+held AS (
+  SELECT doc_id, unnest(t) AS w FROM toked WHERE doc_id % 2 = 1
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(m.w_micro, c.default_micro))
+              + any_value(c.prior_micro) AS BIGINT) AS score_micro
+  FROM held LEFT JOIN model m USING (w) CROSS JOIN consts c
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_micro,
+       CAST(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS pred_quality
+FROM scored
+"""
+
+QUERIES["quality_classifier_nb"] = q_quality_classifier_nb
+ORACLES["quality_classifier_nb"] = ORACLE_QUALITY_NB
