@@ -60,6 +60,11 @@ HEADLINE = [
     "dedup_segments",
     "dedup_semantic",
     "quality_classifier_nb",
+    "dsir_selection",
+    "token_cms",
+    "hll_users",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Sketch + interval-merge semantics tests.
+
+1. The interval-merge (gaps-and-islands) coverage inside
+   ``q_dedup_exact_substr`` must equal the naive position-explode
+   union it replaced — property-tested on adversarial random corpora
+   (heavy duplication, overlapping and adjacent repeated windows).
+2. CMS never underestimates (the structural guarantee).
+3. HLL registers are permutation-invariant (mergeability in the
+   aggregation sense): shuffled input produces identical registers.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from vizlinc_ingester_spark.suite.dedup import SUBSTR_L, q_dedup_exact_substr
+from vizlinc_ingester_spark.suite.sketches import q_hll_users, q_token_cms
+
+
+def _write_docs(spark, tmp_path, texts):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "sfprop")
+    df.coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    return out
+
+
+def _explode_coverage(spark, sf_dir):
+    """The replaced naive form: explode every covered position,
+    distinct, count — ground truth for the interval merge."""
+    from vizlinc_ingester_spark.suite.dedup import _docs, stable_hash64
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", F.size(toks).cast("long").alias("n"), toks.alias("t")
+    )
+    grams = base.filter(F.col("n") >= SUBSTR_L).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - SUBSTR_L + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    stable_hash64(
+                        F.array_join(F.slice(F.col("t"), i, SUBSTR_L), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    occ = grams.join(dup_gh, "gh", "left_semi")
+    return {
+        r["doc_id"]: r["c"]
+        for r in occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + SUBSTR_L - 1)
+            ).alias("pos"),
+        )
+        .dropDuplicates(["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def test_interval_merge_equals_position_union(spark, tmp_path):
+    """Adversarial corpus: tiny vocabulary + shared phrases force
+    dense, overlapping, adjacent repeated windows — every island
+    topology the merge must handle."""
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(6)]
+    phrase = " ".join(vocab[:4]) + " " + " ".join(vocab[:4])  # repeated core
+    texts = []
+    for _ in range(40):
+        n = rng.randint(0, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.7:
+            words.insert(rng.randrange(len(words) + 1), phrase)
+        texts.append(" ".join(words) if words else "x")
+    sf = _write_docs(spark, tmp_path, texts)
+
+    got = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in q_dedup_exact_substr(spark, sf).collect()
+        if r["covered_tokens"] > 0
+    }
+    want = _explode_coverage(spark, sf)
+    assert got == want
+
+
+def test_cms_never_underestimates(spark):
+    rows = q_token_cms(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "CMS candidate set empty — raise CMS_T?"
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+        assert r["cms_est"] >= r["exact_cnt"], r
+
+
+def test_hll_registers_permutation_invariant(spark, tmp_path):
+    """Register state must not depend on row order or partitioning —
+    the property that makes HLL a mergeable distributed aggregate."""
+    base = q_hll_users(spark, "/root/testdata/sf0.001").collect()
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    shuffled = e.orderBy(F.rand(seed=7)).repartition(13)
+    out = str(tmp_path / "sfshuf")
+    shuffled.write.mode("overwrite").parquet(out + "/events.parquet")
+    again = q_hll_users(spark, out).collect()
+    key = lambda rows: sorted((r["event_type"], r["s_pow"], r["v_zero"], r["est_micro"]) for r in rows)
+    assert key(base) == key(again)
+
+
+def test_hll_estimate_within_bounds(spark):
+    """3/sqrt(m) ~ 13% relative-error envelope at m=64 (3 sigma) for
+    the raw regime; linear counting is tighter. Loose bound: 25%."""
+    for r in q_hll_users(spark, "/root/testdata/sf0.001").collect():
+        est = r["est_micro"] / 1e6
+        assert abs(est - r["exact_users"]) / r["exact_users"] < 0.25, r

@@ -202,6 +202,86 @@ def probe_ann(spark, reps: int = 10) -> None:
     )
 
 
+def probe_textdedup(spark, reps: int = 20) -> None:
+    """20× documents (10k docs): the round-6 text-dedup/selection
+    family through the exact gated suite code. Amplified docs are
+    written to a temp sf_dir so the path-keyed loaders/memos behave
+    as in the driver. Each rep gets a distinct doc_id stride; text is
+    unchanged, so cross-rep duplication rises — the adversarial
+    direction for dedup operators (more repeated windows/segments,
+    denser boilerplate set)."""
+    import tempfile
+
+    from vizlinc_ingester_spark.suite import curation as cu
+    from vizlinc_ingester_spark.suite import dedup as ddq
+    from vizlinc_ingester_spark.suite import textstats as ts
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    amplified = d.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+    )
+    amplified = amplified.select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        *[c for c in d.columns if c != "doc_id"],
+    ).repartition(64)
+    tmp = tempfile.mkdtemp(prefix="textdedup_probe_")
+    amplified.write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    n = spark.read.parquet(os.path.join(tmp, "documents.parquet")).count()
+    _timed(
+        f"exact_substr_{reps}x", f"{n} docs (interval-merge coverage)",
+        lambda: _noop(ddq.q_dedup_exact_substr(spark, tmp)),
+    )
+    _timed(
+        f"segments_{reps}x", f"{n} docs (boilerplate removal + reassembly)",
+        lambda: _noop(ddq.q_dedup_segments(spark, tmp)),
+    )
+    _timed(
+        f"nb_train_{reps}x", f"{n} docs incl model training",
+        lambda: _noop(ts.q_quality_classifier_nb(spark, tmp)),
+    )
+    _timed(
+        f"nb_score_{reps}x", "model memoized",
+        lambda: _noop(ts.q_quality_classifier_nb(spark, tmp)),
+    )
+    _timed(
+        f"dsir_{reps}x", f"{n} docs (hashed-bigram importance top-k)",
+        lambda: _noop(cu.q_dsir_selection(spark, tmp)),
+    )
+
+
+def probe_semantic(spark, reps: int = 10) -> None:
+    """10× embeddings: SemDeDup through the gated suite code — the
+    within-cluster pair join's cost tracks sum(cluster_size^2), the
+    quantity the clustering exists to bound."""
+    import tempfile
+
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    amplified = e.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+    )
+    amplified = amplified.select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        *[c for c in e.columns if c != "vec_id"],
+    ).repartition(64)
+    tmp = tempfile.mkdtemp(prefix="semantic_probe_")
+    amplified.write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    n = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).count()
+    _timed(
+        f"semdedup_build_{reps}x", f"{n} vectors incl cluster assignment",
+        lambda: _noop(sim.q_dedup_semantic(spark, tmp)),
+    )
+    _timed(
+        f"semdedup_memo_{reps}x", "assignment memoized",
+        lambda: _noop(sim.q_dedup_semantic(spark, tmp)),
+    )
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -213,6 +293,10 @@ def main() -> None:
         probe_range(spark)
     if which in ("ann", "all"):
         probe_ann(spark)
+    if which in ("textdedup", "all"):
+        probe_textdedup(spark)
+    if which in ("semantic", "all"):
+        probe_semantic(spark)
 
 
 if __name__ == "__main__":

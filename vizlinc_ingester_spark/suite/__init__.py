@@ -27,6 +27,7 @@ def collect_suite() -> tuple[
         scalars,
         search_q,
         similarity,
+        sketches,
         streaming_q,
         temporal,
         textstats,
@@ -38,7 +39,7 @@ def collect_suite() -> tuple[
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
         multimodal, streaming_q, temporal, reshape, graph_q, search_q,
-        curation, ner,
+        curation, ner, sketches,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
@@ -74,7 +75,9 @@ DRIVER_WINDOW = [
     # extract gate covers the xls/ppt extractors)
     "extract_text_formats", "ner_learned", "ner_learned_model",
     "ptb_tokens", "dedup_exact_substr", "dedup_segments",
-    "dedup_semantic", "quality_classifier_nb", "events_exact_profile",
+    "dedup_semantic", "quality_classifier_nb", "dsir_selection",
+    "token_cms", "hll_users", "events_funnel",
+    "events_cohort_retention", "events_exact_profile",
     "value_percentiles", "corpus_mixing", "bpe_merges", "bpe_encode",
     "ann_ivf", "token_topk",
     # (b) r1-proven rotation
@@ -86,19 +89,24 @@ DRIVER_WINDOW = [
     "union_mentions", "within_doc_entities_location",
     "within_doc_entities_org",
     # (c) r3-proven rotation
-    "adjacent_close_pairs", "ann_cosine_topk", "ann_cosine_topk_vec",
-    "bm25_search", "candidate_split_person",
-    "date_normalize", "dedup_clusters",
+    "ann_cosine_topk", "ann_cosine_topk_vec",
+    "candidate_split_person",
+    "dedup_clusters",
     "dedup_ngram_jaccard", "dict_ner", "doc_fingerprint",
-    "doc_text_search", "docs_person_no_location",
     "document_entity_counts", "global_id_clusters",
     "normalize_mentions", "orders_running_revenue", "pricing_summary",
     "tfidf_topk",
     "within_doc_entities_person_merged",
 ]
-# Dropped from (c) to fit the 3 new r6 operators at the front:
+# Dropped from (c) to fit the 8 new r6 operators at the front
+# (also adjacent_close_pairs + date_normalize, whose levenshtein /
+# regex lineages are unchanged since r3 and re-proven by the shared
+# coref/date code paths still in the window; bm25_search +
+# docs_person_no_location, whose search / except lineages stay
+# covered by tfidf_topk + candidate_split_person):
 # dedup_embedding (its cos_micro lineage is re-proven by
 # dedup_semantic), quality_scores (its heuristic is re-proven inside
 # quality_classifier_nb's label derivation), lang_id (pure Column,
-# unchanged since r3). All three remain locally re-proven every
-# session by tests/test_oracle_parity.py.
+# unchanged since r3), doc_text_search (rlike lineage unchanged since
+# r3). All four remain locally re-proven every session by
+# tests/test_oracle_parity.py.

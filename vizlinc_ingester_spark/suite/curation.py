@@ -576,3 +576,156 @@ WHERE (CASE WHEN old_md5 IS NULL THEN 'added'
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+# --- DSIR-style importance-weighted data selection (round 6) ---------------
+
+DSIR_BUCKETS = 8192  # hashed bigram feature space (the paper's 10k-bucket n-grams)
+DSIR_TOPK = 100      # selected corpus size
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_selection(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR), deterministic top-k variant: estimate target and raw
+    distributions over HASHED BIGRAM features (stable 60-bit hash %
+    DSIR_BUCKETS — the paper's hashed n-gram models), weight every
+    raw doc by its summed log importance ratio
+    ln(p_target(b)/p_raw(b)) with add-one smoothing, and select the
+    top DSIR_TOPK docs. The target here is the `lang='en'` slice —
+    the "choose raw web data that looks like my curated target"
+    primitive of pretraining-data pipelines.
+
+    Float discipline: per-bucket ratios floored to integer micro-nats
+    immediately; doc scores are order-independent int64 sums (the
+    lm_doc_scores discipline), so selection is hash-gated.
+
+    Plan at 100 TB: the feature table is bounded by DSIR_BUCKETS
+    (8192 rows) — both models fit in one broadcast regardless of
+    corpus size; the corpus is scanned once for counts and once for
+    scoring. Global top-k is TakeOrdered (per-partition heaps + a
+    k-row driver merge), and the rank window runs on the k selected
+    rows only — never a corpus-wide single-partition sort."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_hash64
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    toked = d.select("doc_id", "lang", toks.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: (
+                stable_hash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    )
+                )
+                % DSIR_BUCKETS
+            ),
+        )
+    )
+    occ = toked.select("doc_id", "lang", bg.alias("b"))
+    counts = occ.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cs"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long"))
+        .cast("long").alias("ct"),
+    )
+    scal = counts.agg(
+        F.sum("cs").cast("long").alias("ns"),
+        F.sum("ct").cast("long").alias("nt"),
+    )
+    weights = counts.crossJoin(F.broadcast(scal)).select(
+        "b",
+        (
+            F.floor(
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + DSIR_BUCKETS).cast("double")
+                )
+                * 1000000.0
+            ).cast("long")
+            - F.floor(
+                F.log(
+                    (F.col("cs") + 1).cast("double")
+                    / (F.col("ns") + DSIR_BUCKETS).cast("double")
+                )
+                * 1000000.0
+            ).cast("long")
+        ).alias("w_micro"),
+    )
+    scored = (
+        occ.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("w_micro").cast("long").alias("score_micro"),
+        )
+    )
+    topk = scored.orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    ).limit(DSIR_TOPK)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "lang", "n_bigrams", "score_micro", "rank")
+
+
+def _dsir_oracle() -> str:
+    from ..functions.hashing import sql_stable_hash64
+
+    bh = sql_stable_hash64("t[i] || ' ' || t[i+1]")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+idx AS (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 2) FROM toked))) AS i),
+occ AS (
+  SELECT doc_id, lang, {bh} % {DSIR_BUCKETS} AS b
+  FROM toked JOIN idx ON i <= len(t) - 1
+),
+counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cs,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM occ GROUP BY b
+),
+scal AS (
+  SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt
+  FROM counts
+),
+weights AS (
+  SELECT b,
+         CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+                       / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST(cs + 1 AS DOUBLE)
+                         / CAST(ns + {DSIR_BUCKETS} AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS w_micro
+  FROM counts CROSS JOIN scal
+),
+scored AS (
+  SELECT doc_id, any_value(lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM occ JOIN weights USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, lang, n_bigrams, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
+
+
+QUERIES["dsir_selection"] = q_dsir_selection
+ORACLES["dsir_selection"] = _dsir_oracle()

@@ -1203,3 +1203,142 @@ ORACLES["customer_order_histogram"] = ORACLE_CUSTOMER_ORDER_HISTOGRAM
 ORACLES["idle_rich_customers"] = ORACLE_IDLE_RICH_CUSTOMERS
 ORACLES["nation_trade_volume"] = ORACLE_NATION_TRADE_VOLUME
 ORACLES["part_supplier_breadth"] = ORACLE_PART_SUPPLIER_BREADTH
+
+
+# --- product-analytics staples: funnel + cohort retention (round 6) --------
+
+_DAY_NS = 86_400_000_000_000
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark, sf_dir):
+    """First-touch conversion funnel view -> click -> purchase: per
+    user, the earliest view, the earliest click strictly after it,
+    the earliest purchase strictly after that — the canonical
+    product-analytics operator (Amplitude/Mixpanel funnel). Output is
+    one row per user who entered the funnel, with reached_step and
+    the three step timestamps (-1 where not reached) so the gate
+    proves step ordering, not just counts.
+
+    Plan at 100 TB: three min-aggregations and two joins, ALL keyed on
+    user_id — one shuffle partitioning established by the first agg
+    and reused by every subsequent SMJ stage (co-partitioned, no
+    re-exchange); per-step filters prune at the scan."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    t1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").cast("long").alias("t1_ns"),
+            F.coalesce(F.col("t2"), F.lit(-1)).cast("long").alias("t2_ns"),
+            F.coalesce(F.col("t3"), F.lit(-1)).cast("long").alias("t3_ns"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("long").alias("reached_step"),
+        )
+    )
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_type FROM events
+),
+t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT t1.user_id, CAST(t1.t1 AS BIGINT) AS t1_ns,
+       CAST(coalesce(t2.t2, -1) AS BIGINT) AS t2_ns,
+       CAST(coalesce(t3.t3, -1) AS BIGINT) AS t3_ns,
+       CAST(1 + (t2.t2 IS NOT NULL)::INT + (t3.t3 IS NOT NULL)::INT AS BIGINT)
+         AS reached_step
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort_week, offset_week) the count of
+    distinct cohort members active that week — the retention triangle
+    every analytics engine ships.
+
+    Plan at 100 TB: first-event extraction is one user_id-keyed agg;
+    the activity join is on the same key (co-partitioned); the final
+    rollup keys on (cohort_week, offset_week) — a tiny group space, so
+    partial aggregation collapses everything map-side except the
+    distinct, which shuffles (user, cohort, offset) once."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts div {_DAY_NS}").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cday"))
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.expr("cday div 7").alias("cohort_week"),
+            F.expr("(day - cday) div 7").alias("offset_week"),
+        )
+        .groupBy("cohort_week", "offset_week")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("offset_week").cast("long").alias("offset_week"),
+            "active_users",
+        )
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // {_DAY_NS} AS BIGINT) AS day FROM events
+),
+firsts AS (
+  SELECT user_id, min(day) AS cday FROM e GROUP BY user_id
+)
+SELECT CAST(f.cday // 7 AS BIGINT) AS cohort_week,
+       CAST((e.day - f.cday) // 7 AS BIGINT) AS offset_week,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES["events_funnel"] = q_events_funnel
+QUERIES["events_cohort_retention"] = q_events_cohort_retention
+ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL
+ORACLES["events_cohort_retention"] = ORACLE_COHORT_RETENTION
