@@ -127,3 +127,25 @@ def test_hll_estimate_within_bounds(spark):
     for r in q_hll_users(spark, "/root/testdata/sf0.001").collect():
         est = r["est_micro"] / 1e6
         assert abs(est - r["exact_users"]) / r["exact_users"] < 0.25, r
+
+
+def test_kcore_rounds_is_fixpoint(spark):
+    """KCORE_ROUNDS peels must be a fixpoint at the test SF — one
+    more round changes nothing (the honesty condition for the fixed
+    unroll; at scale the driver loops until dropped == 0)."""
+    import vizlinc_ingester_spark.suite.graph_q as gq
+
+    base = {
+        (r["entity_id"], r["core_degree"])
+        for r in gq.q_sn_kcore(spark, "/root/testdata/sf0.001").collect()
+    }
+    orig = gq.KCORE_ROUNDS
+    try:
+        gq.KCORE_ROUNDS = orig + 1
+        more = {
+            (r["entity_id"], r["core_degree"])
+            for r in gq.q_sn_kcore(spark, "/root/testdata/sf0.001").collect()
+        }
+    finally:
+        gq.KCORE_ROUNDS = orig
+    assert base == more

@@ -77,7 +77,7 @@ DRIVER_WINDOW = [
     "ptb_tokens", "dedup_exact_substr", "dedup_segments",
     "dedup_semantic", "quality_classifier_nb", "dsir_selection",
     "token_cms", "hll_users", "events_funnel",
-    "events_cohort_retention", "events_exact_profile",
+    "events_cohort_retention", "sn_kcore", "events_exact_profile",
     "value_percentiles", "corpus_mixing", "bpe_merges", "bpe_encode",
     "ann_ivf", "token_topk",
     # (b) r1-proven rotation
@@ -92,18 +92,19 @@ DRIVER_WINDOW = [
     "ann_cosine_topk", "ann_cosine_topk_vec",
     "candidate_split_person",
     "dedup_clusters",
-    "dedup_ngram_jaccard", "dict_ner", "doc_fingerprint",
+    "dict_ner", "doc_fingerprint",
     "document_entity_counts", "global_id_clusters",
     "normalize_mentions", "orders_running_revenue", "pricing_summary",
     "tfidf_topk",
     "within_doc_entities_person_merged",
 ]
-# Dropped from (c) to fit the 8 new r6 operators at the front
+# Dropped from (c) to fit the 9 new r6 operators at the front
 # (also adjacent_close_pairs + date_normalize, whose levenshtein /
 # regex lineages are unchanged since r3 and re-proven by the shared
 # coref/date code paths still in the window; bm25_search +
 # docs_person_no_location, whose search / except lineages stay
-# covered by tfidf_topk + candidate_split_person):
+# covered by tfidf_topk + candidate_split_person; dedup_ngram_jaccard,
+# whose shingle/Jaccard lineage stays covered by dedup_clusters):
 # dedup_embedding (its cos_micro lineage is re-proven by
 # dedup_semantic), quality_scores (its heuristic is re-proven inside
 # quality_classifier_nb's label derivation), lang_id (pure Column,

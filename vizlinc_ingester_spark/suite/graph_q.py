@@ -221,3 +221,102 @@ ORACLES = {
     "sn_triangles_degree": ORACLE_TRIANGLES,
     "sn_pagerank": ORACLE_PAGERANK,
 }
+
+
+# --- k-core decomposition (round 6) ----------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4  # synchronous peel rounds (fixpoint at test SFs; see note)
+
+
+def q_sn_kcore(spark, sf_dir):
+    """k-core peeling: KCORE_ROUNDS synchronous rounds of "drop every
+    node whose degree in the surviving subgraph is < K" — the dense-
+    substructure filter (community cores, spam/bot rings) that sits
+    one level above the reference's static num_docs degree filter
+    (src/SNGephiGraphML.groovy:52). Output: surviving nodes with
+    their degree inside the final subgraph.
+
+    Both engines run EXACTLY the same fixed round count (the oracle
+    unrolls them as CTEs, the PageRank discipline), so the output is
+    well-defined whether or not the peel has converged; at the test
+    SFs round KCORE_ROUNDS is a verified fixpoint
+    (tests/test_sketches.py asserts one more round changes nothing).
+    At 100 TB the driver loops until a cheap count() of dropped
+    nodes hits zero — same per-round plan, data-dependent round
+    count.
+
+    Plan: each round is one semi-join of the edge list against the
+    surviving node set (keyed on the node id, both directions) + a
+    degree count — no pair space, no driver data beyond the loop
+    counter."""
+    # The node set is referenced twice per round (both semi-join
+    # sides), so without truncation the logical plan doubles per
+    # round (2^ROUNDS copies of the full coref DAG behind sn_edges —
+    # an analysis-time OOM). localCheckpoint per round cuts the
+    # lineage, the connected_components discipline (operators/
+    # graph.py:15).
+    bi = _bi(sn_edges(spark, sf_dir)).select("u", "v").localCheckpoint()
+    nodes = bi.select(F.col("u").alias("entity_id")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        alive = bi.join(
+            nodes.select(F.col("entity_id").alias("u")), "u", "left_semi"
+        ).join(
+            nodes.select(F.col("entity_id").alias("v")), "v", "left_semi"
+        )
+        deg = alive.groupBy(F.col("u").alias("entity_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        nodes = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select("entity_id")
+            .localCheckpoint()
+        )
+    final_edges = bi.join(
+        nodes.select(F.col("entity_id").alias("u")), "u", "left_semi"
+    ).join(
+        nodes.select(F.col("entity_id").alias("v")), "v", "left_semi"
+    )
+    return final_edges.groupBy(F.col("u").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+bi AS MATERIALIZED (
+       SELECT src_entity_id AS u, dst_entity_id AS v FROM sn_edges
+       UNION ALL SELECT dst_entity_id AS u, src_entity_id AS v FROM sn_edges),
+n_0 AS MATERIALIZED (SELECT DISTINCT u AS entity_id FROM bi)"""
+    ]
+    # Each n_{i} is referenced TWICE by round i+1 (both semi-join
+    # endpoints); if the planner inlines CTEs that doubles the tree
+    # per round — 2^ROUNDS copies of the full coref prelude, the SQL
+    # twin of the lineage blow-up localCheckpoint prevents on the
+    # Spark side. MATERIALIZED pins each round's node set.
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+e_{i} AS (
+  SELECT b.u, b.v FROM bi b
+  JOIN n_{i - 1} a ON b.u = a.entity_id
+  JOIN n_{i - 1} c ON b.v = c.entity_id
+),
+d_{i} AS (SELECT u AS entity_id, CAST(count(*) AS BIGINT) AS deg
+          FROM e_{i} GROUP BY u),
+n_{i} AS MATERIALIZED (SELECT entity_id FROM d_{i} WHERE deg >= {KCORE_K})"""
+        )
+    final = f"""
+SELECT b.u AS entity_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM bi b
+JOIN n_{KCORE_ROUNDS} a ON b.u = a.entity_id
+JOIN n_{KCORE_ROUNDS} c ON b.v = c.entity_id
+GROUP BY b.u"""
+    return "," + ",".join(parts) + final
+
+
+ORACLE_KCORE = oracle.wrap(_kcore_oracle(), PERSON)
+
+QUERIES["sn_kcore"] = q_sn_kcore
+ORACLES["sn_kcore"] = ORACLE_KCORE
