@@ -69,17 +69,25 @@ def q_token_cms(spark, sf_dir):
     guarantee bounds by eps*N with probability 1-delta
     (eps = e/CMS_W, delta = e^-CMS_D).
 
-    Plan at 100 TB: one pass over tokens; the cell rollup groups on
-    (row, col) — at most CMS_D*CMS_W = 4096 cells regardless of
-    corpus size, so partial aggregation collapses each task's stream
-    to <= 4096 rows before the shuffle and the estimate join
-    broadcasts the finished sketch. Merging two corpora's sketches is
-    cell-wise addition — the property that lets profile jobs run
-    per-partition and combine."""
+    Plan at 100 TB: ONE pass over tokens (the exact per-token counts,
+    map-side combinable); the CMS_D-way hash fan-out then runs over
+    the vocabulary-sized count table, not the corpus stream, and the
+    cell rollup lands on at most CMS_D*CMS_W = 4096 cells. The
+    estimate join broadcasts the finished sketch. Merging two
+    corpora's sketches is cell-wise addition — the property that lets
+    profile jobs run per-partition and combine."""
     d = _docs(spark, sf_dir)
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    # ONE corpus pass: the per-token exact counts; the CMS cells then
+    # derive from this vocabulary-sized table (cell count = sum of
+    # counts of tokens hashing there — identical values to hashing
+    # the raw stream, at vocab cost instead of corpus cost x CMS_D).
+    tok_counts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
     cells = (
-        toks.select(
+        tok_counts.select(
+            "exact_cnt",
             F.explode(
                 F.array(
                     *[
@@ -90,16 +98,12 @@ def q_token_cms(spark, sf_dir):
                         for r in range(CMS_D)
                     ]
                 )
-            ).alias("rc")
+            ).alias("rc"),
         )
         .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("exact_cnt").cast("long").alias("cnt"))
     )
-    heavy = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
-        .filter(F.col("exact_cnt") >= CMS_T)
-    )
+    heavy = tok_counts.filter(F.col("exact_cnt") >= CMS_T)
     probes = heavy.select(
         "w", "exact_cnt",
         F.explode(
