@@ -65,6 +65,8 @@ HEADLINE = [
     "hll_users",
     "events_funnel",
     "events_cohort_retention",
+    "events_transitions",
+    "char_entropy",
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first
     # call absorbs the shared coref-DAG stage build, which bench

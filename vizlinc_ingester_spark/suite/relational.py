@@ -1342,3 +1342,66 @@ QUERIES["events_funnel"] = q_events_funnel
 QUERIES["events_cohort_retention"] = q_events_cohort_retention
 ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL
 ORACLES["events_cohort_retention"] = ORACLE_COHORT_RETENTION
+
+
+def q_events_transitions(spark, sf_dir):
+    """Event-type transition counts (the Markov/path-analysis view):
+    per user, events ordered by time; every adjacent (prev, next)
+    pair rolls up to a global transition matrix with probability in
+    integer micro-units. Ties on ts break by event_id so the sequence
+    is total-ordered and cross-engine identical.
+
+    Plan at 100 TB: ONE shuffle (the per-user ordering window keyed
+    on user_id); lag + pair rollup ride the same partitioning; the
+    transition matrix itself is |types|^2 rows. The probability
+    denominator is a per-prev_type sum — a second tiny agg over the
+    matrix, not the events."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wprev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n",
+        F.expr("n * cast(1000000 as bigint)")
+        .cast("long").alias("_num"),
+        F.sum("n").over(wprev).cast("long").alias("_den"),
+    ).select(
+        "prev_type", "next_type", "n",
+        F.expr("_num div _den").alias("prob_micro"),
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_id, event_type
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM e
+),
+pairs AS (
+  SELECT event_type AS prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n * CAST(1000000 AS BIGINT)
+            // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_micro
+FROM pairs
+"""
+
+QUERIES["events_transitions"] = q_events_transitions
+ORACLES["events_transitions"] = ORACLE_EVENTS_TRANSITIONS

@@ -720,3 +720,69 @@ FROM scored
 
 QUERIES["quality_classifier_nb"] = q_quality_classifier_nb
 ORACLES["quality_classifier_nb"] = ORACLE_QUALITY_NB
+
+
+# --- character-entropy quality signal (round 6) ----------------------------
+
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy — the gibberish/
+    binary-junk detector of a pretraining filter stack (natural text
+    sits ~4-4.5 bits/char; base64 blobs and repeated-char junk land
+    far above/below).
+
+    Float discipline: entropy = ln(n) - (1/n) * sum_c count_c *
+    ln(count_c). Each per-character term is floored to micro-nats
+    BEFORE the sum (exact int64, order-independent — float summation
+    order differs between engines); the final subtraction and integer
+    divide are exact. Plan: chars explode linearly (n_chars per doc),
+    roll up per (doc, char) then per doc — both keyed on doc_id, one
+    shuffle partitioning."""
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = per_char.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+                * 1000000.0
+            ).cast("long")
+        ).cast("long").alias("s_clnc"),
+    )
+    return per_doc.select(
+        "doc_id", "n",
+        (
+            F.floor(F.log(F.col("n").cast("double")) * 1000000.0).cast("long")
+            - F.expr("s_clnc div n")
+        ).cast("long").alias("entropy_micro"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+),
+per_char AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT) AS s_clnc
+  FROM per_char GROUP BY doc_id
+)
+SELECT doc_id, n,
+       CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+            - s_clnc // n AS BIGINT) AS entropy_micro
+FROM per_doc
+"""
+
+QUERIES["char_entropy"] = q_char_entropy
+ORACLES["char_entropy"] = ORACLE_CHAR_ENTROPY
