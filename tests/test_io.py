@@ -458,7 +458,8 @@ def test_extract_text_auto_mixed_corpus(spark, tmp_path):
     every file to Tika, src/TextExtractor.groovy:12-28)."""
     from vizlinc_ingester_spark.io.sources import (
         _doc_bytes_of_text, _docx_bytes_of_text, _odt_bytes_of_text,
-        _pdf_bytes_of_text, _ppt_bytes_of_text, _xls_bytes_of_text,
+        _pdf_bytes_of_text, _ppt_bytes_of_text, _pptx_bytes_of_text,
+        _xls_bytes_of_text, _xlsx_bytes_of_text,
     )
     from vizlinc_ingester_spark.session import ship_package
 
@@ -475,6 +476,8 @@ def test_extract_text_auto_mixed_corpus(spark, tmp_path):
     (root / "h.xls").write_bytes(_xls_bytes_of_text("sheet cell text"))
     (root / "i.ppt").write_bytes(_ppt_bytes_of_text("slide text"))
     (root / "j.unknownext").write_text("fallback utf8")
+    (root / "k.xlsx").write_bytes(_xlsx_bytes_of_text("modern sheet text"))
+    (root / "l.pptx").write_bytes(_pptx_bytes_of_text("modern slide text"))
 
     scanned = sources.scan_directory(spark, str(root), "*")
     out = sources.extract_text_auto(scanned)
@@ -490,6 +493,8 @@ def test_extract_text_auto_mixed_corpus(spark, tmp_path):
         "h.xls": "sheet cell text",
         "i.ppt": "slide text",
         "j.unknownext": "fallback utf8",
+        "k.xlsx": "modern sheet text",
+        "l.pptx": "modern slide text",
     }
 
 

@@ -978,6 +978,159 @@ def docx_extract(content: "F.Column") -> "F.Column":
     return _docx_extract_udf(content)
 
 
+# --- XLSX / PPTX (OOXML zip containers, same machinery as DOCX) -----------
+
+def _xlsx_text_of_bytes(b) -> str | None:
+    """Shared strings (xl/sharedStrings.xml <si><t>) in table order,
+    then inline strings (<is><t>) from each worksheet in name order —
+    the text a spreadsheet-to-text converter emits."""
+    import io as _io
+    import re as _re
+    import zipfile
+
+    if b is None:
+        return None
+    try:
+        with zipfile.ZipFile(_io.BytesIO(bytes(b))) as zf:
+            names = set(zf.namelist())
+            if not any(n.startswith("xl/") for n in names):
+                return None
+            parts = []
+            if "xl/sharedStrings.xml" in names:
+                xml = zf.read("xl/sharedStrings.xml").decode("utf-8", "replace")
+                parts += _re.findall(r"(?s)<t(?: [^>]*)?>(.*?)</t>", xml)
+            for n in sorted(names):
+                if n.startswith("xl/worksheets/") and n.endswith(".xml"):
+                    xml = zf.read(n).decode("utf-8", "replace")
+                    for is_blk in _re.findall(r"(?s)<is>(.*?)</is>", xml):
+                        parts += _re.findall(
+                            r"(?s)<t(?: [^>]*)?>(.*?)</t>", is_blk
+                        )
+    except Exception:
+        return None
+    out = " ".join(parts)
+    for ent, ch in _XML_ENTITIES:
+        out = out.replace(ent, ch)
+    import re as _re2
+
+    return _re2.sub(r"\s+", " ", out).strip()
+
+
+def _xlsx_bytes_of_text(text: str) -> bytes:
+    """Minimal valid .xlsx: one shared string, one cell referencing
+    it. Deterministic (fixed zip timestamps)."""
+    import io as _io
+    import zipfile
+
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' count="1" uniqueCount="1"><si><t xml:space="preserve">'
+        + esc
+        + "</t></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row></sheetData>'
+        "</worksheet>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in (
+            ("xl/sharedStrings.xml", sst),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data, compress_type=zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+def _pptx_text_of_bytes(b) -> str | None:
+    """All <a:t> text runs across ppt/slides/*.xml in slide order."""
+    import io as _io
+    import re as _re
+    import zipfile
+
+    if b is None:
+        return None
+    try:
+        with zipfile.ZipFile(_io.BytesIO(bytes(b))) as zf:
+            slides = sorted(
+                n for n in zf.namelist()
+                if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+            )
+            if not slides:
+                return None
+            runs = []
+            for n in slides:
+                xml = zf.read(n).decode("utf-8", "replace")
+                runs += _re.findall(r"(?s)<a:t(?: [^>]*)?>(.*?)</a:t>", xml)
+    except Exception:
+        return None
+    out = " ".join(runs)
+    for ent, ch in _XML_ENTITIES:
+        out = out.replace(ent, ch)
+    import re as _re2
+
+    return _re2.sub(r"\s+", " ", out).strip()
+
+
+def _pptx_bytes_of_text(text: str) -> bytes:
+    import io as _io
+    import zipfile
+
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    slide = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+        ' xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+        "<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r>"
+        '<a:t xml:space="preserve">' + esc + "</a:t>"
+        "</a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo(
+            "ppt/slides/slide1.xml", date_time=(1980, 1, 1, 0, 0, 0)
+        )
+        zf.writestr(zi, slide, compress_type=zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+@F.pandas_udf(T.StringType())
+def _xlsx_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_xlsx_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_xlsx(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _xlsx_bytes_of_text(t))
+
+
+def xlsx_extract(content: "F.Column") -> "F.Column":
+    return _xlsx_extract_udf(content)
+
+
+@F.pandas_udf(T.StringType())
+def _pptx_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_pptx_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_pptx(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _pptx_bytes_of_text(t))
+
+
+def pptx_extract(content: "F.Column") -> "F.Column":
+    return _pptx_extract_udf(content)
+
+
 _EXTRACTORS: dict = {
     "html": html_extract,
     "pdf": pdf_extract,
@@ -988,6 +1141,8 @@ _EXTRACTORS: dict = {
     "doc": doc_extract,
     "xls": xls_extract,
     "ppt": ppt_extract,
+    "xlsx": xlsx_extract,
+    "pptx": pptx_extract,
 }
 
 
@@ -1002,6 +1157,7 @@ _EXT_ROUTES: dict[str, str] = {
     "html": "html", "htm": "html",
     "pdf": "pdf", "docx": "docx", "odt": "odt", "rtf": "rtf",
     "doc": "doc", "xls": "xls", "ppt": "ppt",
+    "xlsx": "xlsx", "pptx": "pptx",
 }
 
 

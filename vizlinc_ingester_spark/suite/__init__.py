@@ -71,8 +71,8 @@ def collect_suite() -> tuple[
 # remainder (multimodal, streaming, TPC-H shapes, geo/osm, pq) is
 # locally re-proven by tests/test_oracle_parity.py and rotates next.
 DRIVER_WINDOW = [
-    # (a) changed/new this round (ptb_tokens is new; the 9-format
-    # extract gate covers the xls/ppt extractors)
+    # (a) changed/new this round (ptb_tokens is new; the 11-format
+    # extract gate covers the xls/ppt/xlsx/pptx extractors)
     "extract_text_formats", "ner_learned", "ner_learned_model",
     "ptb_tokens", "dedup_exact_substr", "dedup_segments",
     "dedup_semantic", "quality_classifier_nb", "dsir_selection",

@@ -116,7 +116,7 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 9 (plain UTF-8 bytes, an HTML
+    container format chosen by doc_id % 11 (plain UTF-8 bytes, an HTML
     page with head/style/comment chrome and escaped entities, a PDF —
     FlateDecode-compressed content stream for half the PDF docs,
     uncompressed for the other half — a real zipped .docx with
@@ -124,8 +124,9 @@ def q_extract_text_formats(spark, sf_dir):
     document group, and the three legacy binary Office formats in
     real OLE2/CFB containers: .doc with a Word97 piece table, .xls
     with a BIFF8 SST + LABELSST cell, .ppt with a TextCharsAtom
-    record tree), then run the real ``extract_text`` path per format
-    and union. The oracle is the identity (modulo whitespace collapse
+    record tree, and the modern zip pair .xlsx with a sharedStrings
+    table + referencing cell and .pptx with an <a:t> slide run), then
+    run the real ``extract_text`` path per format and union. The oracle is the identity (modulo whitespace collapse
     for the markup formats) — a hash match proves every
     encode->extract round-trip is exact, i.e. the extractors actually
     invert the formats (the reference's Tika front door,
@@ -133,7 +134,7 @@ def q_extract_text_formats(spark, sf_dir):
     plaintext, XML and many other formats")."""
     from ..io.sources import (
         extract_text, render_doc, render_docx, render_odt, render_pdf,
-        render_ppt, render_xls, rtf_render,
+        render_ppt, render_pptx, render_xls, render_xlsx, rtf_render,
     )
     from ..session import ship_package
 
@@ -150,9 +151,9 @@ def q_extract_text_formats(spark, sf_dir):
         F.array(
             F.lit("txt"), F.lit("html"), F.lit("pdf"),
             F.lit("docx"), F.lit("odt"), F.lit("rtf"), F.lit("doc"),
-            F.lit("xls"), F.lit("ppt"),
+            F.lit("xls"), F.lit("ppt"), F.lit("xlsx"), F.lit("pptx"),
         ),
-        (F.col("doc_id") % 9 + 1).cast("int"),
+        (F.col("doc_id") % 11 + 1).cast("int"),
     )
     rendered = (
         F.when(fmt == "txt", F.col("text"))
@@ -177,11 +178,13 @@ def q_extract_text_formats(spark, sf_dir):
         .when(fmt == "doc", render_doc(F.col("text")))
         .when(fmt == "xls", render_xls(F.col("text")))
         .when(fmt == "ppt", render_ppt(F.col("text")))
+        .when(fmt == "xlsx", render_xlsx(F.col("text")))
+        .when(fmt == "pptx", render_pptx(F.col("text")))
         .when(
             fmt == "pdf",
-            # half the PDFs Flate-compressed (doc_id % 18 == 2), half
-            # uncompressed (== 11): one gate proves both branches
-            render_pdf(F.col("text"), F.col("doc_id") % 18 == 2),
+            # half the PDFs Flate-compressed (doc_id % 22 == 2), half
+            # uncompressed (== 13): one gate proves both branches
+            render_pdf(F.col("text"), F.col("doc_id") % 22 == 2),
         )
         .otherwise(F.encode(rendered, "UTF-8"))
         .alias("content"),
@@ -193,6 +196,7 @@ def q_extract_text_formats(spark, sf_dir):
             ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
             ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
             ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
+            ("xlsx", "xlsx"), ("pptx", "pptx"),
         )
     ]
     out = parts[0]
@@ -203,9 +207,9 @@ def q_extract_text_formats(spark, sf_dir):
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt'][CAST(doc_id % 9 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt', 'xlsx', 'pptx'][CAST(doc_id % 11 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 9 IN (1, 3, 4, 5)
+       CASE WHEN doc_id % 11 IN (1, 3, 4, 5, 9, 10)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
