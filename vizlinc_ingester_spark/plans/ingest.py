@@ -65,7 +65,8 @@ def ingest(
     Inputs: either ``input_dir`` (a recursive tree of source files,
     S1+S2; ``input_ext`` selects one extension, or ``"auto"`` scans
     every file and routes each to its extractor by extension —
-    txt/html/pdf/docx/odt/rtf/doc/xls/ppt, the Tika-class front door)
+    txt/html/pdf/docx/odt/rtf/doc/xls/ppt/xlsx/pptx, the Tika-class
+    front door)
     or a prebuilt ``documents`` DataFrame (doc_id, name, path, text).
     ``extractor``: documents -> mentions DataFrame; defaults to the
     deterministic test double (the CRF seam, src/EntityExtractor.groovy:

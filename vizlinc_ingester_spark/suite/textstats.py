@@ -790,3 +790,96 @@ FROM per_doc
 
 QUERIES["char_entropy"] = q_char_entropy
 ORACLES["char_entropy"] = ORACLE_CHAR_ENTROPY
+
+
+# --- Zipf-law fit over token frequencies (round 6) -------------------------
+
+ZIPF_TOP = 500  # tokens considered (rank window runs over these only)
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit: least-squares slope/intercept of ln(count) vs
+    ln(rank) over the ZIPF_TOP most frequent tokens — the corpus-law
+    diagnostic (natural language sits near slope -1; templated or
+    synthetic text drifts off it).
+
+    Determinism: ranks come from a deterministic (count desc, token
+    asc) top-k; regression inputs x = floor(1e3*ln(rank)),
+    y = floor(1e3*ln(count)) are MILLI-scaled so every regression sum
+    (n*Sxy, Sx*Sy, n*Sxx, Sx^2) stays well inside int64; the slope
+    and intercept are single double divides of exact integers,
+    micro-floored. Plan: one corpus pass for counts; the top-k is
+    TakeOrdered; the rank window and regression run over ZIPF_TOP
+    rows — never corpus-scale."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    xy = top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000.0)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000.0)
+        .cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.floor(slope * 1000000.0).cast("long").alias("slope_micro"),
+        F.floor(intercept * 1000.0).cast("long").alias("intercept_milli"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+top_t AS (
+  SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT {ZIPF_TOP}
+),
+xy AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, w)
+                            AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+  FROM top_t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT n,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS slope_micro,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) * 1000.0) AS BIGINT)
+         AS intercept_milli
+FROM s
+"""
+
+QUERIES["zipf_fit"] = q_zipf_fit
+ORACLES["zipf_fit"] = ORACLE_ZIPF_FIT
