@@ -68,6 +68,7 @@ HEADLINE = [
     "events_transitions",
     "char_entropy",
     "zipf_fit",
+    "priority_sample",
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first
     # call absorbs the shared coref-DAG stage build, which bench

@@ -729,3 +729,73 @@ LIMIT {DSIR_TOPK}
 
 QUERIES["dsir_selection"] = q_dsir_selection
 ORACLES["dsir_selection"] = _dsir_oracle()
+
+
+# --- priority sampling (weighted, mergeable; round 6) ----------------------
+
+PRI_M = 1_000_003   # hash -> uniform granularity
+PRI_K = 100         # sample size
+
+
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup): each doc gets
+    priority w / u with weight w = n_chars and u a deterministic
+    uniform from the stable hash; the k highest-priority docs are the
+    sample. This is THE weighted-sampling primitive for distributed
+    data: top-k by priority is computable per-partition and MERGED
+    (TakeOrdered), no global state, and subset-sum estimators built
+    on the k+1st priority are unbiased.
+
+    Determinism: u = (hash(doc_id) % M + 1) / (M + 1) — both engines
+    build the identical double from exact integers, and the ranking
+    divide w/u is a single IEEE operation; ties break on doc_id.
+    Output carries pri_micro (floored) for the gate while the ORDER
+    uses the full double, with doc_id making the order total."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_hash64
+
+    d = _docs(spark, sf_dir)
+    u = (
+        (stable_hash64(F.col("doc_id").cast("string")) % PRI_M + 1)
+        .cast("double")
+        / float(PRI_M + 1)
+    )
+    pri = F.col("n_chars").cast("double") / u
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        pri.alias("_pri"),
+        F.floor(pri * 1000000.0).cast("long").alias("pri_micro"),
+    )
+    topk = scored.orderBy(F.desc("_pri"), F.asc("doc_id")).limit(PRI_K)
+    w = Window.orderBy(F.desc("_pri"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "weight", "pri_micro", "rank")
+    )
+
+
+def _priority_oracle() -> str:
+    from ..functions.hashing import sql_stable_hash64
+
+    h = sql_stable_hash64("CAST(doc_id AS VARCHAR)")
+    u = f"(CAST({h} % {PRI_M} + 1 AS DOUBLE) / CAST({PRI_M + 1} AS DOUBLE))"
+    pri = f"(CAST(n_chars AS DOUBLE) / {u})"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         {pri} AS pri,
+         CAST(floor({pri} * 1000000.0) AS BIGINT) AS pri_micro
+  FROM documents
+)
+SELECT doc_id, weight, pri_micro,
+       CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY pri DESC, doc_id
+LIMIT {PRI_K}
+"""
+
+
+QUERIES["priority_sample"] = q_priority_sample
+ORACLES["priority_sample"] = _priority_oracle()
