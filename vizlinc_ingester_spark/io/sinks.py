@@ -183,7 +183,11 @@ def write_star_jdbc(
         for name, df in tables.items()
     }
     spark = next(iter(tables.values())).sparkSession
-    pre_created = _ensure_jdbc_tables(
+    # Pre-create + append only for modes where appending into an
+    # existing table is what the caller asked for; 'error'/'ignore'
+    # fall through to Spark's own mode handling so a pre-existing
+    # table errors/skips instead of silently accumulating duplicates.
+    pre_created = mode in ("overwrite", "append") and _ensure_jdbc_tables(
         spark, url, tables, props, overwrite=(mode == "overwrite")
     )
     write_mode = "append" if pre_created else mode

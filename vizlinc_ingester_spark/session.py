@@ -125,6 +125,11 @@ def scan_splits_estimate(spark: SparkSession, path: str) -> int:
         files = [path]
     elif os.path.isdir(path):
         files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            # directory-partitioned layout (key=value subdirs)
+            files = glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
     else:
         return 1 << 20
     if not files:

@@ -178,9 +178,10 @@ HLL_W_BITS = HLL_HASH_BITS - HLL_P  # 54 suffix bits feed rho
 def q_hll_users(spark, sf_dir):
     """HyperLogLog distinct-user estimate per event type — with the
     REGISTERS under the hash gate, not just the query shape: bucket =
-    top HLL_P hash bits, rho = leading-zero count of the 54-bit
-    suffix + 1 (computed as 55 - bit_length, an exact integer on both
-    engines — no float log2), register = max rho. The dyadic sum
+    LOW HLL_P hash bits (h mod 64), rho = leading-zero count of the
+    54-bit high quotient (h >> HLL_P) + 1 (computed as 55 -
+    bit_length, an exact integer on both engines — no float log2),
+    register = max rho. The dyadic sum
     sum(2^-M_j) is kept as the exact int64 sum(2^(54 - M_j)) so no
     float accumulation happens before the single final divide; the
     estimate (with the standard linear-counting small-range
@@ -199,7 +200,10 @@ def q_hll_users(spark, sf_dir):
         "event_type",
         "user_id",
         (h % HLL_M).alias("bucket"),
-        (h / HLL_M).cast("long").alias("wbits"),
+        # exact integer >> (Spark's / on longs is IEEE double division,
+        # which rounds for quotients >= 2^53 — the oracle uses // so
+        # both engines must compute the identical integer)
+        F.shiftright(h, HLL_P).alias("wbits"),
     )
     rho = F.when(F.col("wbits") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
         F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("wbits")))

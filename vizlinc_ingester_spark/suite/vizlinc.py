@@ -347,7 +347,16 @@ def q_min_docs_filter(spark, sf_dir):
 
 def q_adjacent_close_pairs(spark, sf_dir):
     """J4/W1/C3/C4 — sorted-neighborhood candidate pairs (the merge
-    edges themselves, before clustering)."""
+    edges themselves, before clustering).
+
+    LABELED BASELINE FORM: this variant runs one corpus-wide
+    `Window.orderBy` (single partition) and exists to pin the exact
+    reference semantics under the hash gate. The DEFAULT path for
+    this operator at scale is the distributed range-sort form in
+    ``operators/neighborhood.py`` (range-partitioned sort + boundary
+    row exchange), used by ``within_doc_entities_person_merged`` and
+    ``across_doc_entities_person(_scalable)`` — same convention as
+    the coref operators."""
     nm = coref.normalized_mentions(derived_mentions(spark, sf_dir), "PERSON")
     names = nm.select("norm").distinct()
     w = Window.orderBy("norm")
