@@ -39,10 +39,10 @@ TAG_CLASSES = ("PERSON", "ORGANIZATION", "LOCATION")
 SUFFIX_LEN = 2
 
 
-def _argmax_tag(counts: DataFrame, key: str) -> DataFrame:
-    """counts(key, tag, cnt) -> (key, tag, cnt): the most frequent
+def _argmax_tag(counts: DataFrame, *keys: str) -> DataFrame:
+    """counts(*keys, tag, cnt) -> (*keys, tag, cnt): the most frequent
     tag per key, ties broken by tag ascending (deterministic)."""
-    w = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc("tag"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("tag"))
     return (
         counts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -115,4 +115,89 @@ def apply_tagger(
             .otherwise("default"),
         )
         .drop("__tok", "__tok_tag", "__suf", "__suf_tag")
+    )
+
+
+# --- context (bigram) tagger — round 7 -------------------------------------
+
+#: sentence-boundary previous token for the first token of a document
+CTX_BOS = "<S>"
+
+
+def train_tagger_ctx(
+    token_tags: DataFrame,
+    token_col: str = "token",
+    prev_col: str = "prev",
+    tag_col: str = "tag",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(prev, token, tag) training rows -> (bigram_model, token_model,
+    suffix_model).
+
+    The reference extraction model is a context-sensitive CRF
+    (src/EntityExtractor.groovy:12-14); this is the count-based
+    context feature in the same deterministic algebra as
+    ``train_tagger``: bigram_model(prev, token, tag, cnt) is the
+    most-frequent tag per (previous token, token) pair, and the
+    unigram + suffix models come from the identical rows so the
+    backoff chain bigram -> unigram -> suffix -> 'O' is trained on
+    one pass over the corpus.
+
+    Scale: three map-side-combinable counts + per-key argmax windows.
+    The bigram table is bounded by distinct (prev, token) PAIRS —
+    Heaps-law sublinear in corpus size but larger than the vocab, so
+    unlike the unigram/suffix tables it is NOT force-broadcast at
+    apply time; the join keys on token so AQE picks broadcast vs
+    shuffled-hash by actual size.
+    """
+    base = token_tags.select(
+        F.col(prev_col).alias("prev"),
+        F.col(token_col).alias("token"),
+        F.col(tag_col).alias("tag"),
+    ).filter(F.col("token") != "")
+    big_counts = base.groupBy("prev", "token", "tag").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    bigram_model = _argmax_tag(big_counts, "prev", "token")
+    token_model, suffix_model = train_tagger(base)
+    return bigram_model, token_model, suffix_model
+
+
+def apply_tagger_ctx(
+    tokens: DataFrame,
+    bigram_model: DataFrame,
+    token_model: DataFrame,
+    suffix_model: DataFrame,
+    token_col: str = "token",
+    prev_col: str = "prev",
+) -> DataFrame:
+    """Tag a token stream with the context model: exact (prev, token)
+    bigram match, then exact-token, then suffix backoff, then 'O'.
+    Adds ``pred_tag`` and ``model_src`` ('bigram' | 'token' |
+    'suffix' | 'default'). The unigram/suffix tables broadcast
+    (vocab-bounded); the bigram join is left to AQE (see
+    ``train_tagger_ctx``). The token stream itself only shuffles if
+    the bigram join does."""
+    bm = bigram_model.select(
+        F.col("prev").alias("__b_prev"),
+        F.col("token").alias("__b_tok"),
+        F.col("tag").alias("__big_tag"),
+    )
+    with_big = tokens.join(
+        bm,
+        (F.col(prev_col) == F.col("__b_prev"))
+        & (F.col(token_col) == F.col("__b_tok")),
+        "left",
+    ).drop("__b_prev", "__b_tok")
+    out = apply_tagger(with_big, token_model, suffix_model, token_col)
+    return (
+        out.withColumn(
+            "pred_tag", F.coalesce(F.col("__big_tag"), F.col("pred_tag"))
+        )
+        .withColumn(
+            "model_src",
+            F.when(F.col("__big_tag").isNotNull(), "bigram").otherwise(
+                F.col("model_src")
+            ),
+        )
+        .drop("__big_tag")
     )

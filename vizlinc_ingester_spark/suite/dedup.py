@@ -312,25 +312,16 @@ WHERE {sql_cos_micro('a.embedding', 'b.embedding')} >= 200000
 SUBSTR_L = 8  # tokens per exact-substring window
 
 
-def q_dedup_exact_substr(spark, sf_dir):
-    """ExactSubstr-style dedup (the "Deduplicating Training Data Makes
-    Language Models Better" approach, re-expressed relationally): any
-    SUBSTR_L-token window that occurs verbatim in >= 2 documents marks
-    a repeated span; per document we report how many of its windows
-    are repeated and what fraction of its TOKENS is covered by at
-    least one repeated window — the quantity an exact-substring
-    deduper would cut. Complements MinHash/SimHash (whole-doc
-    near-dup) with span-level exact duplication.
+def _substr_base_occ_islands(d: DataFrame):
+    """Shared core of the ExactSubstr pair: (base, occ, islands).
 
-    Plan at 100 TB: windows are scan-stage array expressions
-    (posexplode); the duplicate-window set is one count-distinct
-    aggregation shuffled on the 60-bit window hash (uniform key, no
-    skew); occurrences semi-join that set on the same key; coverage
-    is a position explode (x SUBSTR_L, linear) + distinct keyed on
-    doc_id. No pair space anywhere — cost is O(corpus tokens), which
-    is the property that makes suffix-array dedup's relational cousin
-    feasible on Spark."""
-    d = _docs(spark, sf_dir)
+    base(doc_id, n_tokens, t): tokenized docs.
+    occ(doc_id, start, gh): occurrences of SUBSTR_L-token windows that
+    appear verbatim in >= 2 documents (1-based token start).
+    islands(doc_id, s, e): the merged covered intervals — overlapping
+    occurrence spans [start, start+L-1] chained via gaps-and-islands
+    (one doc_id window shuffle, no xL position explode).
+    """
     toks = F.split("text", " ")
     base = d.select(
         "doc_id",
@@ -358,18 +349,6 @@ def q_dedup_exact_substr(spark, sf_dir):
         .select("gh")
     )
     occ = grams.join(dup_gh, "gh", "left_semi")
-    n_rep = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_repeated_grams")
-    )
-    # coverage via interval merge (gaps-and-islands), NOT a position
-    # explode: each occurrence covers [start, start+L-1]; occurrences
-    # sorted per doc chain into islands wherever they overlap, and an
-    # island's union is the contiguous [min(start), max(end)]. This
-    # shuffles only the occ rows once on doc_id (vs exploding x
-    # SUBSTR_L positions and hash-distincting (doc, pos) — 8x the
-    # intermediate data; warm at sf0.1 the full query runs ~0.8 s vs
-    # ~1.3 s for the explode form's coverage stage ALONE, and the gap
-    # widens with L).
     occ2 = occ.withColumn("end", F.col("start") + SUBSTR_L - 1)
     w = Window.partitionBy("doc_id").orderBy("start")
     prev_max_end = F.max("end").over(
@@ -382,10 +361,48 @@ def q_dedup_exact_substr(spark, sf_dir):
         "island",
         F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    islands = occ2.groupBy("doc_id", "island").agg(
+        F.min("start").cast("long").alias("s"),
+        F.max("end").cast("long").alias("e"),
+    )
+    return base, occ, islands
+
+
+def q_dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr-style dedup (the "Deduplicating Training Data Makes
+    Language Models Better" approach, re-expressed relationally): any
+    SUBSTR_L-token window that occurs verbatim in >= 2 documents marks
+    a repeated span; per document we report how many of its windows
+    are repeated and what fraction of its TOKENS is covered by at
+    least one repeated window — the quantity an exact-substring
+    deduper would cut. Complements MinHash/SimHash (whole-doc
+    near-dup) with span-level exact duplication.
+
+    Plan at 100 TB: windows are scan-stage array expressions
+    (posexplode); the duplicate-window set is one count-distinct
+    aggregation shuffled on the 60-bit window hash (uniform key, no
+    skew); occurrences semi-join that set on the same key; coverage
+    is a position explode (x SUBSTR_L, linear) + distinct keyed on
+    doc_id. No pair space anywhere — cost is O(corpus tokens), which
+    is the property that makes suffix-array dedup's relational cousin
+    feasible on Spark.
+
+    Coverage via interval merge (gaps-and-islands), NOT a position
+    explode: each occurrence covers [start, start+L-1]; occurrences
+    sorted per doc chain into islands wherever they overlap, and an
+    island's union is the contiguous [min(start), max(end)]. This
+    shuffles only the occ rows once on doc_id (vs exploding x
+    SUBSTR_L positions and hash-distincting (doc, pos) — 8x the
+    intermediate data; warm at sf0.1 the full query runs ~0.8 s vs
+    ~1.3 s for the explode form's coverage stage ALONE, and the gap
+    widens with L)."""
+    base, occ, islands = _substr_base_occ_islands(_docs(spark, sf_dir))
+    n_rep = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeated_grams")
+    )
     covered = (
-        occ2.groupBy("doc_id", "island")
-        .agg(
-            (F.max("end") - F.min("start") + 1).cast("long").alias("ilen")
+        islands.select(
+            "doc_id", (F.col("e") - F.col("s") + 1).cast("long").alias("ilen")
         )
         .groupBy("doc_id")
         .agg(F.sum("ilen").cast("long").alias("covered_tokens"))
@@ -456,6 +473,114 @@ SELECT b.doc_id, b.n_tokens,
 FROM base b
 LEFT JOIN n_rep ON b.doc_id = n_rep.doc_id
 LEFT JOIN covered ON b.doc_id = covered.doc_id
+"""
+
+
+def q_dedup_exact_substr_cut(spark, sf_dir):
+    """ExactSubstr dedup that EMITS the cleaned corpus (what the
+    suffix-array deduper of "Deduplicating Training Data Makes
+    Language Models Better" actually outputs): every token covered by
+    a repeated SUBSTR_L-window is cut, the survivors reassemble into
+    ``cleaned_text``. The stats twin (``dedup_exact_substr``) reports
+    how much WOULD be cut; this one cuts it.
+
+    Plan at 100 TB: the merged cut intervals per doc (already one
+    doc_id-keyed shuffle, see ``_substr_base_occ_islands``) collect
+    into a per-doc array — bounded by n_tokens/L intervals per doc,
+    never corpus-sized — and the cut itself is a scan-stage
+    higher-order filter over the token array (position-in-any-interval
+    test), so reassembly adds ONE more doc_id shuffle (the
+    collect_list) and zero pair space. No xL position explode, no
+    per-row Python."""
+    base, _, islands = _substr_base_occ_islands(_docs(spark, sf_dir))
+    per_doc = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("cuts")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    kept_arr = F.when(F.col("cuts").isNull(), F.col("t")).otherwise(
+        F.filter(
+            F.col("t"),
+            lambda x, i: ~F.exists(
+                F.col("cuts"),
+                lambda c: ((i + 1) >= c["s"]) & ((i + 1) <= c["e"]),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.size(kept_arr).cast("long").alias("kept_tokens"),
+        F.array_join(kept_arr, " ").alias("cleaned_text"),
+    )
+
+
+def _substr_cut_oracle() -> str:
+    gram = f"array_to_string(t[start:start + {SUBSTR_L - 1}], ' ')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, n_tokens - {SUBSTR_L - 1})) AS BIGINT)
+           AS start, t
+  FROM base WHERE n_tokens >= {SUBSTR_L}
+),
+hashed AS (
+  SELECT doc_id, start, {sql_stable_hash64(gram)} AS gh FROM grams
+),
+dup_gh AS (
+  SELECT gh FROM hashed GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT h.doc_id, h.start, h.start + {SUBSTR_L - 1} AS e
+  FROM hashed h WHERE h.gh IN (SELECT gh FROM dup_gh)
+),
+marked AS (
+  SELECT doc_id, start, e,
+         CASE WHEN max(e) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start > max(e) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM occ
+),
+chained AS (
+  SELECT doc_id, start, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, island, CAST(min(start) AS BIGINT) AS s,
+         CAST(max(e) AS BIGINT) AS e
+  FROM chained GROUP BY doc_id, island
+),
+positions AS (
+  SELECT doc_id, CAST(unnest(generate_series(1, n_tokens)) AS BIGINT) AS pos, t
+  FROM base WHERE n_tokens >= 1
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.t[p.pos] AS w
+  FROM positions p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM islands i
+    WHERE i.doc_id = p.doc_id AND p.pos BETWEEN i.s AND i.e
+  )
+),
+cleaned AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       coalesce(c.cleaned_text, '') AS cleaned_text
+FROM base b LEFT JOIN cleaned c ON b.doc_id = c.doc_id
 """
 
 
@@ -667,6 +792,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "dedup_exact_substr": q_dedup_exact_substr,
+    "dedup_exact_substr_cut": q_dedup_exact_substr_cut,
     "dedup_segments": q_dedup_segments,
     "dedup_clusters": q_dedup_clusters,
 }
@@ -680,6 +806,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_exact_substr": _substr_oracle(),
+    "dedup_exact_substr_cut": _substr_cut_oracle(),
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

@@ -168,3 +168,169 @@ ORACLES = {
     "ner_learned_model": ORACLE_NER_MODEL,
     "ner_learned": ORACLE_NER_LEARNED,
 }
+
+
+# --- context (bigram) tagger — round 7 -------------------------------------
+#
+# The reference model is a context-sensitive CRF
+# (src/EntityExtractor.groovy:12-14): the same surface word can get
+# different tags in different contexts. The unigram pair above cannot
+# express that, so this variant (a) uses a CONTEXT-SENSITIVE gold
+# annotation — the md5 type bucket of "prev word" instead of "word",
+# the deterministic stand-in for context-dependent labels — and
+# (b) learns a (prev_token, token) bigram model with the backoff
+# chain bigram -> unigram -> suffix -> 'O'. gold_tag and a correct
+# flag ride along in the gated output so tag accuracy is auditable
+# from the hash-proven rows themselves (the unigram-only baseline on
+# the same gold is measured in PLANS.md).
+
+from ..operators.tagger import CTX_BOS, apply_tagger_ctx, train_tagger_ctx
+
+
+def _type_from_ctx(prev, word):
+    return _type_from_word(F.concat(prev, F.lit(" "), word))
+
+
+def _ctx_tokens(d: DataFrame) -> DataFrame:
+    """docs -> (doc_id, idx, token, prev): the S10 tokenizer stream
+    with the previous token (CTX_BOS at document start). One doc_id
+    window shuffle — the same per-doc axis every coref operator keys
+    on."""
+    from pyspark.sql import Window
+
+    toks = xml_to_token_tags(
+        d.select("doc_id", F.col("text").alias("xml"))
+    ).select("doc_id", "token", F.col("token_seq").cast("long").alias("idx"))
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    return toks.withColumn(
+        "prev", F.coalesce(F.lag("token").over(w), F.lit(CTX_BOS))
+    )
+
+
+def _gold_ctx_tag():
+    t = _type_from_ctx(F.col("prev"), F.col("token"))
+    return F.when(t.isin(*TAG_CLASSES), t).otherwise(F.lit("O"))
+
+
+def _models_ctx(spark: SparkSession, sf_dir: str):
+    from ..session import plan_key, plan_memo
+
+    train_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+
+    def build():
+        token_tags = _ctx_tokens(train_docs).withColumn(
+            "tag", _gold_ctx_tag()
+        )
+        bm, tm, sm = train_tagger_ctx(token_tags)
+        bm, tm, sm = bm.persist(), tm.persist(), sm.persist()
+        bm.count(), tm.count(), sm.count()
+        return bm, tm, sm
+
+    return plan_memo(spark, plan_key(train_docs, "ner_models_ctx"), build)
+
+
+def q_ner_learned_ctx(spark, sf_dir):
+    """Held-out tagging with the context model: one row per token of
+    the odd-doc_id docs with the bigram-backoff prediction, which
+    model level fired, the context-sensitive gold tag, and a correct
+    flag — accuracy is sum(correct)/count over the gated rows."""
+    bigram_model, token_model, suffix_model = _models_ctx(spark, sf_dir)
+    held = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    toks = _ctx_tokens(held)
+    tagged = apply_tagger_ctx(toks, bigram_model, token_model, suffix_model)
+    return tagged.select(
+        "doc_id", "idx", "token", "pred_tag", "model_src",
+        _gold_ctx_tag().alias("gold_tag"),
+        (F.col("pred_tag") == _gold_ctx_tag()).cast("long").alias("correct"),
+    )
+
+
+def _sql_type_case_on(expr: str) -> str:
+    from ..operators.mentions import TYPE_BUCKETS
+
+    whens = " ".join(
+        "WHEN substr(md5({}),1,1) IN ({}) THEN '{}'".format(
+            expr, ", ".join(f"'{ch}'" for ch in chars), t
+        )
+        for chars, t in TYPE_BUCKETS
+    )
+    return f"CASE {whens} END"
+
+
+def _ctx_ctes() -> str:
+    gold_case = _sql_type_case_on("prev || ' ' || token")
+    return f"""
+words AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) u WHERE word <> ''
+),
+seq AS (
+  SELECT doc_id, word AS token,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS BIGINT) AS idx
+  FROM words
+),
+ctx AS (
+  SELECT doc_id, idx, token,
+         lag(token, 1, '{CTX_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM seq
+),
+labeled AS (
+  SELECT doc_id, idx, token, prev,
+         CASE WHEN {gold_case} IN ('PERSON','ORGANIZATION','LOCATION')
+              THEN {gold_case} ELSE 'O' END AS tag
+  FROM ctx
+),
+big_counts AS (
+  SELECT prev, token, tag, CAST(count(*) AS BIGINT) AS cnt
+  FROM labeled WHERE doc_id % 2 = 0 GROUP BY prev, token, tag
+),
+bigram_model AS (
+  SELECT prev, token, tag, cnt FROM big_counts
+  QUALIFY row_number() OVER (
+      PARTITION BY prev, token ORDER BY cnt DESC, tag ASC) = 1
+),
+tok_counts AS (
+  SELECT token, tag, CAST(count(*) AS BIGINT) AS cnt
+  FROM labeled WHERE doc_id % 2 = 0 GROUP BY token, tag
+),
+token_model AS (
+  SELECT token, tag, cnt FROM tok_counts
+  QUALIFY row_number() OVER (PARTITION BY token ORDER BY cnt DESC, tag ASC) = 1
+),
+suf_counts AS (
+  SELECT right(token, {SUFFIX_LEN}) AS suffix, tag,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM labeled WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+suffix_model AS (
+  SELECT suffix, tag, cnt FROM suf_counts
+  QUALIFY row_number() OVER (PARTITION BY suffix ORDER BY cnt DESC, tag ASC) = 1
+)"""
+
+
+ORACLE_NER_LEARNED_CTX = f"""
+WITH {_ctx_ctes()}
+SELECT h.doc_id, h.idx, h.token,
+       coalesce(bm.tag, tm.tag, sm.tag, 'O') AS pred_tag,
+       CASE WHEN bm.tag IS NOT NULL THEN 'bigram'
+            WHEN tm.tag IS NOT NULL THEN 'token'
+            WHEN sm.tag IS NOT NULL THEN 'suffix'
+            ELSE 'default' END AS model_src,
+       h.tag AS gold_tag,
+       CAST(coalesce(bm.tag, tm.tag, sm.tag, 'O') = h.tag AS BIGINT)
+           AS correct
+FROM labeled h
+LEFT JOIN bigram_model bm ON h.prev = bm.prev AND h.token = bm.token
+LEFT JOIN token_model tm ON h.token = tm.token
+LEFT JOIN suffix_model sm ON right(h.token, {SUFFIX_LEN}) = sm.suffix
+WHERE h.doc_id % 2 = 1
+"""
+
+QUERIES["ner_learned_ctx"] = q_ner_learned_ctx
+ORACLES["ner_learned_ctx"] = ORACLE_NER_LEARNED_CTX

@@ -26,6 +26,8 @@ corpus — the rank window runs on the k=20 survivors only).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -49,20 +51,13 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
 
 
-def q_bm25_search(spark, sf_dir):
-    toks = _toks(spark, sf_dir)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").cast("long").alias("sum_dl"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-    )
-    tf = (
-        toks.filter(F.col("word").isin(*TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+def _bm25_topk(tf: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared BM25 scoring tail: tf(doc_id, word, tf) restricted to
+    the query TERMS, dl(doc_id, dl), stats(sum_dl, n_docs) -> ranked
+    top-TOPK. df is derived from the (already term-filtered) tf rows
+    — one row per (doc, term) — so the corpus-scan and index-probe
+    front ends feed the identical score expression."""
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
-
     t = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(dfreq), "word")
@@ -102,6 +97,117 @@ def q_bm25_search(spark, sf_dir):
     top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(TOPK)
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_bm25_search(spark, sf_dir):
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return _bm25_topk(tf, dl, stats)
+
+
+# --- persisted inverted index (round 7) -------------------------------------
+#
+# The reference indexes every document into an on-disk Lucene index at
+# ingest time and SEARCHES THE INDEX, never the corpus
+# (src/Ingester.groovy:289-294). ``q_bm25_search`` restored the
+# scoring half; this closes the index half: ``build_text_index``
+# materializes the postings as a parquet artifact once, and
+# ``q_bm25_search_indexed`` answers the same query by PROBING it —
+# the corpus text is never read on the query path.
+#
+# Index layout (hive-partitioned parquet):
+#   <dir>/postings/wkey=<first-char>/  (word, doc_id, tf)
+#   <dir>/doclens/                     (doc_id, dl)
+#   <dir>/stats/                       (sum_dl, n_docs)
+# A term probe filters wkey (directory-level partition pruning) and
+# word (parquet row-group pushdown), so the scan touches only the
+# probed terms' postings. df(word) falls out of the pruned rows
+# themselves (count per word — exactly one row per posting).
+#
+# Freshness: the artifact path is keyed on (absolute corpus path,
+# documents.parquet mtime, layout version) — rewriting the corpus
+# changes the key, so a stale index is never probed; it is simply
+# orphaned in tmp and a new one is built on first search. An explicit
+# rebuild = delete the directory. This mirrors the reference, where
+# the Lucene index is rebuilt by re-running ingest.
+
+INDEX_VERSION = 1
+
+
+def _index_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:v{INDEX_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"vl_text_index_{key}")
+
+
+def build_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the inverted index for ``sf_dir``'s corpus; returns
+    the index directory (no-op if the current corpus version is
+    already indexed). One tokenize pass: tf shuffles on (doc_id,
+    word) with map-side combine, postings land partitioned by first
+    character (bounded fan-out, ~36 dirs on this corpus; a real
+    deployment would bucket by hash(word) % N instead — same pruning
+    algebra, fixed width)."""
+    idx = _index_dir(sf_dir)
+    marker = os.path.join(idx, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return idx
+    toks = _toks(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    (
+        tf.withColumn("wkey", F.substring("word", 1, 1))
+        .repartition("wkey")
+        .write.partitionBy("wkey")
+        .mode("overwrite")
+        .parquet(os.path.join(idx, "postings"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dl.write.mode("overwrite").parquet(os.path.join(idx, "doclens"))
+    dl.agg(
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).write.mode("overwrite").parquet(os.path.join(idx, "stats"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return idx
+
+
+def search_bm25_indexed(
+    spark: SparkSession, index_dir: str, terms=TERMS
+) -> DataFrame:
+    """S9 — answer a term query from the persisted index alone: probe
+    postings with (wkey partition prune + word pushdown), join doc
+    lengths, broadcast the 1-row stats. Identical scoring tail (and
+    therefore identical results + oracle) as the corpus-scan form."""
+    first = sorted({t[:1] for t in terms})
+    tf = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("wkey").isin(first) & F.col("word").isin(*terms))
+        .select("doc_id", "word", "tf")
+    )
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    stats = spark.read.parquet(os.path.join(index_dir, "stats"))
+    return _bm25_topk(tf, dl, stats)
+
+
+def q_bm25_search_indexed(spark, sf_dir):
+    return search_bm25_indexed(spark, build_text_index(spark, sf_dir))
 
 
 def _bm25_oracle() -> str:
@@ -218,6 +324,14 @@ FROM (
 """
 
 
-QUERIES = {"bm25_search": q_bm25_search, "tfidf_topk": q_tfidf_topk}
-ORACLES = {"bm25_search": _bm25_oracle(), "tfidf_topk": _tfidf_oracle()}
+QUERIES = {
+    "bm25_search": q_bm25_search,
+    "bm25_search_indexed": q_bm25_search_indexed,
+    "tfidf_topk": q_tfidf_topk,
+}
+ORACLES = {
+    "bm25_search": _bm25_oracle(),
+    "bm25_search_indexed": _bm25_oracle(),
+    "tfidf_topk": _tfidf_oracle(),
+}
 
