@@ -1225,6 +1225,10 @@ def q_events_funnel(spark, sf_dir):
     and reused by every subsequent SMJ stage (co-partitioned, no
     re-exchange); per-step filters prune at the scan."""
     e = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel_table(e)
+
+
+def funnel_table(e):
     t1 = (
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
@@ -1356,11 +1360,19 @@ def q_events_transitions(spark, sf_dir):
     transition matrix itself is |types|^2 rows. The probability
     denominator is a per-prev_type sum — a second tiny agg over the
     matrix, not the events."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return _transitions_prob(transitions_matrix(e))
+
+
+def transitions_matrix(e):
+    """Window form of the adjacent-pair rollup: one user_id-keyed
+    ordering window. LABELED BASELINE at celebrity skew — a user
+    holding 0.1% of a 100 TB corpus funnels 100 GB through one window
+    task; ``transitions_matrix_scalable`` is the skew-proof form."""
     from pyspark.sql import Window
 
-    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    return (
         e.withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
         .groupBy(
@@ -1369,6 +1381,89 @@ def q_events_transitions(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def transitions_matrix_scalable(spark, e, num_partitions: int = 64):
+    """Adjacent-pair rollup with a DISTRIBUTED range sort instead of a
+    per-user window — the sorted-neighborhood discipline
+    (operators/neighborhood.py) applied to event sequences: a
+    celebrity user's events spread over many range partitions instead
+    of serializing through one window task.
+
+    1. ``repartitionByRange`` on (user_id, ts, event_id) — every
+       physical partition holds a contiguous run of the global order
+       (event_id makes the order total, so range cuts are exact).
+    2. lead() per PHYSICAL partition (``partitionBy(__pid)``) — an
+       N-way parallel window; same-user adjacency inside a partition
+       filters on the led user_id.
+    3. Boundary stitch: only (last row of partition p, first row of
+       the next non-empty partition) can form a pair across a cut —
+       ≤ num_partitions-1 candidates, folded in on the driver.
+
+    Byte-identical to the window form (shared oracle); the windowed
+    relation persists for its two consumers (matrix + boundary rows)
+    and unpersists before returning the |types|^2 matrix."""
+    from pyspark.sql import Window
+
+    r = e.repartitionByRange(
+        num_partitions, "user_id", "ts", "event_id"
+    ).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("user_id", "ts", "event_id")
+    win = r.select(
+        "__pid", "user_id", "ts", "event_id", "event_type",
+        F.lead("user_id").over(w).alias("__nu"),
+        F.lead("event_type").over(w).alias("__nt"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__pid")).alias("__cnt"),
+    ).persist()
+    try:
+        mat = (
+            win.filter(
+                F.col("__nt").isNotNull() & (F.col("__nu") == F.col("user_id"))
+            )
+            .groupBy(
+                F.col("event_type").alias("prev_type"),
+                F.col("__nt").alias("next_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        bounds = (
+            win.filter((F.col("__rn") == 1) | (F.col("__rn") == F.col("__cnt")))
+            .select("__pid", "__rn", "__cnt", "user_id", "event_type")
+            .collect()
+        )
+        firsts = {b["__pid"]: b for b in bounds if b["__rn"] == 1}
+        lasts = {b["__pid"]: b for b in bounds if b["__rn"] == b["__cnt"]}
+        from collections import Counter
+
+        extra: Counter = Counter()
+        pids = sorted(firsts)
+        for p, q in zip(pids, pids[1:]):
+            last, first = lasts[p], firsts[q]
+            if last.user_id == first.user_id:
+                extra[(last.event_type, first.event_type)] += 1
+        if extra:
+            edf = spark.createDataFrame(
+                [(p, n, c) for (p, n), c in sorted(extra.items())],
+                "prev_type string, next_type string, n long",
+            )
+            mat = (
+                mat.unionByName(edf)
+                .groupBy("prev_type", "next_type")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        # materialize before unpersisting the source the plan reads
+        out = spark.createDataFrame(
+            mat.collect(), "prev_type string, next_type string, n long"
+        )
+    finally:
+        win.unpersist()
+    return out
+
+
+def _transitions_prob(pairs):
+    from pyspark.sql import Window
+
     wprev = Window.partitionBy("prev_type")
     return pairs.select(
         "prev_type", "next_type", "n",
@@ -1379,6 +1474,14 @@ def q_events_transitions(spark, sf_dir):
         "prev_type", "next_type", "n",
         F.expr("_num div _den").alias("prob_micro"),
     )
+
+
+def q_events_transitions_scalable(spark, sf_dir):
+    """``events_transitions`` with the celebrity-skew-proof
+    distributed range sort (shared oracle — byte-identical output).
+    See ``transitions_matrix_scalable``."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    return _transitions_prob(transitions_matrix_scalable(spark, e))
 
 
 ORACLE_EVENTS_TRANSITIONS = """
@@ -1405,3 +1508,5 @@ FROM pairs
 
 QUERIES["events_transitions"] = q_events_transitions
 ORACLES["events_transitions"] = ORACLE_EVENTS_TRANSITIONS
+QUERIES["events_transitions_scalable"] = q_events_transitions_scalable
+ORACLES["events_transitions_scalable"] = ORACLE_EVENTS_TRANSITIONS
