@@ -518,3 +518,44 @@ def test_ingest_auto_front_door(spark, tmp_path):
     assert docs["b.doc"] == "Jose Garcia met Maria Lopez in Cali"
     assert res["mentions"].count() > 0
     assert "extract_text" in res.timings
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """training_manifest + shard writer: every doc lands in exactly
+    one (split, shard) dir, in-file order follows the seeded shuffle
+    position, and the summary counts reconcile with the manifest."""
+    from vizlinc_ingester_spark.io.sinks import write_training_shards
+    from vizlinc_ingester_spark.suite.curation import (
+        N_SHARDS,
+        q_training_manifest,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    manifest = q_training_manifest(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "shards")
+    summary = write_training_shards(manifest, docs, out).collect()
+
+    n_docs_total = sum(r["n_docs"] for r in summary)
+    assert n_docs_total == manifest.count() == docs.count()
+    assert {r["split"] for r in summary} == {"train", "val"}
+    assert all(1 <= r["shard_id"] <= N_SHARDS for r in summary)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n_docs_total
+    # each doc exactly once, text intact
+    assert back.select("doc_id").distinct().count() == n_docs_total
+    joined = back.join(
+        docs.withColumnRenamed("text", "orig"), "doc_id"
+    )
+    assert joined.filter("text <> orig").count() == 0
+    # in-file order == position order for one concrete shard file
+    one = (
+        back.filter("split = 'train' AND shard_id = 1")
+        .select("position")
+        .toPandas()["position"]
+        .tolist()
+    )
+    assert one == sorted(one) and len(one) > 0

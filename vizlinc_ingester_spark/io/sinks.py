@@ -301,3 +301,45 @@ def write_token_tsv(token_tags: DataFrame, out_dir: str) -> None:
         .option("sep", "\t")
         .csv(out_dir)
     )
+
+
+def write_training_shards(
+    manifest: DataFrame,
+    docs: DataFrame,
+    out_dir: str,
+    order_col: str = "position",
+) -> DataFrame:
+    """Materialize a training corpus as shard-partitioned parquet from
+    a ``training_manifest`` (suite/curation.py: doc_id, split,
+    position, shard_id) joined back to the documents — the layout a
+    WebDataset/torchdata-style loader consumes: one directory per
+    (split, shard), rows ordered by the seeded shuffle position
+    WITHIN each shard file.
+
+    Returns the per-shard summary (split, shard_id, n_docs, n_chars)
+    — the manifest header a loader uses for length/striding — which
+    the caller can write alongside.
+
+    Plan at 100 TB: one doc_id equi-join (manifest is a projection of
+    the corpus — co-partitioned after the join shuffle),
+    ``repartition(split, shard_id)`` so each output directory is
+    written by the tasks owning it, ``sortWithinPartitions`` for the
+    in-file order (no global sort — position is already globally
+    consistent from the manifest). Shard count bounds output files.
+    """
+    joined = manifest.join(docs, "doc_id")
+    (
+        joined.repartition("split", "shard_id")
+        .sortWithinPartitions(order_col)
+        .write.partitionBy("split", "shard_id")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return (
+        manifest.groupBy("split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("split", "shard_id")
+    )

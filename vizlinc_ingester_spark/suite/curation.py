@@ -799,3 +799,101 @@ LIMIT {PRI_K}
 
 QUERIES["priority_sample"] = q_priority_sample
 ORACLES["priority_sample"] = _priority_oracle()
+
+
+# --- training manifest: seeded shuffle + split + shards (round 8) ----------
+#
+# The last step before a training run: a DETERMINISTIC seeded global
+# shuffle order (so data order is reproducible from (corpus, seed)
+# alone), a hash train/val split, and fixed-count shard assignment —
+# what torchdata/WebDataset-style loaders consume as a manifest.
+#
+# Spark-first rank without a global window: an md5-ordered global
+# row_number would funnel the corpus through ONE window partition
+# (the across-doc coref hazard, PLANS.md "Single-partition sorts").
+# Instead a two-level rank: bucket = first two hex chars of the md5
+# (256 uniform buckets), row_number per bucket + an in-plan running
+# offset over the 256 bucket counts (a single-partition window over
+# exactly 256 rows — bounded by construction). Fully lazy, no
+# collect, no global sort; the oracle states the same order as one
+# naive row_number.
+#
+# split is hash-bucketed (doc-stable under corpus growth — a doc
+# never migrates between train and val when neighbors arrive), NOT
+# position-sliced; shard_id derives from position and the in-plan
+# total count: shard = (position-1) * N_SHARDS div total + 1 — exact
+# integer math, identical both engines (ntile is avoided: its
+# remainder distribution is engine-defined).
+
+SHUFFLE_SEED = "s42"
+N_SHARDS = 8
+VAL_PCT = 5
+
+
+def q_training_manifest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    hs = F.md5(
+        F.concat(
+            F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    base = d.select(
+        "doc_id", "n_chars", hs.alias("h"),
+        (F.conv(F.substring(hs, 1, 15), 16, 10).cast("long") % 100).alias("hb"),
+        F.substring(hs, 1, 2).alias("bk"),
+    )
+    wB = Window.partitionBy("bk").orderBy("h", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(wB).cast("long"))
+    counts = base.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # 256 rows: running offset + grand total, both bounded windows
+    wOff = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    wTot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "bk",
+        F.coalesce(F.sum("c").over(wOff), F.lit(0)).cast("long").alias("off"),
+        F.sum("c").over(wTot).cast("long").alias("total"),
+    )
+    j = ranked.join(F.broadcast(offsets), "bk").select(
+        "doc_id", "hb", "n_chars", "total",
+        (F.col("rn") + F.col("off")).cast("long").alias("position"),
+    )
+    # (position-1) and total are non-negative, so `div` (trunc) == floor
+    return j.select(
+        "doc_id",
+        F.when(F.col("hb") < 100 - VAL_PCT, F.lit("train"))
+        .otherwise(F.lit("val")).alias("split"),
+        "position",
+        (F.expr(f"(position - 1) * {N_SHARDS} div total") + 1)
+        .cast("long").alias("shard_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+ORACLE_TRAINING_MANIFEST = f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+               1, 15)) AS BIGINT) % 100 AS hb
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, hb,
+         CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position,
+         CAST(count(*) OVER () AS BIGINT) AS total
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN hb < {100 - VAL_PCT} THEN 'train' ELSE 'val' END AS split,
+       position,
+       CAST((position - 1) * {N_SHARDS} // total + 1 AS BIGINT) AS shard_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked
+"""
+
+QUERIES["training_manifest"] = q_training_manifest
+ORACLES["training_manifest"] = ORACLE_TRAINING_MANIFEST

@@ -797,3 +797,214 @@ FROM assigned s LEFT JOIN dup_of d ON s.vec_id = d.vec_b
 
 QUERIES["dedup_semantic"] = q_dedup_semantic
 ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC
+
+
+# --- k-means clustering, exact integer-micro space (round 8) ---------------
+#
+# Lloyd's k-means over the embedding table — the clustering primitive
+# behind cluster-balanced sampling, SemDeDup-style pruning, and IVF
+# list training ("Deduplicating..." appendix; DiverseEvol etc.). The
+# IVF index above uses FIXED centroids (vec_id % CENTROID_MOD); this
+# operator actually ITERATES the centroid update, under the full
+# cross-engine hash gate — possible because everything runs in exact
+# integer arithmetic:
+#
+# - vectors quantize to bigint micro-units once at the scan
+#   (floor(x * 1e6); float->double->floor is bit-identical in both
+#   engines);
+# - distances are integer L2^2 sums (order-independent, max
+#   ~(3e5)^2 * 64 ~ 5.8e12 << 2^63);
+# - centroid updates are per-dimension integer sums (order-free)
+#   followed by floor(sum/count) computed in double — exact because
+#   |sum| < 2^53 — NOT Spark's `div`, whose truncation toward zero
+#   disagrees with floor on negative sums.
+#
+# Assignment ties break on (dist, cluster_id) ascending. Cluster ids
+# are the seed vectors' vec_ids (stable across rounds; a cluster that
+# attracts no vectors simply disappears from later rounds — same
+# algebra both engines).
+#
+# Plan at 100 TB: per round = one broadcast-assign scan (centroid set
+# is K rows — broadcast, corpus never shuffles for assignment) + one
+# (cluster, dim)-keyed partial-agg shuffle bounded by K x D groups.
+# That is THE scalable k-means; rounds are a fixed unrolled count
+# (PageRank discipline: oracle unrolls the same rounds as
+# MATERIALIZED CTEs, Spark localCheckpoints the K x D centroid table
+# per round to keep lineage flat).
+
+KMEANS_MOD = 100     # vec_id % 100 == 0 -> seed centroid set
+KMEANS_ROUNDS = 2    # assignment passes (centroids update between)
+
+
+def _micro_vec(col):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+    )
+
+
+def _l2_micro(a, b):
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Final-round assignment (vec_id, cluster_id, dist_sq) after
+    KMEANS_ROUNDS Lloyd iterations from the deterministic seed set."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _micro_vec(F.col("embedding")).alias("em")
+    )
+    cent = e.filter(F.col("vec_id") % KMEANS_MOD == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("em").alias("cem")
+    )
+    assigned = None
+    for rnd in range(KMEANS_ROUNDS):
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "em", "cluster_id",
+            _l2_micro(F.col("em"), F.col("cem")).alias("dist_sq"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist_sq"), F.asc("cluster_id")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "em", "cluster_id", "dist_sq")
+        )
+        if rnd == KMEANS_ROUNDS - 1:
+            break
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode("em").alias("dim", "val")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cent = (
+            sums.select(
+                "cluster_id", "dim",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("long").alias("val"),
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("cem")
+            )
+            .localCheckpoint()  # K x D rows; truncates per-round lineage
+        )
+    return assigned.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("dist_sq").cast("long").alias("dist_sq"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    sql_l2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(generate_series(1, len({a})),"
+        " i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), (acc, x) -> acc + x)"
+    )
+    parts = [f"""
+WITH em AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS em
+  FROM embeddings
+),
+c_0 AS MATERIALIZED (
+  SELECT vec_id AS cluster_id, em AS cem FROM em WHERE vec_id % {KMEANS_MOD} = 0
+)"""]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        dist = sql_l2.format(a="e.em", b="c.cem")
+        parts.append(f""",
+s_{r} AS MATERIALIZED (
+  SELECT e.vec_id, e.em, c.cluster_id, {dist} AS dist_sq
+  FROM em e CROSS JOIN c_{r - 1} c
+),
+a_{r} AS MATERIALIZED (
+  SELECT vec_id, em, cluster_id, dist_sq FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist_sq, cluster_id) AS rn
+    FROM s_{r}
+  ) WHERE rn = 1
+)""")
+        if r < KMEANS_ROUNDS:
+            parts.append(f""",
+u_{r} AS MATERIALIZED (
+  SELECT cluster_id, t.i AS dim, sum(em[t.i]) AS s, count(*) AS n
+  FROM a_{r}, UNNEST(generate_series(1, len(em))) AS t(i)
+  GROUP BY cluster_id, t.i
+),
+c_{r} AS MATERIALIZED (
+  SELECT cluster_id,
+         list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY dim) AS cem
+  FROM u_{r} GROUP BY cluster_id
+)""")
+    parts.append(f"""
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(dist_sq AS BIGINT) AS dist_sq
+FROM a_{KMEANS_ROUNDS}
+""")
+    return "".join(parts)
+
+
+QUERIES["kmeans_clusters"] = q_kmeans_clusters
+ORACLES["kmeans_clusters"] = _kmeans_oracle()
+
+
+# --- cluster-balanced sampling (round 8) -----------------------------------
+
+CB_PER_CLUSTER = 20  # kept vectors per k-means cluster
+CB_SEED = "cb1"
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced selection over the k-means assignment: keep at
+    most CB_PER_CLUSTER vectors per final cluster, chosen by a seeded
+    deterministic hash (tie-break vec_id) — the selection step that
+    equalizes cluster mass in a training mix (what SemDeDup/D4-style
+    curation runs after clustering, so rare modes aren't drowned by
+    the head clusters).
+
+    Plan at 100 TB: the assignment is the k-means scan; selection is
+    one cluster_id-keyed rank window whose partitions are cluster
+    populations (bounded by the largest cluster, and the hash order
+    makes the kept set independent of storage order)."""
+    from ..functions.hashing import stable_hash64
+
+    a = q_kmeans_clusters(spark, sf_dir)
+    h = stable_hash64(
+        F.concat(F.lit(CB_SEED + ":"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        a.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= CB_PER_CLUSTER)
+        .select("vec_id", "cluster_id", "dist_sq", "pick_rank")
+    )
+
+
+def _cb_sample_oracle() -> str:
+    from ..functions.hashing import sql_stable_hash64
+
+    h = sql_stable_hash64(f"'{CB_SEED}:' || CAST(vec_id AS VARCHAR)")
+    km = _kmeans_oracle().rstrip()
+    return f"""
+WITH km AS MATERIALIZED (
+{km}
+),
+ranked AS (
+  SELECT vec_id, cluster_id, dist_sq,
+         CAST(row_number() OVER (
+             PARTITION BY cluster_id ORDER BY {h}, vec_id) AS BIGINT)
+           AS pick_rank
+  FROM km
+)
+SELECT vec_id, cluster_id, dist_sq, pick_rank
+FROM ranked WHERE pick_rank <= {CB_PER_CLUSTER}
+"""
+
+
+QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
+ORACLES["cluster_balanced_sample"] = _cb_sample_oracle()
