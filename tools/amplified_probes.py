@@ -282,6 +282,179 @@ def probe_semantic(spark, reps: int = 10) -> None:
     )
 
 
+def probe_celebrity(spark, reps: int = 30) -> None:
+    """Celebrity skew over the user/node-keyed analytics (judge-r6
+    task 7): reassign a SHARE of all amplified events to one user and
+    measure the user_id-keyed operators. Two regimes:
+
+    - share=1%: realistic celebrity; below 1/parallelism (64
+      partitions -> uniform tasks already hold ~1.6%), so no local
+      crossover is EXPECTED — the window form's straggler only
+      emerges when one key exceeds one task's uniform share.
+    - share=25%: the asymptotic regime a 1% celebrity reaches at
+      1000-executor parallelism (1% >> 1/1000 of the work per task);
+      locally 25% >> 1/64 makes the single-task serialization
+      measurable.
+
+    Also probes a 100x-degree hub through the k-core round shape
+    (semi-join + degree count on the node key) vs a uniform graph of
+    the same size — partial aggregation should absorb the count-side
+    skew; the semi-join shuffle is the open question AQE's skew-join
+    does not cover (it only splits sort-merge join sides)."""
+    from vizlinc_ingester_spark.suite.relational import (
+        _transitions_prob,
+        funnel_table,
+        transitions_matrix,
+        transitions_matrix_scalable,
+    )
+
+    for share in (1, 25):
+        base = _amplified_events(spark, reps, dense=True)
+        e = base.select(
+            "event_id", "ts",
+            F.when(
+                F.pmod(F.hash("event_id"), F.lit(100)) < share, F.lit(0)
+            ).otherwise(F.col("user_id")).alias("user_id"),
+            "event_type", "value",
+        ).persist()
+        n = e.count()
+        _timed(
+            f"transitions_window_cel{share}", f"{n} events {share}% one user",
+            lambda: _noop(_transitions_prob(transitions_matrix(e))),
+        )
+        _timed(
+            f"transitions_scalable_cel{share}", f"{n} events {share}% one user",
+            lambda: _noop(
+                _transitions_prob(transitions_matrix_scalable(spark, e))
+            ),
+        )
+        _timed(
+            f"funnel_cel{share}", f"{n} events {share}% one user",
+            lambda: _noop(funnel_table(e.select("user_id", "ts", "event_type"))),
+        )
+
+        def cohort():
+            ed = e.select(
+                "user_id", F.expr("ts div 86400000000000").alias("day")
+            )
+            firsts = ed.groupBy("user_id").agg(F.min("day").alias("cday"))
+            _noop(
+                ed.join(firsts, "user_id")
+                .select(
+                    "user_id",
+                    F.expr("cday div 7").alias("cohort_week"),
+                    F.expr("(day - cday) div 7").alias("offset_week"),
+                )
+                .groupBy("cohort_week", "offset_week")
+                .agg(F.countDistinct("user_id").alias("active_users"))
+            )
+
+        _timed(f"cohort_cel{share}", f"{n} events {share}% one user", cohort)
+        e.unpersist()
+
+    # k-core round shape with a hub node: 2M uniform edges over 100k
+    # nodes (avg degree ~40) + one node with 100x that degree.
+    n_edges, n_nodes, hub_deg = 2_000_000, 100_000, 4_000
+    uniform = spark.range(n_edges).select(
+        F.pmod(F.hash("id"), F.lit(n_nodes)).cast("long").alias("u"),
+        F.pmod(F.hash(F.col("id") + 1_000_000_000), F.lit(n_nodes))
+        .cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    hub = spark.range(hub_deg).select(
+        F.lit(-1).cast("long").alias("u"), F.col("id").alias("v")
+    )
+
+    def kcore_round(edges):
+        bi = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint()
+        nodes = bi.select(F.col("u").alias("nid")).distinct()
+        alive = bi.join(
+            nodes.select(F.col("nid").alias("u")), "u", "left_semi"
+        ).join(nodes.select(F.col("nid").alias("v")), "v", "left_semi")
+        _noop(
+            alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).filter(
+                F.col("deg") >= 2
+            )
+        )
+
+    _timed("kcore_round_uniform", f"{n_edges} edges no hub",
+           lambda: kcore_round(uniform))
+    _timed("kcore_round_hub", f"{n_edges} edges + {hub_deg}-deg hub",
+           lambda: kcore_round(uniform.unionByName(hub)))
+
+
+def probe_cutemit(spark, n_docs: int = 20_000, n_islands: int = 40) -> None:
+    """ExactSubstr cut emitter A/B on island-dense docs (judge-r7 item
+    5): every doc alternates an 8-token boilerplate phrase (shared by
+    all docs -> every run is a duplicated window -> one island) with 8
+    unique tokens — 50% coverage, ``n_islands`` islands per doc, the
+    regime where the per-token F.exists interval test is
+    O(n_tokens x n_islands) while the sorted-islands slice walk is
+    O(n_tokens + n_islands). Both forms run the identical pipeline up
+    to the persisted (base ⋈ cuts) relation, so the timed delta IS
+    the cut expression."""
+    from vizlinc_ingester_spark.suite.dedup import (
+        _cut_kept_exists,
+        _cut_kept_slices,
+        _substr_base_occ_islands,
+    )
+
+    boiler = " ".join(f"b{j}" for j in range(8))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_islands)),
+                    lambda k: F.concat(
+                        F.split(F.lit(boiler), " "),
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(8)),
+                            lambda j: F.concat_ws(
+                                "_", F.lit("u"), F.col("id"), k, j
+                            ),
+                        ),
+                    ),
+                )
+            ),
+        ).alias("text"),
+    ).repartition(64)
+    base, _, islands = _substr_base_occ_islands(docs)
+    per_doc = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("cuts")
+    )
+    joined = base.join(per_doc, "doc_id", "left").persist()
+    n = joined.count()
+
+    def run(form):
+        kept = F.when(F.col("cuts").isNull(), F.col("t")).otherwise(
+            form(F.col("t"), F.col("n_tokens"), F.col("cuts"))
+            if form is _cut_kept_slices
+            else form(F.col("t"), F.col("cuts"))
+        )
+        _noop(
+            joined.select(
+                "doc_id", "n_tokens",
+                F.size(kept).alias("kept_tokens"),
+                F.array_join(kept, " ").alias("cleaned_text"),
+            )
+        )
+
+    for _ in range(2):  # warm + discard JIT
+        run(_cut_kept_slices)
+    _timed(
+        "cutemit_exists", f"{n} docs x {n_islands} islands",
+        lambda: run(_cut_kept_exists),
+    )
+    _timed(
+        "cutemit_slices", f"{n} docs x {n_islands} islands",
+        lambda: run(_cut_kept_slices),
+    )
+    joined.unpersist()
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -297,6 +470,10 @@ def main() -> None:
         probe_textdedup(spark)
     if which in ("semantic", "all"):
         probe_semantic(spark)
+    if which in ("celebrity", "all"):
+        probe_celebrity(spark)
+    if which in ("cutemit", "all"):
+        probe_cutemit(spark)
 
 
 if __name__ == "__main__":

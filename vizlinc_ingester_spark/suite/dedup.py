@@ -382,10 +382,9 @@ def q_dedup_exact_substr(spark, sf_dir):
     (posexplode); the duplicate-window set is one count-distinct
     aggregation shuffled on the 60-bit window hash (uniform key, no
     skew); occurrences semi-join that set on the same key; coverage
-    is a position explode (x SUBSTR_L, linear) + distinct keyed on
-    doc_id. No pair space anywhere — cost is O(corpus tokens), which
-    is the property that makes suffix-array dedup's relational cousin
-    feasible on Spark.
+    comes from the doc_id-keyed interval merge below. No pair space
+    anywhere — cost is O(corpus tokens), which is the property that
+    makes suffix-array dedup's relational cousin feasible on Spark.
 
     Coverage via interval merge (gaps-and-islands), NOT a position
     explode: each occurrence covers [start, start+L-1]; occurrences
@@ -476,6 +475,54 @@ LEFT JOIN covered ON b.doc_id = covered.doc_id
 """
 
 
+def _cut_kept_exists(t, cuts):
+    """Per-token position-in-any-interval filter — O(n_tokens x
+    n_islands) interpreted-HOF evaluations per doc. LABELED BASELINE:
+    kept only for the probe (PLANS.md round-8 cut-emitter A/B); the
+    slice form below wins on island-dense docs."""
+    return F.filter(
+        t,
+        lambda x, i: ~F.exists(
+            cuts, lambda c: ((i + 1) >= c["s"]) & ((i + 1) <= c["e"])
+        ),
+    )
+
+
+def _cut_kept_slices(t, n_tokens, cuts):
+    """Sorted-islands slice cut — O(n_tokens + n_islands): islands are
+    disjoint, so walking them in order and slicing the gaps touches
+    every token once (each slice is one JVM arraycopy), instead of
+    evaluating an interpreted interval-membership predicate per
+    (token x island). The aggregate carries (pos, kept-so-far) and
+    the finish step appends the tail after the last island."""
+    return F.aggregate(
+        F.array_sort(cuts),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"),
+            F.expr("cast(array() as array<string>)").alias("acc"),
+        ),
+        lambda acc, c: F.struct(
+            (c["e"] + 1).cast("long").alias("pos"),
+            F.concat(
+                acc["acc"],
+                F.slice(
+                    t,
+                    acc["pos"].cast("int"),
+                    F.greatest(c["s"] - acc["pos"], F.lit(0)).cast("int"),
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.slice(
+                t,
+                acc["pos"].cast("int"),
+                F.greatest(n_tokens - acc["pos"] + 1, F.lit(0)).cast("int"),
+            ),
+        ),
+    )
+
+
 def q_dedup_exact_substr_cut(spark, sf_dir):
     """ExactSubstr dedup that EMITS the cleaned corpus (what the
     suffix-array deduper of "Deduplicating Training Data Makes
@@ -487,24 +534,19 @@ def q_dedup_exact_substr_cut(spark, sf_dir):
     Plan at 100 TB: the merged cut intervals per doc (already one
     doc_id-keyed shuffle, see ``_substr_base_occ_islands``) collect
     into a per-doc array — bounded by n_tokens/L intervals per doc,
-    never corpus-sized — and the cut itself is a scan-stage
-    higher-order filter over the token array (position-in-any-interval
-    test), so reassembly adds ONE more doc_id shuffle (the
-    collect_list) and zero pair space. No xL position explode, no
-    per-row Python."""
+    never corpus-sized — and the cut itself is the scan-stage
+    sorted-islands slice walk (``_cut_kept_slices``, O(n_tokens +
+    n_islands) per doc; the per-token F.exists membership test lost
+    the island-dense A/B — PLANS.md round-8), so reassembly adds ONE
+    more doc_id shuffle (the collect_list) and zero pair space. No xL
+    position explode, no per-row Python."""
     base, _, islands = _substr_base_occ_islands(_docs(spark, sf_dir))
     per_doc = islands.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("cuts")
     )
     joined = base.join(per_doc, "doc_id", "left")
     kept_arr = F.when(F.col("cuts").isNull(), F.col("t")).otherwise(
-        F.filter(
-            F.col("t"),
-            lambda x, i: ~F.exists(
-                F.col("cuts"),
-                lambda c: ((i + 1) >= c["s"]) & ((i + 1) <= c["e"]),
-            ),
-        )
+        _cut_kept_slices(F.col("t"), F.col("n_tokens"), F.col("cuts"))
     )
     return joined.select(
         "doc_id",

@@ -181,8 +181,10 @@ ORACLES = {
 # (b) learns a (prev_token, token) bigram model with the backoff
 # chain bigram -> unigram -> suffix -> 'O'. gold_tag and a correct
 # flag ride along in the gated output so tag accuracy is auditable
-# from the hash-proven rows themselves (the unigram-only baseline on
-# the same gold is measured in PLANS.md).
+# from the hash-proven rows themselves. Measured held-out accuracy
+# (PLANS.md "Round-8 plan work", both models trained on the same
+# pass): bigram 0.9996 at sf0.01 / 1.0000 at sf0.1 vs unigram-only
+# 0.3966 / 0.3995 on the identical gold.
 
 from ..operators.tagger import CTX_BOS, apply_tagger_ctx, train_tagger_ctx
 
