@@ -76,6 +76,7 @@ HEADLINE = [
     "events_transitions_scalable",
     # round-8 operators
     "kmeans_clusters",
+    "kmeans_clusters_vec",
     "training_manifest",
     "cluster_balanced_sample",
     # bm25_search_indexed is timed specially below (build vs probe);

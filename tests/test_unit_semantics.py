@@ -111,3 +111,99 @@ def test_ptb_tokens_rules(spark):
     }
     for text, want in cases.items():
         assert got[text] == want, (text, got[text])
+
+
+def test_kmeans_partitioning_invariance(spark, sf_dir):
+    """The integer-exact k-means must give bit-identical assignments
+    whatever the input partitioning — integer sums are
+    order-independent, so repartitioning cannot move a centroid."""
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    base = sim.q_kmeans_clusters(spark, sf_dir).toPandas()
+    orig_emb = sim._emb
+
+    def shuffled(s, d):
+        return orig_emb(s, d).repartition(7)
+
+    try:
+        sim._emb = shuffled
+        moved = sim.q_kmeans_clusters(spark, sf_dir).toPandas()
+    finally:
+        sim._emb = orig_emb
+    key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
+    assert key(base) == key(moved)
+
+
+def test_training_manifest_positions_contiguous(spark, sf_dir):
+    """Positions are a permutation 1..n; shard sizes differ by <= 1
+    and shards partition the position axis contiguously."""
+    from vizlinc_ingester_spark.suite.curation import (
+        N_SHARDS,
+        q_training_manifest,
+    )
+
+    m = q_training_manifest(spark, sf_dir).toPandas()
+    n = len(m)
+    assert sorted(m["position"].tolist()) == list(range(1, n + 1))
+    sizes = m.groupby("shard_id")["position"].count()
+    assert sizes.max() - sizes.min() <= 1
+    for sid, grp in m.groupby("shard_id"):
+        lo, hi = grp["position"].min(), grp["position"].max()
+        assert hi - lo + 1 == len(grp)  # contiguous position range
+    # split is hash-stable: recompute matches
+    m2 = q_training_manifest(spark, sf_dir).toPandas()
+    assert m.sort_values("doc_id")["split"].tolist() == \
+        m2.sort_values("doc_id")["split"].tolist()
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    """A seed centroid that attracts no vectors after round 1 must
+    disappear from later rounds (both engines share this algebra).
+    Construct it directly: two tight groups far apart, both seeds
+    inside group A -> after the round-1 update one centroid captures
+    everything nearby and the other keeps only its own seed... then
+    verify via the suite query on a crafted sf_dir."""
+    import numpy as np
+
+    from vizlinc_ingester_spark.suite.similarity import (
+        KMEANS_MOD,
+        q_kmeans_clusters,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # group A near +1, group B near -1 (dim 4, padded to 8)
+    for vid in range(0, 401):
+        center = 1.0 if vid <= 350 else -1.0
+        vec = (center + rng.uniform(-0.01, 0.01, 8)).astype("float32")
+        rows.append((vid, vec.tolist(), 0))
+    import pandas as pd
+    import tempfile, os
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    tmp = tempfile.mkdtemp(prefix="kmeans_empty_")
+    spark.createDataFrame(df).write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    # seeds = vec_id % 100 == 0 -> 0,100,200,300 (group A), 400 (group B)
+    out = q_kmeans_clusters(spark, tmp).toPandas()
+    assert len(out) == 401
+    # every vector assigned to exactly one surviving cluster; group B's
+    # vectors keep centroid 400; group A's collapse onto A-side seeds
+    b = out[out.vec_id > 350]
+    assert set(b.cluster_id) == {400}
+    assert set(out.cluster_id) <= {0, 100, 200, 300, 400}
+
+
+def test_kmeans_vec_twin_bit_identical(spark, sf_dir):
+    """The numpy-vectorized k-means twin must be BIT-identical to the
+    Column form (they share one oracle; this pins them to each other
+    directly, the minhash_signatures_vec discipline)."""
+    from vizlinc_ingester_spark.suite.similarity import (
+        q_kmeans_clusters,
+        q_kmeans_clusters_vec,
+    )
+
+    a = q_kmeans_clusters(spark, sf_dir).toPandas()
+    b = q_kmeans_clusters_vec(spark, sf_dir).toPandas()
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].values.tolist()))  # noqa: E731
+    assert key(a) == key(b)

@@ -202,6 +202,42 @@ def probe_ann(spark, reps: int = 10) -> None:
     )
 
 
+def probe_kmeans(spark, reps: int = 10) -> None:
+    """10× embeddings through the exact gated k-means: vectors AND
+    seed-centroid count scale together (vec_id stride is a multiple
+    of KMEANS_MOD), so this measures the real joint growth — K x N
+    assignment pairs per round. Checks the 100 TB claims: assignment
+    stays a broadcast-nested-loop scan (no shuffle of the corpus),
+    update shuffle stays bounded by K x D groups."""
+    import tempfile
+
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    amplified = e.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+    ).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        *[c for c in e.columns if c != "vec_id"],
+    ).repartition(64)
+    tmp = tempfile.mkdtemp(prefix="kmeans_probe_")
+    amplified.write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    n = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).count()
+    k = n // sim.KMEANS_MOD
+    _timed(
+        f"kmeans_{reps}x", f"{n} vectors K~{k} {sim.KMEANS_ROUNDS} rounds",
+        lambda: _noop(sim.q_kmeans_clusters(spark, tmp)),
+    )
+    q = sim.q_kmeans_clusters(spark, tmp)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    bnl = plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastExchange")
+    print(f"PROBEINFO kmeans_{reps}x broadcast_nodes={bnl} "
+          f"corpus_exchanges={plan.count('Exchange hashpartitioning')}",
+          flush=True)
+
+
 def probe_textdedup(spark, reps: int = 20) -> None:
     """20× documents (10k docs): the round-6 text-dedup/selection
     family through the exact gated suite code. Amplified docs are
@@ -474,6 +510,8 @@ def main() -> None:
         probe_celebrity(spark)
     if which in ("cutemit", "all"):
         probe_cutemit(spark)
+    if which in ("kmeans", "all"):
+        probe_kmeans(spark)
 
 
 if __name__ == "__main__":

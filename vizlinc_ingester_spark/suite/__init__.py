@@ -64,15 +64,18 @@ def collect_suite() -> tuple[
 # additions (ner_learned_ctx, dedup_exact_substr_cut,
 # bm25_search_indexed, events_transitions_scalable), the four r6
 # additions that waited behind the frozen r6/r7 window (char_entropy,
-# events_transitions, priority_sample, zipf_fit), and the two NEW r8
-# operators (kmeans_clusters, training_manifest — never behind the
-# window again). Then the oldest proven rows: (b) the whole r3-proven
-# block, (c) the whole r4-proven block. After r8 no declared query's
-# latest green row predates r5. The r5 remainder (TPC-H shapes,
-# events reshape ops, geo, pq internals, graph family) was
-# driver-proven r5, is locally re-proven every session by
-# tests/test_oracle_parity.py, and rotates next round; the 50
-# r7-proven rows are the freshest.
+# events_transitions, priority_sample, zipf_fit), and the three NEW
+# r8 operators (kmeans_clusters, training_manifest,
+# cluster_balanced_sample — never behind the window again). Then the
+# oldest proven rows: (b) the whole r3-proven block, (c) the whole
+# r4-proven block. After r8 no declared query's latest green row
+# predates r5. The r5 remainder (TPC-H shapes, events reshape ops,
+# geo, pq internals, graph family) was driver-proven r5, is locally
+# re-proven every session by tests/test_oracle_parity.py, and rotates
+# next round; the 50 r7-proven rows are the freshest.
+# kmeans_clusters_vec (r8) stays outside the window by design: it
+# shares kmeans_clusters' oracle and is pinned bit-identical to it by
+# tests/test_unit_semantics.py::test_kmeans_vec_twin_bit_identical.
 # To fit the three r8 additions, one r4 row is deferred to the next
 # rotation: within_doc_entities_person_simple (its window-form
 # lineage is a strict subset of within_doc_entities_person, which

@@ -208,7 +208,9 @@ def _gc_stale_indexes(idx: str) -> None:
 
     base = idx.rsplit("_", 1)[0]  # .../vl_text_index_<pathkey>_v<V>
     for d in glob.glob(base + "_*"):
-        if d != idx:
+        # never touch in-flight tmp dirs (a concurrent session may be
+        # mid-build; its own rename/discard handles their lifecycle)
+        if d != idx and ".tmp-" not in os.path.basename(d):
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -242,7 +244,14 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
         .mode("overwrite")
         .parquet(os.path.join(tmp, "postings"))
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # doclens/stats derive from the WRITTEN postings (dl = sum tf per
+    # doc), not a second tokenize pass over the corpus — one scan +
+    # explode total for the whole build.
+    dl = (
+        spark.read.parquet(os.path.join(tmp, "postings"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+    )
     dl.write.mode("overwrite").parquet(os.path.join(tmp, "doclens"))
     dl.agg(
         F.sum("dl").cast("long").alias("sum_dl"),

@@ -1008,3 +1008,100 @@ FROM ranked WHERE pick_rank <= {CB_PER_CLUSTER}
 
 QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
 ORACLES["cluster_balanced_sample"] = _cb_sample_oracle()
+
+
+def q_kmeans_clusters_vec(spark, sf_dir):
+    """Bit-identical numpy twin of ``q_kmeans_clusters`` (same oracle
+    — the minhash_signatures_vec discipline): the K x N x D
+    assignment distance is the dominant cost and is interpreted
+    per-element in the Column form (measured 15.6 s at 10x scale,
+    PLANS.md round-8); here each round's centroid table (K x D
+    bigints — bounded, the PQ-codebook precedent for driver-hosted
+    per-round state) broadcasts as a numpy int64 array and an
+    Arrow-batched mapInPandas computes exact int64 squared distances
+    + (dist, cluster_id) lexicographic argmin. Integer math
+    end-to-end, so results hash-match the Column form and the DuckDB
+    oracle exactly."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _micro_vec(F.col("embedding")).alias("em")
+    )
+    cent_rows = (
+        e.filter(F.col("vec_id") % KMEANS_MOD == 0)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("em").alias("cem"))
+        .collect()
+    )
+
+    def assign_factory(ids_arr, cents_arr):
+        bids = spark.sparkContext.broadcast(ids_arr)
+        bcents = spark.sparkContext.broadcast(cents_arr)
+
+        def assign(batches):
+            cids, cents = bids.value, bcents.value
+            for pdf in batches:
+                em = np.array(pdf["em"].tolist(), dtype=np.int64)
+                # (N, K, D) diffs are memory-heavy; loop K (small) instead
+                n = len(pdf)
+                best_d = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                best_c = np.zeros(n, dtype=np.int64)
+                for cid, cvec in zip(cids, cents):
+                    d = ((em - cvec) ** 2).sum(axis=1)
+                    upd = (d < best_d) | ((d == best_d) & (cid < best_c))
+                    best_d = np.where(upd, d, best_d)
+                    best_c = np.where(upd, cid, best_c)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "em": pdf["em"],
+                        "cluster_id": best_c,
+                        "dist_sq": best_d,
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, em array<long>, cluster_id long, dist_sq long"
+    assigned = None
+    for rnd in range(KMEANS_ROUNDS):
+        ids = np.array([r["cluster_id"] for r in cent_rows], dtype=np.int64)
+        cents = np.array([r["cem"] for r in cent_rows], dtype=np.int64)
+        # centroid ids iterate ascending so the tie-break matches the
+        # Column form's (dist, cluster_id) argmin
+        order = np.argsort(ids)
+        assigned = e.mapInPandas(
+            assign_factory(ids[order], cents[order]), schema
+        )
+        if rnd == KMEANS_ROUNDS - 1:
+            break
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode("em").alias("dim", "val")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cent_rows = (
+            sums.select(
+                "cluster_id", "dim",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("long").alias("val"),
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("cem")
+            )
+            .collect()
+        )
+    return assigned.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("dist_sq").cast("long").alias("dist_sq"),
+    )
+
+
+QUERIES["kmeans_clusters_vec"] = q_kmeans_clusters_vec
+ORACLES["kmeans_clusters_vec"] = _kmeans_oracle()
