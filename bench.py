@@ -79,6 +79,7 @@ HEADLINE = [
     "kmeans_clusters_vec",
     "training_manifest",
     "cluster_balanced_sample",
+    "decontaminate_fuzzy",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first
@@ -147,6 +148,12 @@ def main() -> None:
             build_text_index,
         )
 
+        # JIT-warm the build pipeline at the small SF (same discipline
+        # as the HEADLINE warm-up loop) so the timed cold build
+        # measures the rebuild, not whole-stage-codegen compilation.
+        if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+            shutil.rmtree(_index_dir(warm_dir), ignore_errors=True)
+            build_text_index(spark, warm_dir)
         idx = _index_dir(SF_DIR)
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()

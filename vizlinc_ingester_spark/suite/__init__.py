@@ -64,9 +64,10 @@ def collect_suite() -> tuple[
 # additions (ner_learned_ctx, dedup_exact_substr_cut,
 # bm25_search_indexed, events_transitions_scalable), the four r6
 # additions that waited behind the frozen r6/r7 window (char_entropy,
-# events_transitions, priority_sample, zipf_fit), and the three NEW
+# events_transitions, priority_sample, zipf_fit), and the four NEW
 # r8 operators (kmeans_clusters, training_manifest,
-# cluster_balanced_sample — never behind the window again). Then the
+# cluster_balanced_sample, decontaminate_fuzzy — never behind the
+# window again). Then the
 # oldest proven rows: (b) the whole r3-proven block, (c) the whole
 # r4-proven block. After r8 no declared query's latest green row
 # predates r5. The r5 remainder (TPC-H shapes, events reshape ops,
@@ -76,14 +77,16 @@ def collect_suite() -> tuple[
 # kmeans_clusters_vec (r8) stays outside the window by design: it
 # shares kmeans_clusters' oracle and is pinned bit-identical to it by
 # tests/test_unit_semantics.py::test_kmeans_vec_twin_bit_identical.
-# To fit the three r8 additions, one r4 row is deferred to the next
-# rotation: within_doc_entities_person_simple (its window-form
-# lineage is a strict subset of within_doc_entities_person, which
-# stays in the window; locally re-proven every session by
-# tests/test_oracle_parity.py).
+# To fit the four r8 additions, two r4 rows are deferred to the next
+# rotation: within_doc_entities_person_simple and
+# across_doc_entities_person_simple (each a strict lineage subset of
+# its full sibling — within_doc_entities_person stays in the window,
+# across_doc_entities_person(_scalable) were driver-proven r5;
+# locally re-proven every session by tests/test_oracle_parity.py).
 DRIVER_WINDOW = [
     # (a) never driver-proven: r8 + r7 + r6 additions
     "kmeans_clusters", "training_manifest", "cluster_balanced_sample",
+    "decontaminate_fuzzy",
     "ner_learned_ctx", "dedup_exact_substr_cut", "bm25_search_indexed",
     "events_transitions_scalable", "char_entropy", "events_transitions",
     "priority_sample", "zipf_fit",
@@ -94,7 +97,7 @@ DRIVER_WINDOW = [
     "lang_id", "media_metadata", "quality_scores",
     "streaming_incremental_coref", "users_full_outer",
     # (c) r4-proven rotation (entire block)
-    "across_doc_entities_person_simple", "ann_lsh", "audio_chunks",
+    "ann_lsh", "audio_chunks",
     "corpus_lang_profile", "dedup_minhash_lsh", "dict_ner_tokenjoin",
     "embedding_label_stats", "geo_resolver_chain",
     "large_volume_customers", "late_order_priority", "mentions_extract",

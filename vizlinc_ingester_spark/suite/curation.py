@@ -897,3 +897,128 @@ FROM ranked
 
 QUERIES["training_manifest"] = q_training_manifest
 ORACLES["training_manifest"] = ORACLE_TRAINING_MANIFEST
+
+
+# --- fuzzy (MinHash) decontamination (round 8) -----------------------------
+#
+# `decontaminate_ngrams` is the exact 13-gram-style check; real
+# pipelines also need the FUZZY pass (paraphrased or lightly edited
+# benchmark text that exact n-grams miss): MinHash-band the corpus
+# once, collide train docs against the benchmark set's band buckets,
+# and verify candidates with exact shingle-set Jaccard. Reuses the
+# dedup_minhash_lsh machinery end to end — but where near-dup dedup
+# is a symmetric self-join, decontamination is ASYMMETRIC: the
+# benchmark side is tiny by construction, so its band buckets
+# BROADCAST and the corpus never shuffles for candidate generation —
+# the shape that matters at 100 TB (corpus-side cost is one scan +
+# signature pass; only candidates reach the Jaccard verify joins).
+
+CONTAM_MICRO = 500_000  # verified Jaccard >= 0.5 -> contaminated
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """The synthetic corpus has no cross train/bench near-dups, so the
+    fixture is self-deriving (the dedup_exact re-crawl trick): every
+    benchmark doc re-enters the TRAIN side under a shifted id with a
+    token appended — the lightly-edited benchmark leak that exact
+    n-gram decontamination can miss but shingle Jaccard catches. Both
+    engines build the identical corpus, so the gate is non-degenerate
+    at every SF (one hit per benchmark doc, Jaccard < 1.0)."""
+    from ..operators import dedup as dd
+
+    base = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    leaked = base.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leakedcopy")).alias("text"),
+    )
+    d = base.unionByName(leaked)
+    hs = dd.hashed_shingle_docs(d, "text")
+    sigs = dd._sig_to_cols(
+        hs.select(
+            "doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig")
+        )
+    )
+    bands = dd.lsh_band_buckets(sigs)
+    bench_bands = (
+        bands.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("doc_b"), "band_key")
+        .distinct()
+    )
+    train_bands = bands.filter(F.col("doc_id") % BENCH_MOD != 0)
+    cand = (
+        train_bands.join(F.broadcast(bench_bands), "band_key")
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    v = dd.jaccard_verify_hashed(hs, cand)
+    return v.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        "n_shared_bands", "n_inter", "n_union", "jaccard_micro",
+        (F.col("jaccard_micro") >= CONTAM_MICRO).cast("long")
+        .alias("is_contaminated"),
+    )
+
+
+def _fuzzy_decon_oracle() -> str:
+    from .dedup import SQL_BANDS_CTE, SQL_SIGS_CTE
+
+    # same pipeline CTEs as the dedup oracle, over the leak-injected
+    # corpus (2e9 % 97 = 68, so leaked ids always land train-side)
+    sigs_on_corpus = SQL_SIGS_CTE.strip().replace(
+        "FROM documents", "FROM corpus"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text || ' leakedcopy' AS text
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+),
+{sigs_on_corpus},
+{SQL_BANDS_CTE.strip()},
+bench_bands AS (
+  SELECT DISTINCT doc_id AS doc_b, band_key FROM bands
+  WHERE doc_id % {BENCH_MOD} = 0
+),
+cand AS (
+  SELECT t.doc_id AS doc_a, b.doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands t JOIN bench_bands b ON t.band_key = b.band_key
+  WHERE t.doc_id % {BENCH_MOD} <> 0
+  GROUP BY t.doc_id, b.doc_b
+),
+doc_shingle AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(hs) AS h FROM hashed) u
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+  FROM doc_shingle GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN doc_shingle sa ON sa.doc_id = c.doc_a
+  JOIN doc_shingle sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a AS doc_id, c.doc_b AS bench_id, c.n_shared_bands,
+       coalesce(i.n_inter, 0) AS n_inter,
+       za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS n_union,
+       coalesce(i.n_inter, 0) * 1000000
+         // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) AS jaccard_micro,
+       CAST(coalesce(i.n_inter, 0) * 1000000
+         // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+         >= {CONTAM_MICRO} AS BIGINT) AS is_contaminated
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+
+
+QUERIES["decontaminate_fuzzy"] = q_decontaminate_fuzzy
+ORACLES["decontaminate_fuzzy"] = _fuzzy_decon_oracle()
