@@ -849,10 +849,26 @@ def _l2_micro(a, b):
 
 def q_kmeans_clusters(spark, sf_dir):
     """Final-round assignment (vec_id, cluster_id, dist_sq) after
-    KMEANS_ROUNDS Lloyd iterations from the deterministic seed set."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", _micro_vec(F.col("embedding")).alias("em")
+    KMEANS_ROUNDS Lloyd iterations from the deterministic seed set.
+    Memoized per (session, input plan) — the assignment is a
+    build-once/consume-many artifact (cluster_balanced_sample reads
+    it; the _ivf_assigned precedent)."""
+    from ..session import plan_key, plan_memo
+
+    e0 = _emb(spark, sf_dir)
+
+    def build():
+        out = _kmeans_assign(e0).persist()
+        out.count()
+        return out
+
+    return plan_memo(
+        spark, plan_key(e0, "kmeans_assign", KMEANS_MOD, KMEANS_ROUNDS), build
     )
+
+
+def _kmeans_assign(e0):
+    e = e0.select("vec_id", _micro_vec(F.col("embedding")).alias("em"))
     cent = e.filter(F.col("vec_id") % KMEANS_MOD == 0).select(
         F.col("vec_id").alias("cluster_id"), F.col("em").alias("cem")
     )
