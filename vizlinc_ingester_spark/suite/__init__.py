@@ -64,10 +64,10 @@ def collect_suite() -> tuple[
 # additions (ner_learned_ctx, dedup_exact_substr_cut,
 # bm25_search_indexed, events_transitions_scalable), the four r6
 # additions that waited behind the frozen r6/r7 window (char_entropy,
-# events_transitions, priority_sample, zipf_fit), and the four NEW
+# events_transitions, priority_sample, zipf_fit), and the five NEW
 # r8 operators (kmeans_clusters, training_manifest,
-# cluster_balanced_sample, decontaminate_fuzzy — never behind the
-# window again). Then the
+# cluster_balanced_sample, decontaminate_fuzzy,
+# phrase_search_indexed — never behind the window again). Then the
 # oldest proven rows: (b) the whole r3-proven block, (c) the whole
 # r4-proven block. After r8 no declared query's latest green row
 # predates r5. The r5 remainder (TPC-H shapes, events reshape ops,
@@ -77,16 +77,20 @@ def collect_suite() -> tuple[
 # kmeans_clusters_vec (r8) stays outside the window by design: it
 # shares kmeans_clusters' oracle and is pinned bit-identical to it by
 # tests/test_unit_semantics.py::test_kmeans_vec_twin_bit_identical.
-# To fit the four r8 additions, two r4 rows are deferred to the next
-# rotation: within_doc_entities_person_simple and
-# across_doc_entities_person_simple (each a strict lineage subset of
-# its full sibling — within_doc_entities_person stays in the window,
-# across_doc_entities_person(_scalable) were driver-proven r5;
-# locally re-proven every session by tests/test_oracle_parity.py).
+# To fit the five r8 additions, three r4 rows are deferred to the
+# next rotation, each with an in-window lineage carrier:
+# within_doc_entities_person_simple and
+# across_doc_entities_person_simple (strict lineage subsets of their
+# full siblings — within_doc_entities_person stays in the window,
+# across_doc_entities_person(_scalable) were driver-proven r5) and
+# minhash_signatures_vec (the numpy signature sweep is exercised
+# under the hash gate by dedup_minhash_lsh, in-window, which runs
+# vectorized=True). All three stay locally re-proven every session
+# by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # (a) never driver-proven: r8 + r7 + r6 additions
     "kmeans_clusters", "training_manifest", "cluster_balanced_sample",
-    "decontaminate_fuzzy",
+    "decontaminate_fuzzy", "phrase_search_indexed",
     "ner_learned_ctx", "dedup_exact_substr_cut", "bm25_search_indexed",
     "events_transitions_scalable", "char_entropy", "events_transitions",
     "priority_sample", "zipf_fit",
@@ -101,7 +105,7 @@ DRIVER_WINDOW = [
     "corpus_lang_profile", "dedup_minhash_lsh", "dict_ner_tokenjoin",
     "embedding_label_stats", "geo_resolver_chain",
     "large_volume_customers", "late_order_priority", "mentions_extract",
-    "minhash_signatures_vec", "osm_parse_nominatim",
+    "osm_parse_nominatim",
     "returned_customers", "revenue_by_nation_salted",
     "shipping_priority", "streaming_event_windows",
     "streaming_incremental_dedup", "streaming_range_join",

@@ -811,12 +811,15 @@ ORACLES["priority_sample"] = _priority_oracle()
 # Spark-first rank without a global window: an md5-ordered global
 # row_number would funnel the corpus through ONE window partition
 # (the across-doc coref hazard, PLANS.md "Single-partition sorts").
-# Instead a two-level rank: bucket = first two hex chars of the md5
-# (256 uniform buckets), row_number per bucket + an in-plan running
-# offset over the 256 bucket counts (a single-partition window over
-# exactly 256 rows — bounded by construction). Fully lazy, no
-# collect, no global sort; the oracle states the same order as one
-# naive row_number.
+# Instead a two-level rank: bucket = first MANIFEST_BUCKET_HEX hex
+# chars of the md5 (16^h uniform buckets), row_number per bucket +
+# an in-plan running offset over the bucket counts (a
+# single-partition window over at most 16^h rows — bounded by
+# construction). h is the scale knob: corpus/16^h rows sort in one
+# window task, so h=4 (65536 buckets) keeps a 100B-doc corpus at
+# ~1.5M rows per task; the offsets relation stays tiny. Fully lazy,
+# no collect, no global sort; the oracle states the same order as
+# one naive row_number.
 #
 # split is hash-bucketed (doc-stable under corpus growth — a doc
 # never migrates between train and val when neighbors arrive), NOT
@@ -828,6 +831,7 @@ ORACLES["priority_sample"] = _priority_oracle()
 SHUFFLE_SEED = "s42"
 N_SHARDS = 8
 VAL_PCT = 5
+MANIFEST_BUCKET_HEX = 4  # md5-prefix chars -> 16^4 = 65536 rank buckets
 
 
 def q_training_manifest(spark, sf_dir):
@@ -842,12 +846,13 @@ def q_training_manifest(spark, sf_dir):
     base = d.select(
         "doc_id", "n_chars", hs.alias("h"),
         (F.conv(F.substring(hs, 1, 15), 16, 10).cast("long") % 100).alias("hb"),
-        F.substring(hs, 1, 2).alias("bk"),
+        F.substring(hs, 1, MANIFEST_BUCKET_HEX).alias("bk"),
     )
     wB = Window.partitionBy("bk").orderBy("h", "doc_id")
     ranked = base.withColumn("rn", F.row_number().over(wB).cast("long"))
     counts = base.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # 256 rows: running offset + grand total, both bounded windows
+    # <= 16^MANIFEST_BUCKET_HEX rows: running offset + grand total,
+    # both bounded windows
     wOff = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
     wTot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -952,7 +957,19 @@ def q_decontaminate_fuzzy(spark, sf_dir):
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
-    v = dd.jaccard_verify_hashed(hs, cand)
+    # Verify only over the candidate docs' shingles: the symmetric
+    # dedup verify needs the whole corpus (pairs span it), but here
+    # non-candidate docs can't appear in any pair, so the size and
+    # intersection aggregations semi-join down to the (small)
+    # candidate set before they shuffle — per-doc sizes are
+    # independent, so the filter cannot change any emitted value.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hs_cand = hs.join(cand_docs, "doc_id", "left_semi")
+    v = dd.jaccard_verify_hashed(hs_cand, cand)
     return v.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("bench_id"),

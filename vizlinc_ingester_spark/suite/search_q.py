@@ -153,7 +153,7 @@ def q_bm25_search(spark, sf_dir):
 # delete the directory. This mirrors the reference, where the Lucene
 # index is rebuilt by re-running ingest.
 
-INDEX_VERSION = 2
+INDEX_VERSION = 3  # v3: positional postings (word, doc_id, tf, positions)
 N_BUCKETS = 16
 
 
@@ -230,9 +230,20 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(marker):
         return idx
     tmp = f"{idx}.tmp-{uuid.uuid4().hex[:8]}"
-    toks = _toks(spark, sf_dir)
+    # positional postings: pos is the 0-based slot in the raw split
+    # array (empty tokens hold their slot but emit no posting), so
+    # phrase adjacency pos_b == pos_a + 1 means literally-adjacent
+    # words — the Lucene positions semantics, and the same slot
+    # algebra the corpus-direct oracle states with t[i]/t[i+1].
+    d = docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
     tf = toks.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "positions"
+        ),
     )
     (
         tf.withColumn(
@@ -287,6 +298,65 @@ def search_bm25_indexed(
 
 def q_bm25_search_indexed(spark, sf_dir):
     return search_bm25_indexed(spark, build_text_index(spark, sf_dir))
+
+
+# --- phrase search over the positional index (round 8) ---------------------
+
+PHRASE = ("spark", "join")
+
+
+def search_phrase_indexed(
+    spark: SparkSession, index_dir: str, phrase=PHRASE
+) -> DataFrame:
+    """Exact-phrase search from the positional postings alone (the
+    Lucene PhraseQuery half of S9): probe each phrase word's postings
+    (wkey bucket prune + word pushdown), join on doc_id, and count
+    slot-adjacent position chains with array_intersect on shifted
+    position lists. The corpus text is never read; per-doc cost is
+    O(sum tf of the probed words)."""
+    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+
+    def word_positions(w, alias):
+        return p.filter(
+            (F.col("wkey") == _wkey_py(w)) & (F.col("word") == w)
+        ).select("doc_id", F.col("positions").alias(alias))
+
+    out = word_positions(phrase[0], "p0")
+    # chain: positions holding word_k at offset k from a phrase start
+    chain = F.col("p0")
+    for k, w in enumerate(phrase[1:], start=1):
+        out = out.join(word_positions(w, f"p{k}"), "doc_id")
+        chain = F.array_intersect(
+            chain, F.transform(F.col(f"p{k}"), lambda x: x - k)
+        )
+    return (
+        out.select(
+            "doc_id", F.size(chain).cast("long").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def q_phrase_search_indexed(spark, sf_dir):
+    return search_phrase_indexed(spark, build_text_index(spark, sf_dir))
+
+
+def _phrase_oracle() -> str:
+    conds = " AND ".join(
+        f"t[i + {k}] = '{w}'" for k, w in enumerate(PHRASE)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+hits AS (
+  SELECT doc_id, u.i
+  FROM tk, UNNEST(generate_series(1, len(t) - {len(PHRASE) - 1})) AS u(i)
+  WHERE {conds}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY doc_id
+"""
 
 
 def _bm25_oracle() -> str:
@@ -406,11 +476,13 @@ FROM (
 QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_indexed": q_bm25_search_indexed,
+    "phrase_search_indexed": q_phrase_search_indexed,
     "tfidf_topk": q_tfidf_topk,
 }
 ORACLES = {
     "bm25_search": _bm25_oracle(),
     "bm25_search_indexed": _bm25_oracle(),
+    "phrase_search_indexed": _phrase_oracle(),
     "tfidf_topk": _tfidf_oracle(),
 }
 

@@ -975,6 +975,9 @@ CB_PER_CLUSTER = 20  # kept vectors per k-means cluster
 CB_SEED = "cb1"
 
 
+CB_SALTS = 16  # phase-1 fan-out; phase-2 windows see <= SALTS * M rows
+
+
 def q_cluster_balanced_sample(spark, sf_dir):
     """Cluster-balanced selection over the k-means assignment: keep at
     most CB_PER_CLUSTER vectors per final cluster, chosen by a seeded
@@ -983,19 +986,37 @@ def q_cluster_balanced_sample(spark, sf_dir):
     curation runs after clustering, so rare modes aren't drowned by
     the head clusters).
 
-    Plan at 100 TB: the assignment is the k-means scan; selection is
-    one cluster_id-keyed rank window whose partitions are cluster
-    populations (bounded by the largest cluster, and the hash order
-    makes the kept set independent of storage order)."""
+    Plan at 100 TB: salted two-phase top-M, the distributed
+    per-group top-k discipline. A single rank window per cluster_id
+    would funnel the LARGEST cluster through one task (head clusters
+    at web scale are huge); instead phase 1 ranks within (cluster,
+    hash-salt) — partitions bounded by cluster/CB_SALTS — and keeps
+    M per salt; phase 2 re-ranks the surviving <= SALTS*M rows per
+    cluster (bounded by construction). Correct because the global
+    hash-order top-M of a cluster is contained in the union of its
+    per-salt top-Ms. Output is identical to the single-window form
+    (shared oracle ranks globally)."""
     from ..functions.hashing import stable_hash64
 
     a = q_kmeans_clusters(spark, sf_dir)
     h = stable_hash64(
         F.concat(F.lit(CB_SEED + ":"), F.col("vec_id").cast("string"))
     )
-    w = Window.partitionBy("cluster_id").orderBy(h.asc(), F.col("vec_id").asc())
+    salted = a.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.col("__h"), F.lit(CB_SALTS))
+    )
+    w1 = Window.partitionBy("cluster_id", "__salt").orderBy(
+        F.asc("__h"), F.asc("vec_id")
+    )
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= CB_PER_CLUSTER)
+    )
+    w2 = Window.partitionBy("cluster_id").orderBy(
+        F.asc("__h"), F.asc("vec_id")
+    )
     return (
-        a.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("pick_rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("pick_rank") <= CB_PER_CLUSTER)
         .select("vec_id", "cluster_id", "dist_sq", "pick_rank")
     )
