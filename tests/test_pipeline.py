@@ -137,3 +137,44 @@ def test_pipeline_with_curation_funnel(spark, sf_dir, tmp_path):
     # checkpoints on disk
     for t in ("curated_docs", "chunks", "packed_sequences"):
         assert os.path.isdir(str(tmp_path / "work" / t))
+
+
+def test_curate_corpus_pipeline(spark, tmp_path):
+    """End-to-end training-data curation plan: quality -> exact dedup
+    -> near dedup -> decontamination -> manifest -> shards, with a
+    reconciling funnel. Exact dups are injected (the re-crawl trick)
+    so the dedup stage provably drops them."""
+    from vizlinc_ingester_spark.plans.curate import curate_corpus
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    recrawl = base.filter("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000000 AS doc_id", "text"
+    )
+    docs = base.unionByName(recrawl)
+    res = curate_corpus(
+        spark, docs, str(tmp_path / "work"), shards_dir=str(tmp_path / "sh")
+    )
+    f = res.funnel
+    # monotone funnel, every stage ran
+    assert f["input"] == f["quality"] + (f["input"] - f["quality"])
+    assert f["quality"] >= f["exact_dedup"] >= f["near_dedup"]
+    assert f["near_dedup"] >= f["decontam"] >= 1
+    # every injected exact dup was dropped (keeper = min doc_id)
+    assert f["exact_dedup"] <= f["quality"] - recrawl.count() + 1
+    survivors = res["survivors"]
+    assert survivors.filter("doc_id >= 1000000000").count() == 0
+    # manifest covers exactly the survivors, positions are 1..n
+    m = res["manifest"].toPandas()
+    assert f["manifest"] == f["decontam"] == len(m)
+    assert sorted(m["position"]) == list(range(1, len(m) + 1))
+    # shards written and reconcile
+    summary = res["shard_summary"].toPandas()
+    assert summary["n_docs"].sum() == len(m)
+    back = spark.read.parquet(str(tmp_path / "sh"))
+    assert back.count() == len(m)
+    assert set(res.timings) == {
+        "quality", "exact_dedup", "near_dedup", "decontam",
+        "manifest", "shards",
+    }

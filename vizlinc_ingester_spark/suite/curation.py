@@ -835,9 +835,17 @@ MANIFEST_BUCKET_HEX = 4  # md5-prefix chars -> 16^4 = 65536 rank buckets
 
 
 def q_training_manifest(spark, sf_dir):
+    return training_manifest_for(
+        _docs(spark, sf_dir).select("doc_id", "n_chars")
+    )
+
+
+def training_manifest_for(d: DataFrame) -> DataFrame:
+    """Core over any (doc_id, n_chars) relation — the plans/curate.py
+    pipeline feeds it the curated survivor set; the gated query feeds
+    it the raw corpus."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
     hs = F.md5(
         F.concat(
             F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")
