@@ -81,6 +81,9 @@ HEADLINE = [
     "cluster_balanced_sample",
     "decontaminate_fuzzy",
     "phrase_search_indexed",
+    "hybrid_search_rrf",
+    "kmv_users",
+    "bloom_users",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

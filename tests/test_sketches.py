@@ -149,3 +149,94 @@ def test_kcore_rounds_is_fixpoint(spark):
     finally:
         gq.KCORE_ROUNDS = orig
     assert base == more
+
+
+def test_kmv_registers_merge_by_union(spark):
+    """The 100 TB claim: per-split KMV register sets merged by
+    union-then-retake-K must equal the whole-corpus registers —
+    set semantics make the sketch split-invariant."""
+    from pyspark.sql import Window
+
+    from vizlinc_ingester_spark.functions.hashing import stable_hash64
+    from vizlinc_ingester_spark.suite.relational import _events
+    from vizlinc_ingester_spark.suite.sketches import KMV_K, q_kmv_users
+
+    sf = "/root/testdata/sf0.01"
+    e = _events(spark, sf)
+    h = stable_hash64(F.col("user_id").cast("string"))
+    dh = e.select("event_type", h.alias("h"))
+
+    def k_smallest(df):
+        w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+        return (
+            df.distinct()
+            .withColumn("k_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("k_rank") <= KMV_K)
+        )
+
+    # split on an arbitrary predicate uncorrelated with h's order
+    half_a = k_smallest(dh.filter(F.col("h") % 7 < 3))
+    half_b = k_smallest(dh.filter(F.col("h") % 7 >= 3))
+    merged = k_smallest(
+        half_a.select("event_type", "h").unionByName(
+            half_b.select("event_type", "h")
+        )
+    )
+    whole = {
+        (r.event_type, r.k_rank, r.kmv_hash)
+        for r in q_kmv_users(spark, sf).collect()
+    }
+    got = {(r.event_type, r.k_rank, r.h) for r in merged.collect()}
+    assert got == whole
+
+
+def test_bloom_words_merge_by_or(spark):
+    """Per-split Bloom filters merged word-wise by bit_or must equal
+    the whole-corpus filter, and the gated probe results must agree
+    with direct membership recomputation."""
+    from vizlinc_ingester_spark.functions.hashing import stable_hash64
+    from vizlinc_ingester_spark.suite.relational import _events
+    from vizlinc_ingester_spark.suite.sketches import (
+        BLOOM_D,
+        _bloom_bit,
+        q_bloom_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = _events(spark, sf)
+    keys = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+
+    def words_of(kdf):
+        bits = None
+        for r in range(BLOOM_D):
+            br = kdf.select(_bloom_bit(r, F.col("k")).alias("bit"))
+            bits = br if bits is None else bits.unionByName(br)
+        return (
+            bits.select(
+                F.expr("bit div 32").cast("long").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(mask)").alias("bits"))
+        )
+
+    whole = {
+        (r.word_idx, r.bits) for r in words_of(keys).collect()
+    }
+    low = F.substring("k", -1, 1).isin("0", "1", "2", "3")
+    ha = words_of(keys.filter(low))
+    hb = words_of(keys.filter(~low))
+    merged = {
+        (r.word_idx, r.bits)
+        for r in ha.unionByName(hb)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .collect()
+    }
+    assert merged == whole
+
+    # probe sanity: a present probe id always hits
+    rows = q_bloom_users(spark, sf).collect()
+    assert all(r.bloom_hit == 1 for r in rows if r.exact_present == 1)

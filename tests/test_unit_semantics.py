@@ -249,3 +249,74 @@ def test_index_freshness_and_gc(tmp_path):
     assert not os.path.isdir(stale)
     assert os.path.isdir(tmp_dir)
     assert os.path.isdir(foreign)
+
+
+def test_kmv_two_phase_equals_direct_rank(spark, sf_dir):
+    """The salted two-level K-smallest selection must be identical to
+    a direct global rank per type (contained-in-union argument), and
+    the registers must really be the K smallest distinct hashes."""
+    from pyspark.sql import Window
+
+    from vizlinc_ingester_spark.functions.hashing import stable_hash64
+    from vizlinc_ingester_spark.suite.relational import _events
+    from vizlinc_ingester_spark.suite.sketches import KMV_K, q_kmv_users
+
+    got = q_kmv_users(spark, sf_dir)
+    e = _events(spark, sf_dir)
+    dh = e.select(
+        "event_type",
+        stable_hash64(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    direct = (
+        dh.withColumn("k_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("k_rank") <= KMV_K)
+    )
+    a = {(r.event_type, r.k_rank, r.kmv_hash) for r in got.collect()}
+    b = {(r.event_type, r.k_rank, r.h) for r in direct.collect()}
+    assert a == b
+
+
+def test_kmv_small_set_is_exact(spark, monkeypatch):
+    """Under K distinct users the estimate must equal the exact
+    count (the KMV small-set branch)."""
+    from vizlinc_ingester_spark.suite import relational, sketches
+
+    tiny = spark.createDataFrame(
+        [(i, "click", u) for i, u in enumerate([7, 8, 9, 7, 8])],
+        "event_id long, event_type string, user_id long",
+    )
+    # q_kmv_users imports _events from suite.relational at call time
+    monkeypatch.setitem(
+        relational.__dict__, "_events", lambda _s, _d: tiny
+    )
+    rows = sketches.q_kmv_users(spark, "unused").collect()
+    assert len(rows) == 3  # 3 distinct users -> 3 registers
+    assert all(r.est_micro == 3 * 1_000_000 for r in rows)
+    assert all(r.exact_users == 3 for r in rows)
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
+    """Every fused doc must come from at least one ranker's top list,
+    rrf_micro must equal the two floor-div contributions, and the
+    final ranking must be a permutation 1..n."""
+    from vizlinc_ingester_spark.suite.search_q import (
+        RRF_K,
+        q_hybrid_search_rrf,
+    )
+
+    rows = q_hybrid_search_rrf(spark, sf_dir).collect()
+    assert rows, "non-degenerate gate: some doc matches the terms"
+    n = len(rows)
+    assert sorted(r.rrf_rank for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert r.bm25_rank > 0 or r.tfidf_rank > 0
+        want = (1_000_000 // (RRF_K + r.bm25_rank) if r.bm25_rank else 0) + (
+            1_000_000 // (RRF_K + r.tfidf_rank) if r.tfidf_rank else 0
+        )
+        assert r.rrf_micro == want
+    # the two rankers genuinely disagree somewhere (fusion is not a
+    # rename of either input ranking)
+    assert any(
+        r.bm25_rank != r.tfidf_rank for r in rows
+    )

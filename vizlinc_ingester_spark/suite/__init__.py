@@ -87,15 +87,31 @@ def collect_suite() -> tuple[
 # under the hash gate by dedup_minhash_lsh, in-window, which runs
 # vectorized=True). All three stay locally re-proven every session
 # by tests/test_oracle_parity.py.
+# Three late-r8 additions (hybrid_search_rrf, kmv_users, bloom_users)
+# also enter the window so they are never behind it; the slots come
+# from rows whose exact semantics an in-window sibling re-proves this
+# round: bm25_search (r3-proven; bm25_search_indexed shares its
+# ORACLE VERBATIM — a green indexed row re-proves the identical
+# output), streaming_incremental_dedup (r4-proven; its near_dups
+# output is pinned equal to the batch LSH oracle by
+# tests/test_streaming_dedup, and that batch oracle is
+# dedup_minhash_lsh, in-window), and streaming_sessionize_state
+# (r4-proven; shares _sessionize_oracle() VERBATIM with in-window
+# streaming_sessionize; the applyInPandasWithState execution path is
+# additionally exercised by tests/test_streaming.py). All three stay
+# locally re-proven every session by tests/test_oracle_parity.py and
+# head the r9 rotation.
 DRIVER_WINDOW = [
     # (a) never driver-proven: r8 + r7 + r6 additions
     "kmeans_clusters", "training_manifest", "cluster_balanced_sample",
     "decontaminate_fuzzy", "phrase_search_indexed",
+    "hybrid_search_rrf", "kmv_users", "bloom_users",
     "ner_learned_ctx", "dedup_exact_substr_cut", "bm25_search_indexed",
     "events_transitions_scalable", "char_entropy", "events_transitions",
     "priority_sample", "zipf_fit",
-    # (b) r3-proven rotation (entire block)
-    "adjacent_close_pairs", "bm25_search", "customer_value_quartiles",
+    # (b) r3-proven rotation (bm25_search deferred: shared-oracle
+    # carrier bm25_search_indexed is in-window above)
+    "adjacent_close_pairs", "customer_value_quartiles",
     "date_normalize", "dedup_embedding", "dedup_ngram_jaccard",
     "doc_text_search", "docs_person_no_location", "image_decode_resize",
     "lang_id", "media_metadata", "quality_scores",
@@ -108,8 +124,8 @@ DRIVER_WINDOW = [
     "osm_parse_nominatim",
     "returned_customers", "revenue_by_nation_salted",
     "shipping_priority", "streaming_event_windows",
-    "streaming_incremental_dedup", "streaming_range_join",
-    "streaming_sessionize", "streaming_sessionize_state",
+    "streaming_range_join",
+    "streaming_sessionize",
     "supplier_nation_volume", "video_frame_sample",
     "within_doc_entities_person",
     "dedup_simhash",

@@ -473,16 +473,195 @@ FROM (
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the BM25
+    ranking with a query-term TF-IDF ranking of the same corpus —
+    the rank-fusion stage every hybrid (lexical + second-signal)
+    search stack runs; RRF's original setting is exactly this,
+    fusing rankers with incomparable score scales (here BM25's
+    length-normalized saturation vs raw tf*idf). The reference's
+    search surface is single-ranker Lucene (src/Ingester.groovy:
+    289-294); this is the extension a retrieval user adds next.
+
+    Fusion is exact integer: each ranker contributes
+    ``1e6 div (RRF_K + rank)`` micro-units (floor division — no
+    float reciprocals), absent docs contribute 0, so the fused score
+    is an order-independent int64 sum and the hash gate is exact.
+
+    Plan at 100 TB: ONE per-(doc, query-term) score pass computes
+    both rankers' term scores (tf/df/dl/stats are shared inputs —
+    the BM25 front end's exact relations), then each ranker is a
+    TakeOrdered top-TOPK (per-partition heaps, no corpus-wide
+    window); the fusion full-outer join and the final rank window
+    touch <= 2*TOPK rows. The two top-k branches re-derive the
+    scored relation (Spark reuses nothing across TakeOrdered
+    branches without a persist) — at real scale the front end is
+    the persisted inverted index (``bm25_search_indexed``), whose
+    postings probe feeds the identical tf/df/dl/stats shapes."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    t = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+    )
+    k1, b = F.lit(float(K1_LIT)), F.lit(float(B_LIT))
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    idf = F.log(
+        F.lit(1.0)
+        + (dbl("n_docs") - dbl("df") + F.lit(0.5)) / (dbl("df") + F.lit(0.5))
+    )
+    avgdl = dbl("sum_dl") / dbl("n_docs")
+    s_bm25 = (
+        idf
+        * (dbl("tf") * (k1 + F.lit(1.0)))
+        / (dbl("tf") + k1 * (F.lit(1.0) - b + b * (dbl("dl") / avgdl)))
+    )
+    # per-term TF-IDF floored to micro BEFORE the sum -> the doc score
+    # is an order-independent integer sum (no FP-order pinning needed)
+    tfidf_term = F.floor(
+        dbl("tf") * F.log(dbl("n_docs") / dbl("df")) * SCALE
+    ).cast("long")
+    term_scores = t.select(
+        "doc_id", "word", s_bm25.alias("s"), tfidf_term.alias("tfm")
+    )
+    parts = [
+        F.coalesce(
+            F.sum(F.when(F.col("word") == w, F.col("s"))), F.lit(0.0)
+        ).alias(f"s{i}")
+        for i, w in enumerate(TERMS)
+    ]
+    sc = term_scores.groupBy("doc_id").agg(
+        *parts, F.sum("tfm").cast("long").alias("tfidf_micro")
+    )
+    score = F.col("s0")
+    for i in range(1, len(TERMS)):
+        score = score + F.col(f"s{i}")
+    scored = sc.select(
+        "doc_id",
+        F.floor(score * SCALE).cast("long").alias("bm25_micro"),
+        "tfidf_micro",
+    )
+
+    def _ranked(col: str, out: str) -> DataFrame:
+        top = scored.orderBy(F.desc(col), F.asc("doc_id")).limit(TOPK)
+        w = Window.orderBy(F.desc(col), F.asc("doc_id"))
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(out)
+        )
+
+    fused = _ranked("bm25_micro", "r_bm25").join(
+        _ranked("tfidf_micro", "r_tfidf"), "doc_id", "full_outer"
+    )
+    contrib = F.coalesce(
+        F.expr(f"{SCALE} div ({RRF_K} + r_bm25)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"{SCALE} div ({RRF_K} + r_tfidf)"), F.lit(0).cast("long")
+    )
+    out = fused.select(
+        "doc_id",
+        F.coalesce(F.col("r_bm25"), F.lit(0).cast("long")).alias("bm25_rank"),
+        F.coalesce(F.col("r_tfidf"), F.lit(0).cast("long")).alias("tfidf_rank"),
+        contrib.alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return out.withColumn("rrf_rank", F.row_number().over(w).cast("long"))
+
+
+def _rrf_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in TERMS)
+    term_sum = "\n      + ".join(
+        f"coalesce(sum(CASE WHEN word = '{t}' THEN s END), 0.0)" for t in TERMS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) t WHERE word <> ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+                 CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE word IN ({in_list}) GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+term_scores AS (
+  SELECT t.doc_id, t.word,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5))
+         * (CAST(t.tf AS DOUBLE) * ({K1_LIT} + 1.0))
+         / (CAST(t.tf AS DOUBLE)
+            + {K1_LIT} * (1.0 - {B_LIT}
+                          + {B_LIT} * (CAST(l.dl AS DOUBLE)
+                                       / (CAST(s.sum_dl AS DOUBLE)
+                                          / CAST(s.n_docs AS DOUBLE))))) AS s,
+         CAST(floor(CAST(t.tf AS DOUBLE)
+                    * ln(CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                    * {SCALE}) AS BIGINT) AS tfm
+  FROM tf t
+  JOIN dl l USING (doc_id)
+  JOIN df d USING (word)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(({term_sum}) * {SCALE}) AS BIGINT) AS bm25_micro,
+         CAST(sum(tfm) AS BIGINT) AS tfidf_micro
+  FROM term_scores GROUP BY doc_id
+),
+rb AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY bm25_micro DESC, doc_id ASC) AS BIGINT) AS r_bm25
+  FROM scored QUALIFY r_bm25 <= {TOPK}
+),
+rt AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY tfidf_micro DESC, doc_id ASC) AS BIGINT) AS r_tfidf
+  FROM scored QUALIFY r_tfidf <= {TOPK}
+),
+fused AS (
+  SELECT coalesce(rb.doc_id, rt.doc_id) AS doc_id,
+         coalesce(r_bm25, 0) AS bm25_rank,
+         coalesce(r_tfidf, 0) AS tfidf_rank,
+         coalesce({SCALE} // ({RRF_K} + r_bm25), 0)
+         + coalesce({SCALE} // ({RRF_K} + r_tfidf), 0) AS rrf_micro
+  FROM rb FULL OUTER JOIN rt ON rb.doc_id = rt.doc_id
+)
+SELECT doc_id, bm25_rank, tfidf_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT)
+         AS rrf_rank
+FROM fused
+"""
+
+
 QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_indexed": q_bm25_search_indexed,
     "phrase_search_indexed": q_phrase_search_indexed,
     "tfidf_topk": q_tfidf_topk,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
 }
 ORACLES = {
     "bm25_search": _bm25_oracle(),
     "bm25_search_indexed": _bm25_oracle(),
     "phrase_search_indexed": _phrase_oracle(),
     "tfidf_topk": _tfidf_oracle(),
+    "hybrid_search_rrf": _rrf_oracle(),
 }
 

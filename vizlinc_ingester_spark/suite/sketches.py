@@ -318,3 +318,308 @@ FROM summed s JOIN exact e ON s.event_type = e.event_type
 
 QUERIES["hll_users"] = q_hll_users
 ORACLES["hll_users"] = _hll_oracle()
+
+
+# --- KMV (k-minimum-values) distinct sketch --------------------------------
+
+KMV_K = 64
+KMV_SALT = 16             # phase-1 buckets for the two-level top-K
+_KMV_SPACE = float(2**60)  # stable_hash64 range is [0, 2^60)
+
+
+def q_kmv_users(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-user sketch per event type —
+    the order-statistics cardinality sketch (Bar-Yossef 2002; the
+    core of Theta sketches), complementing HLL's register family:
+    keep the KMV_K smallest distinct 60-bit user-id hashes; the K-th
+    smallest estimates density, est = (K-1) * 2^60 / h_K (exact
+    distinct count when fewer than K survive). The REGISTERS (all K
+    kept hashes, ranked) are under the hash gate, plus the
+    micro-floored estimate and the exact count riding along —
+    the same contents-gated discipline as token_cms / hll_users.
+
+    Why KMV next to HLL: the kept-hash set is mergeable by
+    union-then-retake-K (set semantics — works under ANY partition
+    or corpus split), supports set-intersection estimates HLL
+    cannot (Theta), and its registers are verbatim hash values —
+    directly auditable.
+
+    Plan at 100 TB: distinct (type, h) is one map-side-combinable
+    shuffle; the K-smallest selection is two-level (the
+    cluster_balanced_sample discipline): rank within
+    (type, h % KMV_SALT) keep K — every phase-1 window partition is
+    a 1/KMV_SALT hash slice, never a whole type — then re-rank the
+    <= KMV_SALT*K survivors per type (bounded by construction). The
+    global K smallest are contained in the union of per-slice K
+    smallest, so the result is identical to the oracle's direct
+    global rank. Only the final float division leaves integer space,
+    micro-floored with the identical literal sequence both engines."""
+    from .relational import _events
+
+    e = _events(spark, sf_dir)
+    h = stable_hash64(F.col("user_id").cast("string"))
+    dh = e.select("event_type", h.alias("h")).distinct()
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("event_type", F.col("h") % KMV_SALT).orderBy(
+        F.asc("h")
+    )
+    p1 = (
+        dh.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KMV_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    kept = (
+        p1.withColumn("k_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("k_rank") <= KMV_K)
+    )
+    summ = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("h_max"),
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE)
+        / F.col("h_max").cast("double")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        kept.join(summ, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "k_rank",
+            F.col("h").alias("kmv_hash"),
+            F.floor(est * 1000000.0).cast("long").alias("est_micro"),
+            "exact_users",
+        )
+    )
+
+
+def _kmv_oracle() -> str:
+    h = sql_stable_hash64("CAST(user_id AS VARCHAR)")
+    km1 = f"CAST({float(KMV_K - 1)!r} AS DOUBLE)"
+    space = f"CAST({_KMV_SPACE!r} AS DOUBLE)"
+    # oracle states the semantics directly: global K smallest per type
+    # (the Spark two-level form is contained-in-union identical)
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+),
+kept AS (
+  SELECT event_type, h,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY h ASC) AS BIGINT) AS k_rank
+  FROM dh QUALIFY k_rank <= {KMV_K}
+),
+summ AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         max(h) AS h_max
+  FROM kept GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT k.event_type, k.k_rank, k.h AS kmv_hash,
+       CAST(floor(
+         CASE WHEN s.n_kept < {KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+              ELSE {km1} * {space} / CAST(s.h_max AS DOUBLE)
+         END * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS est_micro,
+       e.exact_users
+FROM kept k
+JOIN summ s ON k.event_type = s.event_type
+JOIN exact e ON k.event_type = e.event_type
+"""
+
+
+QUERIES["kmv_users"] = q_kmv_users
+ORACLES["kmv_users"] = _kmv_oracle()
+
+
+# --- Bloom filter with exact-word gate -------------------------------------
+
+BLOOM_M = 1024                  # bits
+BLOOM_W = BLOOM_M // 32         # 32 words of 32 bits (no sign-bit shifts)
+BLOOM_D = 3                     # hash functions (MinHash perms 0..2)
+BLOOM_PROBE_N = 32              # low probe ids 0..31 (present at sf>=0.01)
+BLOOM_ABSENT_BASE = 1_000_000_000  # +32 ids absent at EVERY sf
+
+
+def _bloom_bit(r: int, key):
+    """Bit index of hash r for a key — the CMS row-hash construction
+    reduced mod BLOOM_M; both engines compute the identical integer."""
+    a, b = MINHASH_PERMS[r]
+    return (
+        (F.lit(a) * (stable_hash64(key) % F.lit(P)) + F.lit(b)) % F.lit(P)
+    ) % BLOOM_M
+
+
+def _sql_bloom_bit(r: int, expr: str) -> str:
+    a, b = MINHASH_PERMS[r]
+    return (
+        f"((({a} * ({sql_stable_hash64(expr)} % {P}) + {b}) % {P})"
+        f" % {BLOOM_M})"
+    )
+
+
+def q_bloom_users(spark, sf_dir):
+    """Bloom membership filter over the distinct user-id set — the
+    third sketch family next to CMS (frequency) and HLL/KMV
+    (cardinality): BLOOM_M=1024 bits as BLOOM_W=32 words of 32 low bits each (packing stops at bit 31 so neither engine ever shifts into the int64 sign bit, which DuckDB rejects as overflow),
+    BLOOM_D=3 bits per key from the CMS permuted-hash construction.
+    Contents-gated by the token_cms probe discipline: a fixed probe
+    id set (0..31 — present from sf0.01 up — plus 32 ids offset by
+    BLOOM_ABSENT_BASE that are absent at EVERY sf) is tested
+    against the filter — ``bloom_hit`` (all D bits set) vs
+    ``exact_present`` exposes real false positives in the gated rows
+    — and ``n_bits_set`` (popcount over all words) rides along as a
+    digest of the full register state.
+
+    Plan at 100 TB: distinct keys -> D (word, mask) rows each ->
+    ``bit_or`` per word: map-side combinable, <= BLOOM_W rows cross
+    the shuffle at any corpus size; merging corpora is word-wise OR
+    (tests/test_sketches.py pins split-invariance). The probe join
+    broadcasts the 16-word filter. Spark's own join-time bloom
+    (InjectRuntimeFilter) is this exact structure — here it is a
+    queryable, mergeable artifact."""
+    from .relational import _events
+
+    e = _events(spark, sf_dir)
+    keys = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+    bits = None
+    for r in range(BLOOM_D):
+        br = keys.select(_bloom_bit(r, F.col("k")).alias("bit"))
+        bits = br if bits is None else bits.unionByName(br)
+    words = (
+        bits.select(
+            F.expr("bit div 32").cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    n_set = words.agg(
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_bits_set")
+    )
+    lows = spark.range(BLOOM_PROBE_N)
+    probes = (
+        lows.unionByName(
+            lows.select((F.col("id") + BLOOM_ABSENT_BASE).alias("id"))
+        ).select(F.col("id").alias("probe_id"))
+    )
+    pk = F.col("probe_id").cast("string")
+    pbits = None
+    for r in range(BLOOM_D):
+        row = probes.select(
+            "probe_id", _bloom_bit(r, pk).alias("bit")
+        )
+        pbits = row if pbits is None else pbits.unionByName(row)
+    hit = (
+        pbits.select(
+            "probe_id",
+            F.expr("bit div 32").cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "probe_id",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("probe_id")
+        .agg((F.min("b") == 1).cast("long").alias("bloom_hit"))
+    )
+    exact = probes.join(
+        keys.select(F.col("k").cast("long").alias("probe_id")),
+        "probe_id",
+        "left_semi",
+    ).select("probe_id", F.lit(1).cast("long").alias("exact_present"))
+    return (
+        hit.join(exact, "probe_id", "left")
+        .crossJoin(F.broadcast(n_set))
+        .select(
+            "probe_id",
+            "bloom_hit",
+            F.coalesce(F.col("exact_present"), F.lit(0).cast("long")).alias(
+                "exact_present"
+            ),
+            (
+                (F.col("bloom_hit") == 1)
+                & (F.coalesce(F.col("exact_present"), F.lit(0)) == 0)
+            )
+            .cast("long")
+            .alias("false_positive"),
+            "n_bits_set",
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    key = "CAST(user_id AS VARCHAR)"
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {_sql_bloom_bit(r, 'k')} AS bit FROM dk" for r in range(BLOOM_D)
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT probe_id, {_sql_bloom_bit(r, 'CAST(probe_id AS VARCHAR)')} AS bit"
+        " FROM probes"
+        for r in range(BLOOM_D)
+    )
+    return f"""
+WITH dk AS (SELECT DISTINCT {key} AS k FROM events),
+bits AS ({bit_rows}),
+words AS (
+  SELECT CAST(bit // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+  FROM bits GROUP BY 1
+),
+nset AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set FROM words),
+probes AS (
+  SELECT unnest(range(0, {BLOOM_PROBE_N})) AS probe_id
+  UNION ALL
+  SELECT unnest(range({BLOOM_ABSENT_BASE},
+                      {BLOOM_ABSENT_BASE} + {BLOOM_PROBE_N})) AS probe_id
+),
+pbits AS ({probe_bits}),
+hit AS (
+  SELECT p.probe_id,
+         CAST(min(CASE WHEN w.bits IS NOT NULL
+                        AND (w.bits & (CAST(1 AS BIGINT)
+                                       << CAST(p.bit % 32 AS INT)))
+                            = (CAST(1 AS BIGINT)
+                               << CAST(p.bit % 32 AS INT))
+                       THEN 1 ELSE 0 END) = 1 AS BIGINT) AS bloom_hit
+  FROM pbits p LEFT JOIN words w ON CAST(p.bit // 32 AS BIGINT) = w.word_idx
+  GROUP BY p.probe_id
+),
+exact AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS probe_id,
+         CAST(1 AS BIGINT) AS exact_present
+  FROM events
+)
+SELECT h.probe_id, h.bloom_hit,
+       CAST(coalesce(e.exact_present, 0) AS BIGINT) AS exact_present,
+       CAST(CASE WHEN h.bloom_hit = 1 AND e.exact_present IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS false_positive,
+       n.n_bits_set
+FROM hit h LEFT JOIN exact e ON h.probe_id = e.probe_id
+CROSS JOIN nset n
+"""
+
+
+QUERIES["bloom_users"] = q_bloom_users
+ORACLES["bloom_users"] = _bloom_oracle()
