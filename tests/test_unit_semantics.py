@@ -320,3 +320,24 @@ def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
     assert any(
         r.bm25_rank != r.tfidf_rank for r in rows
     )
+
+
+def test_lpa_two_cliques_with_bridge(spark, sf_dir, monkeypatch):
+    """Two K4 cliques joined by one bridge edge must resolve to two
+    communities labeled by each clique's min node id."""
+    from vizlinc_ingester_spark.suite import graph_q
+
+    cl1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(
+        cl1 + cl2 + [(4, 10)], "src_entity_id long, dst_entity_id long"
+    ).withColumn("num_docs", F.lit(1).cast("long"))
+    monkeypatch.setitem(graph_q.__dict__, "sn_edges", lambda _s, _d: edges)
+    got = {
+        (r.entity_id, r.community, r.community_size)
+        for r in graph_q.q_sn_communities(spark, sf_dir).collect()
+    }
+    want = {(n, 1, 4) for n in range(1, 5)} | {
+        (n, 10, 4) for n in range(10, 14)
+    }
+    assert got == want

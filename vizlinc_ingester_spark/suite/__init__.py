@@ -100,7 +100,9 @@ def collect_suite() -> tuple[
 # streaming_sessionize; the applyInPandasWithState execution path is
 # additionally exercised by tests/test_streaming.py). All three stay
 # locally re-proven every session by tests/test_oracle_parity.py and
-# head the r9 rotation.
+# head the r9 rotation, together with sn_communities (added after the
+# window filled; local oracle parity + the two-clique unit test are
+# its r8 evidence).
 DRIVER_WINDOW = [
     # (a) never driver-proven: r8 + r7 + r6 additions
     "kmeans_clusters", "training_manifest", "cluster_balanced_sample",

@@ -320,3 +320,105 @@ ORACLE_KCORE = oracle.wrap(_kcore_oracle(), PERSON)
 
 QUERIES["sn_kcore"] = q_sn_kcore
 ORACLES["sn_kcore"] = ORACLE_KCORE
+
+
+LPA_ITERS = 4  # fixed synchronous label-propagation rounds
+
+
+def q_sn_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (Raghavan 2007), LPA_ITERS fixed rounds — the community layer
+    over the reference's social graph (degree filter ->
+    SNGephiGraphML.groovy:52; LPA is what a Gephi user runs next on
+    the exported graph). Each node starts as its own label; per
+    round every node adopts the most frequent label among its
+    neighbors PLUS its own current label (the self-vote damps the
+    bipartite oscillation of pure synchronous LPA), ties broken to
+    the smallest label — fully deterministic, so the fixed unroll is
+    hash-exact across engines (the k-core/PageRank discipline; both
+    engines run exactly LPA_ITERS rounds whether or not labels have
+    converged). Output: each node's final community plus the
+    community size.
+
+    Plan at 100 TB: a round is one edge-keyed join (labels onto the
+    adjacency), one (node, label) count with map-side combine, and a
+    per-node argmax computed as ``max(struct(cnt, -label))`` — an
+    aggregation, NOT a rank window, so there is no per-node window
+    partition and a celebrity node costs one combinable agg group
+    per distinct neighbor label. localCheckpoint per round truncates
+    the doubling lineage (the k-core discipline). Label tables stay
+    (node, long) rows; on a real cluster the adjacency would be
+    bucketed by u so rounds reuse one shuffle."""
+    bi = _bi(sn_edges(spark, sf_dir)).select("u", "v").localCheckpoint()
+    labels = (
+        bi.select(F.col("u").alias("entity_id"))
+        .distinct()
+        .select("entity_id", F.col("entity_id").alias("label"))
+    )
+    for _ in range(LPA_ITERS):
+        neigh = bi.join(
+            labels.select(F.col("entity_id").alias("v"), "label"), "v"
+        ).select("u", "label")
+        votes = neigh.unionByName(
+            labels.select(F.col("entity_id").alias("u"), "label")
+        )
+        counts = votes.groupBy("u", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        best = counts.groupBy("u").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+            .alias("m")
+        )
+        labels = best.select(
+            F.col("u").alias("entity_id"),
+            (-F.col("m.nl")).cast("long").alias("label"),
+        ).localCheckpoint()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "entity_id",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+bi AS MATERIALIZED (
+       SELECT src_entity_id AS u, dst_entity_id AS v FROM sn_edges
+       UNION ALL SELECT dst_entity_id AS u, src_entity_id AS v FROM sn_edges),
+l_0 AS MATERIALIZED (
+       SELECT DISTINCT u AS entity_id, u AS label FROM bi)"""
+    ]
+    # the argmax is stated as the rank-1 window (cnt DESC, label ASC)
+    # — identical to the Spark side's max(struct(cnt, -label))
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f"""
+v_{i} AS (
+  SELECT b.u, l.label FROM bi b JOIN l_{i - 1} l ON b.v = l.entity_id
+  UNION ALL SELECT entity_id AS u, label FROM l_{i - 1}
+),
+c_{i} AS (SELECT u, label, CAST(count(*) AS BIGINT) AS cnt
+          FROM v_{i} GROUP BY u, label),
+l_{i} AS MATERIALIZED (
+  SELECT u AS entity_id, label FROM (
+    SELECT u, label, row_number() OVER (
+      PARTITION BY u ORDER BY cnt DESC, label ASC) AS rn
+    FROM c_{i}
+  ) x WHERE rn = 1)"""
+        )
+    final = f"""
+SELECT l.entity_id, CAST(l.label AS BIGINT) AS community, s.community_size
+FROM l_{LPA_ITERS} l
+JOIN (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+      FROM l_{LPA_ITERS} GROUP BY label) s ON l.label = s.label"""
+    return "," + ",".join(parts) + final
+
+
+ORACLE_LPA = oracle.wrap(_lpa_oracle(), PERSON)
+
+QUERIES["sn_communities"] = q_sn_communities
+ORACLES["sn_communities"] = ORACLE_LPA
