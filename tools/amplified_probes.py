@@ -420,6 +420,78 @@ def probe_celebrity(spark, reps: int = 30) -> None:
            lambda: kcore_round(uniform.unionByName(hub)))
 
 
+def probe_lpa(spark, n_edges: int = 2_000_000, n_nodes: int = 100_000,
+              hub_deg: int = 400_000) -> None:
+    """One LPA round (suite/graph_q.py::q_sn_communities shape) on an
+    amplified graph, A/B-ing the per-node argmax as max(struct) AGG
+    (shipped) vs a rank WINDOW (the form the docstring claims loses
+    on hubs), each on a uniform graph and on uniform + one hub
+    holding ~17% of all edge endpoints. The window form partitions by
+    node, so the hub's partition is its whole distinct-neighbor-label
+    set in one task; the agg form partial-combines it."""
+    from pyspark.sql import Window
+
+    uniform = spark.range(n_edges).select(
+        F.pmod(F.hash("id"), F.lit(n_nodes)).cast("long").alias("u"),
+        F.pmod(F.hash(F.col("id") + 1_000_000_000), F.lit(n_nodes))
+        .cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    hub = spark.range(hub_deg).select(
+        F.lit(-1).cast("long").alias("u"),
+        F.pmod(F.hash(F.col("id") + 77), F.lit(n_nodes)).cast("long")
+        .alias("v"),
+    )
+
+    def lpa_round(edges, use_window: bool):
+        bi = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint()
+        labels = (
+            bi.select(F.col("u").alias("entity_id")).distinct()
+            .select("entity_id", F.col("entity_id").alias("label"))
+        )
+        neigh = bi.join(
+            labels.select(F.col("entity_id").alias("v"), "label"), "v"
+        ).select("u", "label")
+        votes = neigh.unionByName(
+            labels.select(F.col("entity_id").alias("u"), "label")
+        )
+        counts = votes.groupBy("u", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        if use_window:
+            w = Window.partitionBy("u").orderBy(
+                F.desc("cnt"), F.asc("label")
+            )
+            out = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("u", "label")
+            )
+        else:
+            out = counts.groupBy("u").agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            ).select("u", (-F.col("m.nl")).alias("label"))
+        _noop(out)
+
+    # JIT/codegen warm-up on a small slice so the first timed form
+    # does not absorb compilation (the bench's warm-up discipline)
+    small = uniform.limit(50_000)
+    lpa_round(small, use_window=False)
+    lpa_round(small, use_window=True)
+    for tag, edges in (
+        ("uniform", uniform),
+        ("hub", uniform.unionByName(hub)),
+    ):
+        n = edges.count()
+        _timed(f"lpa_round_agg_{tag}", f"{n} edges",
+               lambda e=edges: lpa_round(e, use_window=False))
+        _timed(f"lpa_round_window_{tag}", f"{n} edges",
+               lambda e=edges: lpa_round(e, use_window=True))
+
+
 def probe_cutemit(spark, n_docs: int = 20_000, n_islands: int = 40) -> None:
     """ExactSubstr cut emitter A/B on island-dense docs (judge-r7 item
     5): every doc alternates an 8-token boilerplate phrase (shared by
@@ -510,6 +582,8 @@ def main() -> None:
         probe_celebrity(spark)
     if which in ("cutemit", "all"):
         probe_cutemit(spark)
+    if which in ("lpa", "all"):
+        probe_lpa(spark)
     if which in ("kmeans", "all"):
         probe_kmeans(spark)
 
