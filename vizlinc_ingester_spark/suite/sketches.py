@@ -327,6 +327,30 @@ KMV_SALT = 16             # phase-1 buckets for the two-level top-K
 _KMV_SPACE = float(2**60)  # stable_hash64 range is [0, 2^60)
 
 
+def kmv_registers(typed_hashes: DataFrame) -> DataFrame:
+    """(event_type, h) -> the KMV_K smallest DISTINCT hashes per type
+    with k_rank, via the salted two-level selection (see q_kmv_users).
+    Idempotent under duplicates, so it is ALSO the register merge:
+    union any register sets and re-apply — union-then-retake-K.
+    The streaming twin calls this once per micro-batch."""
+    from pyspark.sql import Window
+
+    dh = typed_hashes.distinct()
+    w1 = Window.partitionBy("event_type", F.col("h") % KMV_SALT).orderBy(
+        F.asc("h")
+    )
+    p1 = (
+        dh.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KMV_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    return (
+        p1.withColumn("k_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("k_rank") <= KMV_K)
+    )
+
+
 def q_kmv_users(spark, sf_dir):
     """KMV (k-minimum-values) distinct-user sketch per event type —
     the order-statistics cardinality sketch (Bar-Yossef 2002; the
@@ -358,22 +382,14 @@ def q_kmv_users(spark, sf_dir):
 
     e = _events(spark, sf_dir)
     h = stable_hash64(F.col("user_id").cast("string"))
-    dh = e.select("event_type", h.alias("h")).distinct()
-    from pyspark.sql import Window
+    kept = kmv_registers(e.select("event_type", h.alias("h")))
+    return kmv_finalize(kept, e)
 
-    w1 = Window.partitionBy("event_type", F.col("h") % KMV_SALT).orderBy(
-        F.asc("h")
-    )
-    p1 = (
-        dh.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= KMV_K)
-        .drop("r1")
-    )
-    w2 = Window.partitionBy("event_type").orderBy(F.asc("h"))
-    kept = (
-        p1.withColumn("k_rank", F.row_number().over(w2).cast("long"))
-        .filter(F.col("k_rank") <= KMV_K)
-    )
+
+def kmv_finalize(kept: DataFrame, events: DataFrame) -> DataFrame:
+    """Registers -> gated output: estimate from h_K (or the exact
+    small-set branch), plus the exact_users verification rider
+    recomputed over ``events``."""
     summ = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("h").alias("h_max"),
@@ -384,7 +400,7 @@ def q_kmv_users(spark, sf_dir):
         F.lit(float(KMV_K - 1)) * F.lit(_KMV_SPACE)
         / F.col("h_max").cast("double")
     )
-    exact = e.groupBy("event_type").agg(
+    exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_users")
     )
     return (

@@ -459,6 +459,68 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV register maintenance under the SAME oracle as
+    the batch ``kmv_users``: events arrive as two micro-batches
+    (event_id parity), each ``foreachBatch`` computes the batch's
+    K-minimum register set and folds it into the accumulated store by
+    union-then-retake-K (``sketches.kmv_registers`` — idempotent, so
+    folding IS merging), and the final registers must hash-match the
+    one-shot batch sketch. This is the mergeability claim
+    (tests/test_sketches.py::test_kmv_registers_merge_by_union)
+    exercised as a real streaming execution: per-batch state is
+    bounded at K rows per type no matter how many events stream by.
+    ``exact_users`` is the gated verification rider, recomputed over
+    the fully-ingested staging corpus — maintaining it incrementally
+    would need per-type distinct user state, which is precisely the
+    cost the sketch exists to avoid."""
+    from .sketches import kmv_finalize, kmv_registers
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "event_type", "user_id"
+    )
+    stage = tempfile.mkdtemp(prefix="vl_stream_kmv_")
+    work = tempfile.mkdtemp(prefix="vl_stream_kmv_work_")
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stores: list[str] = []
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        from ..functions.hashing import stable_hash64
+
+        hs = batch.select(
+            "event_type",
+            stable_hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        if stores:
+            hs = hs.unionByName(
+                spark.read.parquet(stores[-1]).select("event_type", "h")
+            )
+        regs = kmv_registers(hs).select("event_type", "h")
+        path = os.path.join(work, f"regs_{batch_id}")
+        regs.write.mode("overwrite").parquet(path)
+        stores.append(path)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.read.parquet(stores[-1]).select("event_type", "h")
+    return kmv_finalize(kmv_registers(final), spark.read.parquet(stage))
+
+
 QUERIES = {
     "streaming_event_windows": q_streaming_event_windows,
     "streaming_range_join": q_streaming_range_join,
@@ -466,6 +528,7 @@ QUERIES = {
     "streaming_sessionize_state": q_streaming_sessionize_state,
     "streaming_incremental_coref": q_streaming_incremental_coref,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "streaming_kmv": q_streaming_kmv,
 }
 ORACLES = {
     "streaming_event_windows": ORACLE_STREAMING_WINDOWS,
@@ -508,3 +571,12 @@ def _dedup_oracle() -> str:
 
 
 ORACLES["streaming_incremental_dedup"] = _dedup_oracle()
+
+
+def _kmv_batch_oracle() -> str:
+    from .sketches import ORACLES as SKETCH_ORACLES
+
+    return SKETCH_ORACLES["kmv_users"]
+
+
+ORACLES["streaming_kmv"] = _kmv_batch_oracle()
