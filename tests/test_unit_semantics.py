@@ -341,3 +341,37 @@ def test_lpa_two_cliques_with_bridge(spark, sf_dir, monkeypatch):
         (n, 10, 4) for n in range(10, 14)
     }
     assert got == want
+
+
+def test_scd2_history_known_timeline(spark):
+    """Hand-built snapshots: unchanged doc -> 1 version; edited doc ->
+    2 versions; deleted doc -> closed interval; deleted-then-
+    reappearing SAME content -> TWO versions (absence breaks the run)."""
+    from vizlinc_ingester_spark.suite.curation import scd2_history
+
+    rows = [
+        # doc 1: present t0..t2, constant
+        (0, 1, "a"), (1, 1, "a"), (2, 1, "a"),
+        # doc 2: edited at t1
+        (0, 2, "x"), (1, 2, "y"), (2, 2, "y"),
+        # doc 3: deleted after t0
+        (0, 3, "z"),
+        # doc 4: present t0, absent t1, back at t2 with the SAME hash
+        (0, 4, "w"), (2, 4, "w"),
+    ]
+    snaps = spark.createDataFrame(
+        rows, "t long, doc_id long, content_md5 string"
+    )
+    got = {
+        (r.doc_id, r.version, r.content_md5, r.valid_from, r.valid_to,
+         r.is_current)
+        for r in scd2_history(snaps).collect()
+    }
+    assert got == {
+        (1, 1, "a", 0, 3, 1),
+        (2, 1, "x", 0, 1, 0),
+        (2, 2, "y", 1, 3, 1),
+        (3, 1, "z", 0, 1, 0),
+        (4, 1, "w", 0, 1, 0),
+        (4, 2, "w", 2, 3, 1),
+    }

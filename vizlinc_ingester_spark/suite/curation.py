@@ -578,6 +578,155 @@ QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
 
 
+# --- SCD2 snapshot history (round 8) ---------------------------------------
+
+SCD2_T_MAX = 2  # snapshots t = 0, 1, 2
+
+
+def _scd2_snapshots(d):
+    """Three deterministic corpus snapshots as (t, doc_id, content_md5)
+    rows — t=1 applies the snapshot_diff fixture rule (drop %11,
+    rewrite %7, add %13 under +1e12 ids); t=2 then rewrites %5 and
+    drops %19, so the history contains adds, edits, deletes AND a
+    delete-then-still-absent tail."""
+    snap0 = d.select(
+        F.lit(0).cast("long").alias("t"), "doc_id",
+        F.md5("text").alias("content_md5"),
+    )
+    t1_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    s1 = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id", t1_text.alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+                F.concat(F.lit("new:"), F.col("text")).alias("text"),
+            )
+        )
+    )
+    snap1 = s1.select(
+        F.lit(1).cast("long").alias("t"), "doc_id",
+        F.md5("text").alias("content_md5"),
+    )
+    t2_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev3]"))
+    ).otherwise(F.col("text"))
+    snap2 = (
+        s1.filter(F.col("doc_id") % 19 != 0)
+        .select(
+            F.lit(2).cast("long").alias("t"), "doc_id",
+            F.md5(t2_text).alias("content_md5"),
+        )
+    )
+    return snap0.unionByName(snap1).unionByName(snap2)
+
+
+def scd2_history(snaps) -> "DataFrame":
+    """(t, doc_id, content_md5) snapshot rows -> slowly-changing-
+    dimension type-2 history: one row per contiguous presence run
+    with constant content, carrying [valid_from, valid_to) in
+    snapshot units and an is_current flag — the versioned-corpus
+    primitive that turns recurring crawls into point-in-time
+    reproducible training sets (train on "the corpus as of t=1"
+    by filtering valid_from <= 1 < valid_to).
+
+    Gaps-and-islands per doc: a new version starts where the previous
+    snapshot index is not t-1 (the doc was absent — reappearing
+    content is a NEW version, not a resurrection) or the content hash
+    changed. Plan: ONE shuffle on doc_id; both windows partition by
+    doc_id and a doc's partition holds at most one row per snapshot,
+    so partitions are bounded by the snapshot count, never the corpus.
+    At 100 TB snapshots are id-bucketed parquet and this is a
+    co-located window pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("t")
+    brk = (
+        F.lag("t").over(w).isNull()
+        | (F.lag("t").over(w) != F.col("t") - 1)
+        | (F.lag("content_md5").over(w) != F.col("content_md5"))
+    )
+    runs = snaps.withColumn(
+        "version",
+        F.sum(brk.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "version", "content_md5")
+        .agg(
+            F.min("t").alias("valid_from"),
+            (F.max("t") + 1).cast("long").alias("valid_to"),
+        )
+        .select(
+            "doc_id",
+            F.col("version").cast("long").alias("version"),
+            "content_md5",
+            "valid_from",
+            "valid_to",
+            (F.col("valid_to") == SCD2_T_MAX + 1).cast("long")
+            .alias("is_current"),
+        )
+    )
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 history over three deterministic corpus snapshots — see
+    ``scd2_history``. Reference analogue: none (the reference
+    re-ingests from scratch); this is the lakehouse-style versioning
+    layer the snapshot_diff delta feeds."""
+    return scd2_history(_scd2_snapshots(_docs(spark, sf_dir)))
+
+
+ORACLE_SCD2 = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM d WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000000 AS doc_id, 'new:' || text AS text
+  FROM d WHERE doc_id % 13 = 0
+),
+snaps AS (
+  SELECT CAST(0 AS BIGINT) AS t, doc_id, md5(text) AS content_md5 FROM d
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) AS t, doc_id, md5(text) AS content_md5 FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT) AS t, doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev3]'
+                  ELSE text END) AS content_md5
+  FROM s1 WHERE doc_id % 19 <> 0
+),
+runs AS (
+  SELECT *,
+         CAST(sum(CASE WHEN prev_t IS NULL OR prev_t <> t - 1
+                        OR prev_md5 <> content_md5
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY t) AS BIGINT) AS version
+  FROM (
+    SELECT t, doc_id, content_md5,
+           lag(t) OVER (PARTITION BY doc_id ORDER BY t) AS prev_t,
+           lag(content_md5) OVER (PARTITION BY doc_id ORDER BY t)
+             AS prev_md5
+    FROM snaps
+  ) x
+)
+SELECT doc_id, version, content_md5,
+       CAST(min(t) AS BIGINT) AS valid_from,
+       CAST(max(t) + 1 AS BIGINT) AS valid_to,
+       CAST(CASE WHEN max(t) + 1 = {SCD2_T_MAX + 1} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM runs
+GROUP BY doc_id, version, content_md5
+"""
+
+QUERIES["scd2_history"] = q_scd2_history
+ORACLES["scd2_history"] = ORACLE_SCD2
+
+
 # --- DSIR-style importance-weighted data selection (round 6) ---------------
 
 DSIR_BUCKETS = 8192  # hashed bigram feature space (the paper's 10k-bucket n-grams)
