@@ -84,6 +84,8 @@ HEADLINE = [
     "hybrid_search_rrf",
     "kmv_users",
     "bloom_users",
+    "pmi_collocations",
+    "scd2_history",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -551,6 +551,123 @@ QUERIES["lm_doc_scores"] = q_lm_doc_scores
 ORACLES["lm_doc_scores"] = ORACLE_LM_DOC_SCORES
 
 
+# --- PMI collocation mining (round 8) ---------------------------------------
+
+PMI_MIN_COUNT = 10  # bigrams below this corpus count are PMI noise
+PMI_TOPK = 50
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining (Church &
+    Hanks 1990): the phrase-discovery pass of a corpus pipeline —
+    top-PMI_TOPK adjacent bigrams by ln(p(w1,w2) / (p(w1) p(w2))),
+    restricted to bigrams with corpus count >= PMI_MIN_COUNT (raw
+    PMI is maximized by hapax pairs; the count floor is the
+    standard fix). p(w1,w2) = c12/B over bigram positions,
+    p(w) = c/N over token positions; the score is ONE ln over a
+    ratio of exact-integer-backed doubles with the identical literal
+    sequence both engines, micro-floored (the tfidf/lm discipline —
+    divides scale to any corpus where integer cross-products would
+    overflow int64).
+
+    Plan at 100 TB: bigrams are scan-stage array slices (zero
+    shuffle until the counts); c12/c1 are map-side-combinable
+    rollups; N and B are 1-row broadcast stats; the unigram side
+    joins twice on the word key (vocabulary-sized, AQE chooses
+    broadcast where it fits); top-k is TakeOrdered with the rank
+    window over the K survivors only."""
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        )
+    )
+    big = toked.select(bg.alias("b")).select("b.w1", "b.w2")
+    uni = toked.select(F.explode("_t").alias("w"))
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    stats = toked.agg(
+        F.sum(F.size("_t")).cast("long").alias("n_tok"),
+        F.sum(F.size("_t") - 1).cast("long").alias("n_big"),
+    )
+    j = (
+        c12.join(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    pmi = F.log(
+        (dbl("c12") / dbl("n_big"))
+        / ((dbl("c1") / dbl("n_tok")) * (dbl("c2") / dbl("n_tok")))
+    )
+    scored = j.select(
+        "w1", "w2", "c12", "c1", "c2",
+        F.floor(pmi * 1000000.0).cast("long").alias("pmi_micro"),
+    )
+    top = scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOPK)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_PMI = f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+  WHERE len({_SQL_TOKS}) >= 2
+),
+idx AS (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 2) FROM toked))) AS i),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toked JOIN idx ON i <= len(t) - 1
+),
+uni AS (SELECT unnest(t) AS w FROM toked),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM big GROUP BY w1, w2 HAVING count(*) >= {PMI_MIN_COUNT}),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+stats AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS n_tok,
+         CAST(sum(len(t) - 1) AS BIGINT) AS n_big
+  FROM toked
+),
+scored AS (
+  SELECT w1, w2, c12, a.c AS c1, b.c AS c2,
+         CAST(floor(ln((CAST(c12 AS DOUBLE) / CAST(n_big AS DOUBLE))
+                       / ((CAST(a.c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                          * (CAST(b.c AS DOUBLE) / CAST(n_tok AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS pmi_micro
+  FROM c12
+  JOIN c1 a ON c12.w1 = a.w
+  JOIN c1 b ON c12.w2 = b.w
+  CROSS JOIN stats
+)
+SELECT w1, w2, c12, c1, c2, pmi_micro,
+       CAST(row_number() OVER (
+         ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {PMI_TOPK}
+"""
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLES["pmi_collocations"] = ORACLE_PMI
+
+
 # --- learned quality classifier (Naive Bayes, LLM-track round 6) ----------
 
 QC_THRESH_MICRO = 730_000  # heuristic-quality cut that defines the weak label
