@@ -86,6 +86,7 @@ HEADLINE = [
     "bloom_users",
     "pmi_collocations",
     "scd2_history",
+    "value_histogram",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

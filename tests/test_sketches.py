@@ -240,3 +240,42 @@ def test_bloom_words_merge_by_or(spark):
     # probe sanity: a present probe id always hits
     rows = q_bloom_users(spark, sf).collect()
     assert all(r.bloom_hit == 1 for r in rows if r.exact_present == 1)
+
+
+def test_histogram_cells_merge_by_add(spark):
+    """Given SHARED bounds, per-split histograms merged by cell-wise
+    add must equal the whole-corpus histogram — the mergeability that
+    makes equi-width histograms the gateable quantile structure."""
+    from vizlinc_ingester_spark.suite.relational import _events
+    from vizlinc_ingester_spark.suite.sketches import HIST_B
+
+    sf = "/root/testdata/sf0.01"
+    e = _events(spark, sf).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    idx = F.expr(
+        f"least({HIST_B - 1}, ((cents - lo) * {HIST_B}) div (hi - lo + 1))"
+    ).cast("long")
+
+    def cells(df):
+        return (
+            df.join(F.broadcast(bounds), "event_type")
+            .select("event_type", idx.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    whole = {
+        (r.event_type, r.bucket): r.cnt for r in cells(e).collect()
+    }
+    merged: dict = {}
+    for half in (e.filter("event_id % 2 = 0"), e.filter("event_id % 2 = 1")):
+        for r in cells(half).collect():
+            k = (r.event_type, r.bucket)
+            merged[k] = merged.get(k, 0) + r.cnt
+    assert merged == whole

@@ -639,3 +639,149 @@ CROSS JOIN nset n
 
 QUERIES["bloom_users"] = q_bloom_users
 ORACLES["bloom_users"] = _bloom_oracle()
+
+
+# --- equi-width histogram with gated cells + quantile estimate -------------
+
+HIST_B = 64  # buckets per event type
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type with the CELLS under
+    the hash gate, plus an exact-integer median estimate read off the
+    cumulative histogram and the true interpolated median riding
+    along — the mergeable-quantiles structure (t-digest's gateable
+    cousin: given shared bounds, histograms merge by cell-wise add,
+    so profile jobs run per-partition and combine; the
+    ``events_approx_profile`` t-digest stays rows-only because its
+    cluster state is engine-defined, while THIS sketch is exact).
+
+    Algebra (both engines, all int64): cents = round(value*100);
+    per-type bounds lo/hi are exact min/max; bucket =
+    least(B-1, (cents-lo)*B div (hi-lo+1)); estimate = midpoint of
+    the first bucket whose cumulative count reaches (n+1) div 2.
+    Two corpus passes (bounds, then counts — the price of shared
+    bounds, which mergeability requires); the cumulative window runs
+    per type over <= HIST_B rows, bounded by construction."""
+    from pyspark.sql import Window
+
+    from .relational import _events
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    w_expr = "(hi - lo + 1)"
+    idx = F.expr(
+        f"least({HIST_B - 1}, ((cents - lo) * {HIST_B}) div {w_expr})"
+    ).cast("long")
+    cells = (
+        e.join(F.broadcast(bounds), "event_type")
+        .select("event_type", idx.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum", F.sum("cnt").over(wcum))
+    med_bucket = (
+        cum.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("cum") >= F.expr("(n_total + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("bucket").alias("m_idx"))
+    )
+    est = med_bucket.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.expr(
+            f"lo + (m_idx * {w_expr}) div {HIST_B}"
+            f" + ({w_expr} div {HIST_B}) div 2"
+        ).cast("long").alias("est_p50_cents"),
+    )
+    exact = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.floor(F.expr("percentile(cents, 0.5)") * 1000000.0)
+            .cast("long")
+            .alias("exact_p50_micro")
+        )
+    )
+    return (
+        cells.join(F.broadcast(bounds), "event_type")
+        .join(F.broadcast(est), "event_type")
+        .join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type", "bucket", "cnt",
+            F.col("lo").alias("lo_cents"), F.col("hi").alias("hi_cents"),
+            "n_total", "est_p50_cents", "exact_p50_micro",
+        )
+    )
+
+
+def _hist_oracle() -> str:
+    w_expr = "(hi - lo + 1)"
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT event_type, min(cents) AS lo, max(cents) AS hi,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM c GROUP BY event_type
+),
+cells AS (
+  SELECT c.event_type,
+         CAST(least({HIST_B - 1},
+                    ((cents - lo) * {HIST_B}) // {w_expr}) AS BIGINT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c JOIN bounds USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM cells
+),
+med AS (
+  SELECT cum.event_type, min(bucket) AS m_idx
+  FROM cum JOIN bounds ON cum.event_type = bounds.event_type
+  WHERE cum >= (n_total + 1) // 2
+  GROUP BY 1
+),
+est AS (
+  SELECT med.event_type,
+         CAST(lo + (m_idx * {w_expr}) // {HIST_B}
+              + ({w_expr} // {HIST_B}) // 2 AS BIGINT) AS est_p50_cents
+  FROM med JOIN bounds ON med.event_type = bounds.event_type
+),
+exact AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(cents, 0.5) * 1000000.0) AS BIGINT)
+           AS exact_p50_micro
+  FROM c GROUP BY event_type
+)
+SELECT cells.event_type, bucket, cnt, lo AS lo_cents, hi AS hi_cents,
+       n_total, est_p50_cents, exact_p50_micro
+FROM cells
+JOIN bounds ON cells.event_type = bounds.event_type
+JOIN est ON cells.event_type = est.event_type
+JOIN exact ON cells.event_type = exact.event_type
+"""
+
+
+QUERIES["value_histogram"] = q_value_histogram
+ORACLES["value_histogram"] = _hist_oracle()
