@@ -957,6 +957,36 @@ WHERE ({SQL_STABLE_HASH_EVENT} % 100) <
 """
 
 
+def q_events_json_extract(spark, sf_dir):
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    extract ``$.k`` with ``get_json_object`` (JVM-side, no Python)
+    and feed it straight into a relational rollup — per
+    (event_type, k div 10 bucket): event count, revenue cents, k
+    range. The pattern every event pipeline runs against raw JSON
+    properties before (or instead of) schema migration; extraction
+    is scan-stage, the rollup is one map-side-combinable shuffle on
+    a bounded group space, and unparseable/absent keys survive as a
+    NULL-bucket row rather than dropping events (gated here: the
+    oracle states the same null algebra)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    base = e.select(
+        "event_type",
+        k.alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.select(
+            "event_type", F.expr("k div 10").alias("k_bucket"), "cents"
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "customer_value_quartiles": q_customer_value_quartiles,
@@ -981,6 +1011,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
     "events_stratified_sample": q_events_stratified_sample,
+    "events_json_extract": q_events_json_extract,
 }
 
 ORACLES = {
@@ -1006,6 +1037,15 @@ ORACLES = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_json_extract": ORACLE_EVENTS_JSON,
     "events_stratified_sample": ORACLE_EVENTS_SAMPLE,
+    "events_json_extract": """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM events
+GROUP BY 1, 2
+""",
 }
 
 
