@@ -420,6 +420,88 @@ def probe_celebrity(spark, reps: int = 30) -> None:
            lambda: kcore_round(uniform.unionByName(hub)))
 
 
+def probe_sketches(spark, reps: int = 20) -> None:
+    """The r8 sketch family at 20x events (sparse ids -> ~30k distinct
+    users): KMV registers, Bloom words, histogram cells, HLL
+    registers — each must stay a single scan + map-side-combinable
+    rollup whose output is register/cell-sized, so cost tracks the
+    scan, not the key space."""
+    from vizlinc_ingester_spark.suite.sketches import (
+        BLOOM_D,
+        HIST_B,
+        _bloom_bit,
+        kmv_registers,
+    )
+    from vizlinc_ingester_spark.functions.hashing import stable_hash64
+
+    e = _amplified_events(spark, reps, dense=False).persist()
+    n = e.count()
+
+    def kmv():
+        _noop(kmv_registers(e.select(
+            "event_type",
+            stable_hash64(F.col("user_id").cast("string")).alias("h"),
+        )))
+
+    def bloom():
+        keys = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+        bits = None
+        for r in range(BLOOM_D):
+            br = keys.select(_bloom_bit(r, F.col("k")).alias("bit"))
+            bits = br if bits is None else bits.unionByName(br)
+        _noop(
+            bits.select(
+                F.expr("bit div 32").cast("long").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(mask)").alias("bits"))
+        )
+
+    def hist():
+        c = e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        bounds = c.groupBy("event_type").agg(
+            F.min("cents").alias("lo"), F.max("cents").alias("hi")
+        )
+        idx = F.expr(
+            f"least({HIST_B - 1}, ((cents - lo) * {HIST_B})"
+            " div (hi - lo + 1))"
+        ).cast("long")
+        _noop(
+            c.join(F.broadcast(bounds), "event_type")
+            .select("event_type", idx.alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def hll():
+        h = stable_hash64(F.col("user_id").cast("string"))
+        bw = e.select(
+            "event_type", (h % 64).alias("bucket"),
+            F.shiftright(h, 6).alias("wbits"),
+        )
+        rho = F.when(F.col("wbits") == 0, F.lit(55)).otherwise(
+            F.lit(55) - F.length(F.bin(F.col("wbits")))
+        )
+        _noop(
+            bw.withColumn("rho", rho.cast("long"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    kmv(); bloom(); hist(); hll()  # JIT warm-up pass
+    _timed("sketch_kmv_registers", f"{n} events", kmv)
+    _timed("sketch_bloom_words", f"{n} events", bloom)
+    _timed("sketch_hist_cells", f"{n} events", hist)
+    _timed("sketch_hll_registers", f"{n} events", hll)
+    e.unpersist()
+
+
 def probe_lpa(spark, n_edges: int = 2_000_000, n_nodes: int = 100_000,
               hub_deg: int = 400_000) -> None:
     """One LPA round (suite/graph_q.py::q_sn_communities shape) on an
@@ -582,6 +664,8 @@ def main() -> None:
         probe_celebrity(spark)
     if which in ("cutemit", "all"):
         probe_cutemit(spark)
+    if which in ("sketches", "all"):
+        probe_sketches(spark)
     if which in ("lpa", "all"):
         probe_lpa(spark)
     if which in ("kmeans", "all"):
