@@ -88,6 +88,7 @@ HEADLINE = [
     "scd2_history",
     "value_histogram",
     "events_json_extract",
+    "jl_projection",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

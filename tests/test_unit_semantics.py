@@ -375,3 +375,28 @@ def test_scd2_history_known_timeline(spark):
         (4, 1, "w", 0, 1, 0),
         (4, 2, "w", 2, 3, 1),
     }
+
+
+def test_jl_projection_linearity(spark, monkeypatch):
+    """Hand-derivable pin: a one-hot embedding's projection equals the
+    plane weight at that index times 1e6; linearity holds for a
+    two-hot vector."""
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    def plane(j, i):
+        return ((j * 1009 + i * 9176) % 2003) - 1001
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setitem(sim.__dict__, "_emb", lambda _s, _d: emb)
+    out = {r.vec_id: r for r in sim.q_jl_projection(spark, "unused").collect()}
+    for j in range(sim.JL_DIMS):
+        assert out[1][f"p{j}"] == plane(j, 0) * 1_000_000
+        assert out[2][f"p{j}"] == plane(j, 1) * 1_000_000
+        assert out[3][f"p{j}"] == out[1][f"p{j}"] + out[2][f"p{j}"]

@@ -1142,3 +1142,63 @@ def q_kmeans_clusters_vec(spark, sf_dir):
 
 QUERIES["kmeans_clusters_vec"] = q_kmeans_clusters_vec
 ORACLES["kmeans_clusters_vec"] = _kmeans_oracle()
+
+
+# --- Johnson-Lindenstrauss random projection (round 8) ----------------------
+
+JL_DIMS = 8
+
+
+def q_jl_projection(spark, sf_dir):
+    """Random-projection dimensionality reduction (the
+    Johnson-Lindenstrauss compression step a 100 TB embedding store
+    runs before ANN/clustering): project every embedding onto
+    JL_DIMS deterministic pseudo-random integer hyperplanes — the
+    SAME plane family the LSH signatures use (``_hplane_comp``),
+    but keeping the dot VALUE instead of its sign. Components are
+    exact int64: quantize x_i to micro units (floor(x*1e6)), multiply
+    by the integer plane weight, sum — order-independent integer
+    arithmetic, so the projected vectors are hash-exact cross-engine
+    (|x|<=~1, weights <=1001, dims bounded -> no overflow).
+
+    Plan at 100 TB: pure scan-stage map (one array fold per output
+    dim, zero shuffles, zero joins) — compression cost is one read of
+    the store; downstream ANN then works on JL_DIMS ints instead of
+    D floats."""
+    e = _emb(spark, sf_dir)
+
+    def proj(j: int):
+        return F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.floor(x.cast("double") * 1000000.0)
+                .cast("long")
+                * ((F.lit(j * 1009) + i * 9176) % 2003 - 1001).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        *[proj(j).alias(f"p{j}") for j in range(JL_DIMS)],
+    )
+
+
+def _sql_jl_dot(j: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, len(embedding)), "
+        f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+        f" * CAST((({j * 1009} + (i-1)*9176) % 2003) - 1001 AS BIGINT)"
+        ")), (acc, x) -> acc + x)"
+    )
+
+
+ORACLE_JL = "SELECT vec_id, CAST(label AS BIGINT) AS label, " + ", ".join(
+    f"CAST({_sql_jl_dot(j)} AS BIGINT) AS p{j}" for j in range(JL_DIMS)
+) + " FROM embeddings"
+
+QUERIES["jl_projection"] = q_jl_projection
+ORACLES["jl_projection"] = ORACLE_JL
