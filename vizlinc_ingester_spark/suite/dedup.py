@@ -825,6 +825,137 @@ FROM comp c JOIN csize s USING (cluster_id)
 """
 
 
+# --- AllPairs exact similarity join via prefix filtering (round 8) ---------
+
+SIMJOIN_N = 3                  # shingle width (3-token grams)
+SIMJOIN_THRESH_MICRO = 400_000  # Jaccard >= 0.4
+
+
+def q_simjoin_allpairs(spark, sf_dir):
+    """EXACT set-similarity join by prefix filtering (AllPairs,
+    Bayardo 2007) — the recall-LOSSLESS alternative to MinHash/LSH
+    candidate generation: order each doc's distinct 3-token shingles
+    by global rarity (df asc, gram asc) and index only the first
+    p = |r| - ceil(t*|r|) + 1 of them. Correctness of the prefix:
+    Jaccard(r,s) >= t forces overlap >= t/(1+t)*(|r|+|s|) >= t*|r|
+    (using |s| >= t*|r|), i.e. >= ceil(t*|r|) shared shingles, and a
+    pair sharing that many cannot avoid the first
+    |r| - ceil(t*|r|) + 1 positions of either ordering — so every
+    qualifying pair collides on at least one indexed gram, BY
+    CONSTRUCTION, with no probabilistic recall knob. ceil(t*|r|) is
+    computed as exact integer (4*|r| + 9) div 10.
+
+    Plan at 100 TB: the rarity ordering makes prefixes collide on
+    RARE grams (the df-asc order is what keeps the candidate join
+    sparse); candidate generation shuffles only prefix rows on the
+    gram key; verification touches candidate pairs only
+    (array_intersect of the two sorted shingle arrays). The per-doc
+    prefix window partitions by doc_id — bounded by one doc's
+    shingle count, never the corpus."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    d = d.filter(F.size("t") >= SIMJOIN_N)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (SIMJOIN_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    sets = grams.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("g")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+    prefix = (
+        grams.join(freq, "g")
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.expr("(4 * sz + 9) div 10") + 1)
+        .select("doc_id", "g")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s").alias("s_a"), F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s").alias("s_b"), F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("s_a", "s_b")).cast("long")
+            .alias("n_inter"),
+            "sz_a", "sz_b",
+        )
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).alias("n_union"),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.expr("div(n_inter * 1000000, n_union)").cast("long"),
+        )
+    )
+    return verified.filter(
+        F.col("jaccard_micro") >= SIMJOIN_THRESH_MICRO
+    ).select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_micro")
+
+
+# oracle = the exhaustive statement of the semantics (every pair),
+# which the prefix-filtered plan must match EXACTLY — recall
+# losslessness is thereby hash-proven, not argued.
+ORACLE_SIMJOIN = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {SIMJOIN_N - 1}),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= {SIMJOIN_N}
+),
+sets AS (
+  SELECT doc_id, list(DISTINCT g ORDER BY g) AS s,
+         CAST(count(DISTINCT g) AS BIGINT) AS sz
+  FROM sh GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+       CAST(a.sz + b.sz - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union,
+       CAST(len(list_intersect(a.s, b.s)) * 1000000
+            // (a.sz + b.sz - len(list_intersect(a.s, b.s))) AS BIGINT)
+         AS jaccard_micro
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1000000
+      // (a.sz + b.sz - len(list_intersect(a.s, b.s)))
+      >= {SIMJOIN_THRESH_MICRO}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -837,6 +968,7 @@ QUERIES = {
     "dedup_exact_substr_cut": q_dedup_exact_substr_cut,
     "dedup_segments": q_dedup_segments,
     "dedup_clusters": q_dedup_clusters,
+    "simjoin_allpairs": q_simjoin_allpairs,
 }
 
 ORACLES = {
@@ -851,4 +983,5 @@ ORACLES = {
     "dedup_exact_substr_cut": _substr_cut_oracle(),
     "dedup_segments": ORACLE_DEDUP_SEGMENTS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "simjoin_allpairs": ORACLE_SIMJOIN,
 }
