@@ -90,6 +90,7 @@ HEADLINE = [
     "events_json_extract",
     "jl_projection",
     "simjoin_allpairs",
+    "ann_recall_eval",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -1202,3 +1202,94 @@ ORACLE_JL = "SELECT vec_id, CAST(label AS BIGINT) AS label, " + ", ".join(
 
 QUERIES["jl_projection"] = q_jl_projection
 ORACLES["jl_projection"] = ORACLE_JL
+
+
+# --- ANN recall evaluation (round 8) ----------------------------------------
+
+RECALL_K = 3  # evaluate approx top-3 against exact top-3
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Retrieval-quality evaluation of the LSH index against exact
+    brute-force ground truth — the measurement loop every ANN
+    deployment runs before trusting an approximate index: per query,
+    recall@K (|approx top-K ∩ exact top-K| / K) and the reciprocal
+    rank of the TRUE nearest neighbor in the approximate list (0 when
+    the bucket missed it entirely). Composes two already-gated
+    pipelines (``ann_cosine_topk`` as truth, ``ann_lsh`` as the
+    system under test), so the metric layer itself is what this query
+    proves; both metrics are exact integer micro units (K and ranks
+    are integers — no float division).
+
+    Plan at 100 TB: the truth side is whatever exact or
+    gold-labelled subset the evaluation owns (here the brute top-K
+    over the query sample); the metric joins are keyed on
+    (query_id, cand_id) — query-sample-sized, never corpus-sized."""
+    truth = q_ann_cosine_topk(spark, sf_dir).filter(
+        F.col("rank") <= RECALL_K
+    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    approx = q_ann_lsh(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rank").alias("a_rank")
+    )
+    qids = truth.select("query_id").distinct()
+    hits = (
+        truth.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    rr = (
+        truth.filter(F.col("t_rank") == 1)
+        .join(approx, ["query_id", "cand_id"])
+        .select(
+            "query_id",
+            F.expr("div(1000000, a_rank)").cast("long").alias("rr_micro"),
+        )
+    )
+    return (
+        qids.join(hits, "query_id", "left")
+        .join(rr, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.expr(
+                f"div(coalesce(n_hits, 0) * 1000000, {RECALL_K})"
+            ).cast("long").alias("recall_micro"),
+            F.coalesce(F.col("rr_micro"), F.lit(0).cast("long"))
+            .alias("rr_micro"),
+        )
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH truth AS (
+  SELECT query_id, cand_id, rank AS t_rank
+  FROM ({ORACLE_ANN_TOPK}) x WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, cand_id, rank AS a_rank FROM ({ORACLE_ANN_LSH}) y
+),
+qids AS (SELECT DISTINCT query_id FROM truth),
+hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  GROUP BY t.query_id
+),
+rr AS (
+  SELECT t.query_id, CAST(1000000 // a.a_rank AS BIGINT) AS rr_micro
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  WHERE t.t_rank = 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {RECALL_K} AS BIGINT)
+         AS recall_micro,
+       CAST(coalesce(rr.rr_micro, 0) AS BIGINT) AS rr_micro
+FROM qids q
+LEFT JOIN hits h ON q.query_id = h.query_id
+LEFT JOIN rr ON q.query_id = rr.query_id
+"""
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+ORACLES["ann_recall_eval"] = ORACLE_ANN_RECALL
