@@ -91,6 +91,8 @@ HEADLINE = [
     "jl_projection",
     "simjoin_allpairs",
     "ann_recall_eval",
+    "ann_lsh_banded",
+    "ann_recall_eval_banded",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

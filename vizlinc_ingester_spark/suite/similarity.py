@@ -1231,6 +1231,12 @@ def q_ann_recall_eval(spark, sf_dir):
     approx = q_ann_lsh(spark, sf_dir).select(
         "query_id", "cand_id", F.col("rank").alias("a_rank")
     )
+    return _recall_metrics(truth, approx)
+
+
+def _recall_metrics(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared metric layer: per-query recall@RECALL_K + true-NN
+    reciprocal rank of ``approx`` against ``truth``."""
     qids = truth.select("query_id").distinct()
     hits = (
         truth.join(approx, ["query_id", "cand_id"])
@@ -1293,3 +1299,155 @@ LEFT JOIN rr ON q.query_id = rr.query_id
 
 QUERIES["ann_recall_eval"] = q_ann_recall_eval
 ORACLES["ann_recall_eval"] = ORACLE_ANN_RECALL
+
+
+# --- banded LSH + its measured recall (round 8) ------------------------------
+
+N_LSH_BANDS = 2  # 8 sign bits -> 2 bands of 4
+
+
+def q_ann_lsh_banded(spark, sf_dir):
+    """Bands-of-bits LSH: the recall knob ``ann_lsh``'s docstring
+    promises, implemented — the 8-bit signature splits into
+    N_LSH_BANDS 4-bit bands and a pair is a candidate if it collides
+    in ANY band (MinHash-banding OR-semantics applied to hyperplane
+    signatures). Recall rises because one flipped sign bit can no
+    longer hide a neighbor unless it hits EVERY band; the measured
+    effect is the ``ann_recall_eval`` vs ``ann_recall_eval_banded``
+    delta in the gated rows.
+
+    Plan: band rows are a 2x fan-out of the signature scan; the
+    candidate join is keyed on (band_idx, band_val) — 32 buckets —
+    then pair-distinct before scoring, so a pair colliding in both
+    bands is verified once."""
+    e = _emb(spark, sf_dir)
+
+    def signature(emb):
+        bits = []
+        for j in range(N_PLANES):
+            dot = F.aggregate(
+                F.transform(emb, _hplane_comp(j)),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    sig = e.select("vec_id", signature(F.col("embedding")).alias("sig"))
+    bands = sig.select(
+        "vec_id", F.lit(0).alias("b"), (F.col("sig") % 16).alias("v")
+    ).unionByName(
+        sig.select(
+            "vec_id", F.lit(1).alias("b"),
+            F.expr("sig div 16").alias("v"),
+        )
+    )
+    q = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "b", "v"
+    )
+    c = bands.select(F.col("vec_id").alias("cand_id"), "b", "v")
+    pairs = (
+        q.join(c, ["b", "v"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    emb_q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    emb_c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = pairs.join(emb_q, "query_id").join(emb_c, "cand_id").select(
+        "query_id", "cand_id",
+        cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "cand_id", "cos_micro", "rank")
+    )
+
+
+_SQL_BANDED_CANDS = f"""
+sig AS (
+  SELECT vec_id, ({_SQL_SIG}) AS sig FROM embeddings
+),
+bands AS (
+  SELECT vec_id, 0 AS b, sig % 16 AS v FROM sig
+  UNION ALL
+  SELECT vec_id, 1 AS b, sig // 16 AS v FROM sig
+),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM bands q JOIN bands c ON q.b = c.b AND q.v = c.v
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.cand_id,
+         {sql_cos_micro('eq.embedding', 'ec.embedding')} AS cos_micro
+  FROM pairs p
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings ec ON ec.vec_id = p.cand_id
+)"""
+
+ORACLE_ANN_LSH_BANDED = f"""
+WITH {_SQL_BANDED_CANDS.strip()}
+SELECT query_id, cand_id, cos_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS rank
+  FROM scored
+) r WHERE rank <= 3
+"""
+
+
+def q_ann_recall_eval_banded(spark, sf_dir):
+    """``ann_recall_eval`` with the banded index as the system under
+    test — the banding knob's measured payoff, hash-gated."""
+    truth = q_ann_cosine_topk(spark, sf_dir).filter(
+        F.col("rank") <= RECALL_K
+    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    approx = q_ann_lsh_banded(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rank").alias("a_rank")
+    )
+    return _recall_metrics(truth, approx)
+
+
+ORACLE_ANN_RECALL_BANDED = f"""
+WITH truth AS (
+  SELECT query_id, cand_id, rank AS t_rank
+  FROM ({ORACLE_ANN_TOPK}) x WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, cand_id, rank AS a_rank
+  FROM ({ORACLE_ANN_LSH_BANDED}) y
+),
+qids AS (SELECT DISTINCT query_id FROM truth),
+hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  GROUP BY t.query_id
+),
+rr AS (
+  SELECT t.query_id, CAST(1000000 // a.a_rank AS BIGINT) AS rr_micro
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  WHERE t.t_rank = 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {RECALL_K} AS BIGINT)
+         AS recall_micro,
+       CAST(coalesce(rr.rr_micro, 0) AS BIGINT) AS rr_micro
+FROM qids q
+LEFT JOIN hits h ON q.query_id = h.query_id
+LEFT JOIN rr ON q.query_id = rr.query_id
+"""
+
+QUERIES["ann_lsh_banded"] = q_ann_lsh_banded
+ORACLES["ann_lsh_banded"] = ORACLE_ANN_LSH_BANDED
+QUERIES["ann_recall_eval_banded"] = q_ann_recall_eval_banded
+ORACLES["ann_recall_eval_banded"] = ORACLE_ANN_RECALL_BANDED
