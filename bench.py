@@ -93,6 +93,7 @@ HEADLINE = [
     "ann_recall_eval",
     "ann_lsh_banded",
     "ann_recall_eval_banded",
+    "source_drift_kl",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -111,6 +111,7 @@ DRIVER_WINDOW = [
     "sn_communities", "streaming_kmv", "scd2_history",
     "pmi_collocations", "value_histogram", "events_json_extract",
     "jl_projection", "simjoin_allpairs", "ann_recall_eval",
+    "source_drift_kl",
     "ann_lsh_banded", "ann_recall_eval_banded",
     "ner_learned_ctx", "dedup_exact_substr_cut", "bm25_search_indexed",
     "events_transitions_scalable", "char_entropy", "events_transitions",
@@ -133,8 +134,11 @@ DRIVER_WINDOW = [
     # by tests/test_skew; embedding_label_stats,
     # large_volume_customers, late_order_priority, returned_customers
     # — r4-proven, locally re-proven every session by
-    # tests/test_oracle_parity.py like all deferred rows)
-    "dedup_minhash_lsh", "dict_ner_tokenjoin",
+    # tests/test_oracle_parity.py like all deferred rows;
+    # dict_ner_tokenjoin — shares ORACLE_DICT_NER VERBATIM with
+    # dict_ner, r7-proven, so its exact output is carrier-covered —
+    # deferred for the late source_drift_kl addition)
+    "dedup_minhash_lsh",
     "geo_resolver_chain", "mentions_extract",
     "osm_parse_nominatim",
     "shipping_priority",

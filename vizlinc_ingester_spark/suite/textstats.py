@@ -1000,3 +1000,103 @@ FROM s
 
 QUERIES["zipf_fit"] = q_zipf_fit
 ORACLES["zipf_fit"] = ORACLE_ZIPF_FIT
+
+
+# --- per-source distribution drift (round 8) --------------------------------
+
+
+def q_source_drift_kl(spark, sf_dir):
+    """Corpus drift monitor: KL(source || corpus) over token
+    distributions, per source — the signal a corpus-mixing pipeline
+    watches to catch a feed whose content shifted (spam influx,
+    scraper breakage, language drift). Add-one smoothing over the
+    CORPUS vocabulary puts every source on the same support; each
+    term p_w * ln(p_w/q_w) is micro-floored BEFORE the per-source
+    int64 sum (the lm_doc_scores discipline), so the divergence is
+    order-independent and hash-exact. Note floored-term KL is a
+    deterministic variant, not the real-valued KL (each term rounds
+    toward -inf); the gate pins the variant, the ranking carries the
+    signal.
+
+    Plan at 100 TB: token counts are one (source, word) rollup with
+    map-side combine; the term grid is |vocab| x |sources| —
+    Heaps-bounded, never corpus-sized; corpus-side counts broadcast.
+    One pass over the corpus total."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("w")
+    )
+    cs = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    cg = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_g"))
+    ns = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    stats = cg.agg(
+        F.sum("c_g").cast("long").alias("n_g"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    grid = ns.select("source").crossJoin(cg).join(
+        cs, ["source", "w"], "left"
+    ).select(
+        "source", "w", "c_g",
+        F.coalesce(F.col("c_s"), F.lit(0).cast("long")).alias("c_s"),
+    )
+    j = grid.join(F.broadcast(ns), "source").crossJoin(F.broadcast(stats))
+    p = (F.col("c_s").cast("double") + F.lit(1.0)) / (
+        F.col("n_s").cast("double") + F.col("v").cast("double")
+    )
+    q = (F.col("c_g").cast("double") + F.lit(1.0)) / (
+        F.col("n_g").cast("double") + F.col("v").cast("double")
+    )
+    term = F.floor(p * F.log(p / q) * 1000000.0).cast("long")
+    out = (
+        j.select("source", "n_s", term.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.sum("t").cast("long").alias("kl_micro"),
+        )
+    )
+    return out.select("source", "n_tokens", "kl_micro")
+
+
+_SQL_TOKS_DRIFT = tx.sql_tokens("text")
+
+ORACLE_SOURCE_DRIFT = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS_DRIFT}) AS w FROM documents
+),
+cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_s
+       FROM toks GROUP BY source, w),
+cg AS (SELECT w, CAST(count(*) AS BIGINT) AS c_g FROM toks GROUP BY w),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+       FROM toks GROUP BY source),
+stats AS (SELECT CAST(sum(c_g) AS BIGINT) AS n_g,
+                 CAST(count(*) AS BIGINT) AS v FROM cg),
+grid AS (
+  SELECT ns.source, cg.w, cg.c_g, coalesce(cs.c_s, 0) AS c_s
+  FROM (SELECT DISTINCT source FROM ns) ns
+  CROSS JOIN cg
+  LEFT JOIN cs ON cs.source = ns.source AND cs.w = cg.w
+),
+terms AS (
+  SELECT g.source, n.n_s,
+         CAST(floor(
+           ((CAST(c_s AS DOUBLE) + 1.0)
+            / (CAST(n.n_s AS DOUBLE) + CAST(s.v AS DOUBLE)))
+           * ln(((CAST(c_s AS DOUBLE) + 1.0)
+                 / (CAST(n.n_s AS DOUBLE) + CAST(s.v AS DOUBLE)))
+                / ((CAST(c_g AS DOUBLE) + 1.0)
+                   / (CAST(s.n_g AS DOUBLE) + CAST(s.v AS DOUBLE))))
+           * 1000000.0) AS BIGINT) AS t
+  FROM grid g JOIN ns n ON g.source = n.source CROSS JOIN stats s
+)
+SELECT source, CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+       CAST(sum(t) AS BIGINT) AS kl_micro
+FROM terms GROUP BY source
+"""
+
+QUERIES["source_drift_kl"] = q_source_drift_kl
+ORACLES["source_drift_kl"] = ORACLE_SOURCE_DRIFT
