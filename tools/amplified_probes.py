@@ -285,6 +285,14 @@ def probe_textdedup(spark, reps: int = 20) -> None:
         f"dsir_{reps}x", f"{n} docs (hashed-bigram importance top-k)",
         lambda: _noop(cu.q_dsir_selection(spark, tmp)),
     )
+    # adversarial for prefix filtering: every doc has reps-1 exact
+    # copies, so every qualifying pair must be found AND the rarest
+    # grams' prefix groups hold >= reps members each
+    _timed(
+        f"simjoin_allpairs_{reps}x",
+        f"{n} docs (exact prefix-filter join, {reps}x duplication)",
+        lambda: _noop(ddq.q_simjoin_allpairs(spark, tmp)),
+    )
 
 
 def probe_semantic(spark, reps: int = 10) -> None:

@@ -831,30 +831,12 @@ SIMJOIN_N = 3                  # shingle width (3-token grams)
 SIMJOIN_THRESH_MICRO = 400_000  # Jaccard >= 0.4
 
 
-def q_simjoin_allpairs(spark, sf_dir):
-    """EXACT set-similarity join by prefix filtering (AllPairs,
-    Bayardo 2007) — the recall-LOSSLESS alternative to MinHash/LSH
-    candidate generation: order each doc's distinct 3-token shingles
-    by global rarity (df asc, gram asc) and index only the first
-    p = |r| - ceil(t*|r|) + 1 of them. Correctness of the prefix:
-    Jaccard(r,s) >= t forces overlap >= t/(1+t)*(|r|+|s|) >= t*|r|
-    (using |s| >= t*|r|), i.e. >= ceil(t*|r|) shared shingles, and a
-    pair sharing that many cannot avoid the first
-    |r| - ceil(t*|r|) + 1 positions of either ordering — so every
-    qualifying pair collides on at least one indexed gram, BY
-    CONSTRUCTION, with no probabilistic recall knob. ceil(t*|r|) is
-    computed as exact integer (4*|r| + 9) div 10.
-
-    Plan at 100 TB: the rarity ordering makes prefixes collide on
-    RARE grams (the df-asc order is what keeps the candidate join
-    sparse); candidate generation shuffles only prefix rows on the
-    gram key; verification touches candidate pairs only
-    (array_intersect of the two sorted shingle arrays). The per-doc
-    prefix window partitions by doc_id — bounded by one doc's
-    shingle count, never the corpus."""
+def _allpairs_core(d):
+    """(doc_id, t: array<string>) with DISTINCT texts -> (pairs,
+    sizes): qualifying pairs by prefix filtering and each doc's
+    shingle-set size. See q_simjoin_allpairs for the math."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
     d = d.filter(F.size("t") >= SIMJOIN_N)
     grams = d.select(
         "doc_id",
@@ -919,18 +901,113 @@ def q_simjoin_allpairs(spark, sf_dir):
             "jaccard_micro",
             F.expr("div(n_inter * 1000000, n_union)").cast("long"),
         )
+        .filter(F.col("jaccard_micro") >= SIMJOIN_THRESH_MICRO)
+        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_micro")
     )
-    return verified.filter(
-        F.col("jaccard_micro") >= SIMJOIN_THRESH_MICRO
-    ).select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_micro")
+    return verified, sets.select("doc_id", "sz")
 
 
-# oracle = the exhaustive statement of the semantics (every pair),
-# which the prefix-filtered plan must match EXACTLY — recall
-# losslessness is thereby hash-proven, not argued.
+def q_simjoin_allpairs(spark, sf_dir):
+    """EXACT set-similarity join by prefix filtering (AllPairs,
+    Bayardo 2007) — the recall-LOSSLESS alternative to MinHash/LSH
+    candidate generation: order each doc's distinct 3-token shingles
+    by global rarity (df asc, gram asc) and index only the first
+    p = |r| - ceil(t*|r|) + 1 of them. Correctness of the prefix:
+    Jaccard(r,s) >= t forces overlap >= t/(1+t)*(|r|+|s|) >= t*|r|
+    (using |s| >= t*|r|), i.e. >= ceil(t*|r|) shared shingles, and a
+    pair sharing that many cannot avoid the first
+    |r| - ceil(t*|r|) + 1 positions of either ordering — so every
+    qualifying pair collides on at least one indexed gram, BY
+    CONSTRUCTION, with no probabilistic recall knob. ceil(t*|r|) is
+    computed as exact integer (4*|r| + 9) div 10.
+
+    COLLAPSE-FIRST: exact copies are prefix filtering's worst case —
+    every copy group of size k puts k members in every one of its
+    prefix-gram groups, and the probe measured the naive form at
+    464 s vs 12 s on a 20x-duplicated corpus (PLANS.md). So the
+    operator collapses identical texts (md5 group -> one
+    representative), runs AllPairs on DISTINCT texts only, then
+    expands pairs relationally: within a copy group every pair is
+    (sz, sz, 1e6) by definition; across groups the representative
+    pair fans out members_a x members_b. Output identical to the
+    naive semantics — the oracle is the exhaustive pair join over
+    the UNCOLLAPSED corpus, so both the prefix filter's recall and
+    the collapse-expand algebra are hash-proven. The gated corpus
+    unions a re-crawl fixture (every 7th doc under a shifted id, the
+    q_dedup_exact trick) so the collapse path is non-degenerate.
+
+    Plan at 100 TB: rarity ordering keeps prefix collisions on RARE
+    grams; candidate generation shuffles only prefix rows of
+    DISTINCT texts; verification touches candidate pairs only; the
+    expansion joins are output-sized. The per-doc prefix window is
+    bounded by one doc's shingle count, never the corpus."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+    )
+    keyed = corpus.select("doc_id", F.md5("text").alias("m"), "text")
+    reps = keyed.groupBy("m").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = (
+        keyed.join(reps, "m")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select(F.col("doc_id"), F.split("text", " ").alias("t"))
+    )
+    core_pairs, sizes = _allpairs_core(rep_docs)
+    members = keyed.select("m", "doc_id").join(
+        reps.join(
+            sizes.select(F.col("doc_id").alias("rep_id"), "sz"), "rep_id"
+        ),
+        "m",
+    )  # (m, doc_id, rep_id, sz) — only groups whose rep has shingles
+    # same-text pairs: every pair inside a copy group is (sz, sz, 1e6)
+    same = (
+        members.select("m", F.col("doc_id").alias("doc_a"), "sz")
+        .join(members.select("m", F.col("doc_id").alias("doc_b")), "m")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("sz").alias("n_inter"), F.col("sz").alias("n_union"),
+            F.lit(1_000_000).cast("long").alias("jaccard_micro"),
+        )
+    )
+    # cross-text pairs: expand each qualifying representative pair
+    cross = (
+        core_pairs.join(
+            members.select(
+                F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ma")
+            ),
+            "doc_a",
+        )
+        .join(
+            members.select(
+                F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "n_inter", "n_union", "jaccard_micro",
+        )
+    )
+    return same.unionByName(cross)
+
+
+# oracle = the exhaustive statement of the semantics (every pair of
+# the UNCOLLAPSED corpus), which the collapse-expand prefix-filtered
+# plan must match EXACTLY — recall losslessness AND the expansion
+# algebra are thereby hash-proven, not argued.
 ORACLE_SIMJOIN = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
 ),
 sh AS (
   SELECT DISTINCT doc_id,
