@@ -507,11 +507,18 @@ def q_bloom_users(spark, sf_dir):
 
     e = _events(spark, sf_dir)
     keys = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+    return bloom_finalize(bloom_words(keys), keys, e.sparkSession)
+
+
+def bloom_words(keys: DataFrame) -> DataFrame:
+    """Distinct string keys -> the filter's (word_idx, bits) words.
+    Words from any key subsets merge by word-wise bit_or — the
+    streaming twin folds per-batch words into its store this way."""
     bits = None
     for r in range(BLOOM_D):
         br = keys.select(_bloom_bit(r, F.col("k")).alias("bit"))
         bits = br if bits is None else bits.unionByName(br)
-    words = (
+    return (
         bits.select(
             F.expr("bit div 32").cast("long").alias("word_idx"),
             F.expr(
@@ -521,6 +528,10 @@ def q_bloom_users(spark, sf_dir):
         .groupBy("word_idx")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
+
+
+def bloom_finalize(words: DataFrame, keys: DataFrame, spark) -> DataFrame:
+    """Filter words + the exact key set -> the gated probe table."""
     n_set = words.agg(
         F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_bits_set")
     )

@@ -521,6 +521,67 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_finalize(kmv_registers(final), spark.read.parquet(stage))
 
 
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Bloom-filter maintenance under the SAME oracle as
+    the batch ``bloom_users``: two event micro-batches, each
+    ``foreachBatch`` builds the batch keys' filter words and folds
+    them into the store by word-wise ``bit_or`` — the OR-merge the
+    split-invariance test pins, exercised as a real streaming
+    execution (the at-ingest membership filter: each batch costs one
+    key scan, state is bounded at BLOOM_W words forever). The final
+    probe table must hash-match the one-shot batch filter; the exact
+    side recomputes over the fully-ingested staging corpus, like
+    streaming_kmv."""
+    from .sketches import bloom_finalize, bloom_words
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id"
+    )
+    stage = tempfile.mkdtemp(prefix="vl_stream_bloom_")
+    work = tempfile.mkdtemp(prefix="vl_stream_bloom_work_")
+    raw.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stores: list[str] = []
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        w = bloom_words(
+            batch.select(F.col("user_id").cast("string").alias("k")).distinct()
+        )
+        if stores:
+            w = (
+                w.unionByName(spark.read.parquet(stores[-1]))
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(bits)").alias("bits"))
+            )
+        path = os.path.join(work, f"words_{batch_id}")
+        w.write.mode("overwrite").parquet(path)
+        stores.append(path)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    words = spark.read.parquet(stores[-1])
+    keys = (
+        spark.read.parquet(stage)
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    return bloom_finalize(words, keys, spark)
+
+
 QUERIES = {
     "streaming_event_windows": q_streaming_event_windows,
     "streaming_range_join": q_streaming_range_join,
@@ -529,6 +590,7 @@ QUERIES = {
     "streaming_incremental_coref": q_streaming_incremental_coref,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_kmv": q_streaming_kmv,
+    "streaming_bloom": q_streaming_bloom,
 }
 ORACLES = {
     "streaming_event_windows": ORACLE_STREAMING_WINDOWS,
@@ -580,3 +642,12 @@ def _kmv_batch_oracle() -> str:
 
 
 ORACLES["streaming_kmv"] = _kmv_batch_oracle()
+
+
+def _bloom_batch_oracle() -> str:
+    from .sketches import ORACLES as SKETCH_ORACLES
+
+    return SKETCH_ORACLES["bloom_users"]
+
+
+ORACLES["streaming_bloom"] = _bloom_batch_oracle()
