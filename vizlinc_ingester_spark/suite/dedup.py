@@ -852,6 +852,15 @@ def _allpairs_core(d):
             )
         ).alias("g"),
     ).distinct()
+    # grams (the scan + explode + distinct) feeds every downstream
+    # branch — sets, freq, prefix, and through them the verify — and
+    # would re-run per branch; localCheckpoint materializes it once
+    # per call (the k-core lineage discipline; best measured variant:
+    # 10.0 -> 9.4 s at sf0.1 — the A/B also tried checkpointing
+    # rep_docs and sets, both worse, see PLANS.md). At real scale
+    # this is the materialize-the-hashed-relation trade
+    # minhash_lsh_verified makes with its persisted shingle table.
+    grams = grams.localCheckpoint()
     sets = grams.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("g")).alias("s"),
         F.count(F.lit(1)).cast("long").alias("sz"),
@@ -863,12 +872,25 @@ def _allpairs_core(d):
         .join(sets.select("doc_id", "sz"), "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("sz") - F.expr("(4 * sz + 9) div 10") + 1)
-        .select("doc_id", "g")
+        .select("doc_id", "g", "sz")
     )
+    # length filter (the standard AllPairs companion): J(r,s) <=
+    # min(sz)/max(sz), so J >= 0.4 requires 10*min >= 4*max — a
+    # size-incompatible collision can never verify; dropping it here
+    # cannot change the output, only the candidate volume
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col("doc_id").alias("doc_a"), "g",
+                      F.col("sz").alias("sz_a"))
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), "g",
+                          F.col("sz").alias("sz_b")),
+            "g",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") * 10 >= F.col("sz_a") * 4)
+            & (F.col("sz_a") * 10 >= F.col("sz_b") * 4)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -947,20 +969,28 @@ def q_simjoin_allpairs(spark, sf_dir):
             (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
         )
     )
-    keyed = corpus.select("doc_id", F.md5("text").alias("m"), "text")
-    reps = keyed.groupBy("m").agg(F.min("doc_id").alias("rep_id"))
-    rep_docs = (
-        keyed.join(reps, "m")
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .select(F.col("doc_id"), F.split("text", " ").alias("t"))
-    )
-    core_pairs, sizes = _allpairs_core(rep_docs)
-    members = keyed.select("m", "doc_id").join(
-        reps.join(
-            sizes.select(F.col("doc_id").alias("rep_id"), "sz"), "rep_id"
+    keyed_ids = corpus.select("doc_id", F.md5("text").alias("m"))
+    reps = keyed_ids.groupBy("m").agg(F.min("doc_id").alias("rep_id"))
+    # (doc_id, m, rep_id) — id-sized; localCheckpoint (the k-core
+    # lineage discipline): six downstream branches consume the
+    # collapse mapping, and truncation keeps each from re-running the
+    # md5 groupBy+join shuffles end-to-end
+    rep_map = keyed_ids.join(reps, "m").localCheckpoint()
+    rep_docs = corpus.join(
+        F.broadcast(
+            rep_map.filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id")
         ),
-        "m",
-    )  # (m, doc_id, rep_id, sz) — only groups whose rep has shingles
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", F.split("text", " ").alias("t"))
+    core_pairs, sizes = _allpairs_core(rep_docs)
+    # (m, doc_id, rep_id, sz) for groups whose rep has shingles —
+    # id-sized; checkpointed so same/cross do not re-run the gram
+    # pipeline behind ``sizes``
+    members = rep_map.join(
+        sizes.select(F.col("doc_id").alias("rep_id"), "sz"), "rep_id"
+    ).localCheckpoint()
     # same-text pairs: every pair inside a copy group is (sz, sz, 1e6)
     same = (
         members.select("m", F.col("doc_id").alias("doc_a"), "sz")
