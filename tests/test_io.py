@@ -532,11 +532,14 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
 
     sf_dir = "/root/testdata/sf0.001"
     manifest = q_training_manifest(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    # pass the FULL documents relation: it carries its own n_chars,
+    # which collides with the manifest's n_chars unless the sink
+    # projects it away (r8 ADVICE regression case)
+    full_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "n_chars" in full_docs.columns
+    docs = full_docs.select("doc_id", "text")
     out = str(tmp_path / "shards")
-    summary = write_training_shards(manifest, docs, out).collect()
+    summary = write_training_shards(manifest, full_docs, out).collect()
 
     n_docs_total = sum(r["n_docs"] for r in summary)
     assert n_docs_total == manifest.count() == docs.count()

@@ -234,19 +234,34 @@ def test_index_freshness_and_gc(tmp_path):
     # same content state -> same key (deterministic)
     assert sq._index_dir(str(sf)) == k2
 
-    # GC: stale sibling (same pathkey+version, old content key) dies;
-    # tmp dirs and foreign-corpus indexes survive
+    # GC is age-based (r8 ADVICE): an OLD stale sibling (same pathkey,
+    # old content key) dies, and so does an index from an OLDER
+    # INDEX_VERSION; a RECENT stale sibling survives the grace window
+    # (a concurrent session may still be probing it), as do tmp dirs
+    # and foreign-corpus indexes regardless of age.
     os.makedirs(k2, exist_ok=True)
+    old = time.time() - sq.GC_GRACE_S - 60
     stale = k1
     os.makedirs(stale, exist_ok=True)
+    os.utime(stale, (old, old))
+    vbase = k2.rsplit("_v", 1)[0]
+    oldver = f"{vbase}_v{sq.INDEX_VERSION - 1}_cafecafecafe"
+    os.makedirs(oldver, exist_ok=True)
+    os.utime(oldver, (old, old))
+    recent = f"{vbase}_v{sq.INDEX_VERSION}_feedfeedfeed"
+    os.makedirs(recent, exist_ok=True)  # mtime = now -> inside grace
     tmp_dir = f"{k2}.tmp-deadbeef"
     os.makedirs(tmp_dir, exist_ok=True)
+    os.utime(tmp_dir, (old, old))
     base = k2.rsplit("_", 1)[0]
     foreign = f"{base[:-8]}ffffffff_zzzz"  # different pathkey
     os.makedirs(foreign, exist_ok=True)
+    os.utime(foreign, (old, old))
     sq._gc_stale_indexes(k2)
     assert os.path.isdir(k2)
     assert not os.path.isdir(stale)
+    assert not os.path.isdir(oldver)
+    assert os.path.isdir(recent)
     assert os.path.isdir(tmp_dir)
     assert os.path.isdir(foreign)
 

@@ -327,7 +327,14 @@ def write_training_shards(
     in-file order (no global sort — position is already globally
     consistent from the manifest). Shard count bounds output files.
     """
-    joined = manifest.join(docs, "doc_id")
+    # The manifest owns split/position/shard_id/n_chars; if the
+    # caller's docs relation carries any of those names too (e.g.
+    # documents.parquet has its own n_chars), the join would yield
+    # duplicate columns and the parquet write would fail — so keep
+    # only doc_id + payload columns from docs (r8 ADVICE).
+    manifest_owned = {c for c in manifest.columns if c != "doc_id"}
+    payload = [c for c in docs.columns if c == "doc_id" or c not in manifest_owned]
+    joined = manifest.join(docs.select(*payload), "doc_id")
     (
         joined.repartition("split", "shard_id")
         .sortWithinPartitions(order_col)

@@ -957,17 +957,22 @@ WHERE ({SQL_STABLE_HASH_EVENT} % 100) <
 """
 
 
-def q_events_json_extract(spark, sf_dir):
+def q_events_json_rollup(spark, sf_dir):
     """Schema-on-read over the semi-structured ``props`` JSON column:
     extract ``$.k`` with ``get_json_object`` (JVM-side, no Python)
     and feed it straight into a relational rollup — per
-    (event_type, k div 10 bucket): event count, revenue cents, k
-    range. The pattern every event pipeline runs against raw JSON
-    properties before (or instead of) schema migration; extraction
-    is scan-stage, the rollup is one map-side-combinable shuffle on
-    a bounded group space, and unparseable/absent keys survive as a
-    NULL-bucket row rather than dropping events (gated here: the
-    oracle states the same null algebra)."""
+    (event_type, floor(k/10) bucket): event count and revenue cents.
+    The pattern every event pipeline runs against raw JSON properties
+    before (or instead of) schema migration; extraction is scan-stage,
+    the rollup is one map-side-combinable shuffle on a bounded group
+    space, and unparseable/absent keys survive as a NULL-bucket row
+    rather than dropping events (gated here: the oracle states the
+    same null algebra). Bucketing uses floor division explicitly —
+    Spark's ``div`` truncates toward zero while DuckDB's ``//``
+    floors, so ``F.floor(k/10)`` keeps both engines floor-consistent
+    on any sign of k (exact for |k| < 2^53). Distinct from
+    ``events_json_extract`` (the original even-k aggregate, r1-proven)
+    — both live in QUERIES under their own keys."""
     e = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     base = e.select(
@@ -977,7 +982,9 @@ def q_events_json_extract(spark, sf_dir):
     )
     return (
         base.select(
-            "event_type", F.expr("k div 10").alias("k_bucket"), "cents"
+            "event_type",
+            F.floor(F.col("k") / F.lit(10)).cast("long").alias("k_bucket"),
+            "cents",
         )
         .groupBy("event_type", "k_bucket")
         .agg(
@@ -1011,7 +1018,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
     "events_stratified_sample": q_events_stratified_sample,
-    "events_json_extract": q_events_json_extract,
+    "events_json_rollup": q_events_json_rollup,
 }
 
 ORACLES = {
@@ -1037,9 +1044,13 @@ ORACLES = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_json_extract": ORACLE_EVENTS_JSON,
     "events_stratified_sample": ORACLE_EVENTS_SAMPLE,
-    "events_json_extract": """
+    # floor(k/10), not `// 10`: DuckDB integer `//` floors too, but
+    # stating floor() keeps the floor-vs-truncate contract explicit
+    # on both engines for negative k (mirror of the Spark side).
+    "events_json_rollup": """
 SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0)
+            AS BIGINT) AS k_bucket,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents

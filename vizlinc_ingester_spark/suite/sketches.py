@@ -500,7 +500,7 @@ def q_bloom_users(spark, sf_dir):
     ``bit_or`` per word: map-side combinable, <= BLOOM_W rows cross
     the shuffle at any corpus size; merging corpora is word-wise OR
     (tests/test_sketches.py pins split-invariance). The probe join
-    broadcasts the 16-word filter. Spark's own join-time bloom
+    broadcasts the BLOOM_W-word (32-word) filter. Spark's own join-time bloom
     (InjectRuntimeFilter) is this exact structure — here it is a
     queryable, mergeable artifact."""
     from .relational import _events
