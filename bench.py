@@ -94,6 +94,12 @@ HEADLINE = [
     "ann_lsh_banded",
     "ann_recall_eval_banded",
     "source_drift_kl",
+    # round-9 operators: de-shadowed JSON rollup, Gopher repetition
+    # coverage + composite quality rule, IVFADC
+    "events_json_rollup",
+    "repetition_stats",
+    "gopher_quality_filter",
+    "ann_ivf_pq",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

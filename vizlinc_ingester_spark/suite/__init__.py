@@ -23,6 +23,7 @@ def collect_suite() -> tuple[
         multimodal,
         ner,
         relational,
+        repetition,
         reshape,
         scalars,
         search_q,
@@ -39,7 +40,7 @@ def collect_suite() -> tuple[
     for mod in (
         vizlinc, scalars, relational, dedup, similarity, textstats,
         multimodal, streaming_q, temporal, reshape, graph_q, search_q,
-        curation, ner, sketches,
+        curation, ner, sketches, repetition,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
@@ -58,83 +59,65 @@ def collect_suite() -> tuple[
     return ordered, oracles
 
 
-# Round-8 rotation (50 = the driver's observed correctness-record
-# size). Governing invariant, chosen explicitly against the
-# alternative of refreshing old rows: ZERO declared queries with no
-# driver hash evidence — the r7 verdict's headline metric was the
-# never-proven count (4 -> 8, "moving in the wrong direction").
-# So group (a) holds EVERY query added in rounds 6-8 (28 of them,
-# including all 15 late-r8 operators), each getting its first driver
-# hash row in CORRECTNESS_r08; the remaining 22 slots refresh the
-# oldest proven rows (the full r3 block, then as much of the r4
-# block as fits).
+# Round-9 rotation (50 = the driver's observed correctness-record
+# size). Governing invariant unchanged since r8: ZERO declared
+# queries with no driver hash evidence. Group (a) holds every r9
+# addition (events_json_rollup — the renamed k-bucket rollup that an
+# r8 duplicate-key bug shadowed under events_json_extract, r8 ADVICE
+# medium; repetition_stats; gopher_quality_filter; ann_ivf_pq) plus
+# the three rows that had never appeared in ANY correctness record
+# (kmeans_clusters_vec, streaming_bloom — previously justified as
+# shared-oracle twins, now given first-class rows — and
+# events_approx_profile, whose rows-only check is the only evidence
+# it can get by design) plus events_json_extract itself (its r8 row
+# actually hashed the shadowing rollup, so the ORIGINAL even-k
+# semantics were last driver-proven r5 — re-proven here under the
+# de-duplicated dict). Groups (b)/(c) refresh the oldest proven
+# rows: the r3 remainder (bm25_search) and the FULL r4 block (17
+# rows, including every r8 deferral). Group (d) takes 24 of the 42
+# r5-proven rows.
 #
-# Outside the window by design (not neglect):
-# - kmeans_clusters_vec and streaming_bloom: shared-oracle twins of
-#   in-window queries (kmeans_clusters / bloom_users), additionally
-#   pinned by tests (bit-identical k-means twin; Bloom OR-merge
-#   split-invariance + the streaming run's own oracle compare in
-#   tests/test_oracle_parity.py).
-# - 14 displaced r3/r4 rows (they head the r9 rotation): all were
-#   driver-proven in their round and are locally re-proven EVERY
-#   session by tests/test_oracle_parity.py; several also carry
-#   in-window or recently-proven shared-oracle/pinned siblings —
-#   bm25_search (oracle shared verbatim with in-window
-#   bm25_search_indexed), streaming_incremental_dedup (pinned equal
-#   to in-window dedup_minhash_lsh's oracle by
-#   tests/test_streaming_dedup), streaming_sessionize_state (oracle
-#   shared verbatim with in-window streaming_sessionize),
-#   dict_ner_tokenjoin (oracle shared verbatim with r7-proven
-#   dict_ner), ann_lsh (signature pipeline exercised by in-window
-#   ann_lsh_banded/ann_recall_eval), within/across simple-coref +
-#   minhash_signatures_vec (earlier-r8 deferrals with in-window
-#   lineage carriers, see PLANS.md).
-# The r5-proven remainder (TPC-H shapes, reshape, geo, pq internals,
-# graph family) rotates in future rounds.
+# Outside the window by design (not neglect) — the 18 deferred r5
+# rows, all locally re-proven every session by
+# tests/test_oracle_parity.py, several with in-window carriers:
+# across_doc_entities_person_scalable / customer_value_quartiles_
+# scalable / sn_triangles_degree (scalable or filtered twins of
+# in-window or r8-proven bases), ann_pq (its training CTEs are
+# verbatim-shared with in-window pq_codebooks/pq_codes and its ADC
+# algebra with new in-window ann_ivf_pq), events_sliding_window /
+# events_unpivot_roundtrip / events_cube / events_pivot_hourly
+# (window-agg + reshape family, events_tumbling_window and
+# events_rollup in-window), idle_rich_customers / nation_trade_volume
+# / part_supplier_breadth / promo_revenue (TPC-H shape family, five
+# siblings in-window), snapshot_diff, social_network,
+# social_network_filtered, user_outliers, users_intersect,
+# repetition_scores (coverage semantics now also carried by in-window
+# repetition_stats). They head the r10 rotation.
 DRIVER_WINDOW = [
-    # (a) never driver-proven: every r6/r7/r8 addition, INCLUDING the
-    # 11 late-r8 operators — the zero-never-proven invariant outranks
-    # refreshing already-proven rows (the r7 verdict's headline metric
-    # was precisely the never-proven count)
-    "kmeans_clusters", "training_manifest", "cluster_balanced_sample",
-    "decontaminate_fuzzy", "phrase_search_indexed",
-    "hybrid_search_rrf", "kmv_users", "bloom_users",
-    "sn_communities", "streaming_kmv", "scd2_history",
-    "pmi_collocations", "value_histogram", "events_json_extract",
-    "jl_projection", "simjoin_allpairs", "ann_recall_eval",
-    "source_drift_kl",
-    "ann_lsh_banded", "ann_recall_eval_banded",
-    "ner_learned_ctx", "dedup_exact_substr_cut", "bm25_search_indexed",
-    "events_transitions_scalable", "char_entropy", "events_transitions",
-    "priority_sample", "zipf_fit",
-    # (b) r3-proven rotation (bm25_search deferred: shared-oracle
-    # carrier bm25_search_indexed is in-window above)
-    "adjacent_close_pairs", "customer_value_quartiles",
-    "date_normalize", "dedup_embedding", "dedup_ngram_jaccard",
-    "doc_text_search", "docs_person_no_location", "image_decode_resize",
-    "lang_id", "media_metadata", "quality_scores",
-    "streaming_incremental_coref", "users_full_outer",
-    # (c) r4-proven rotation, reduced to fit: 11 r4 rows deferred to
-    # the r9 front (ann_lsh — its signature pipeline is exercised by
-    # in-window ann_lsh_banded/ann_recall_eval; audio_chunks and
-    # video_frame_sample — multimodal family, image_decode_resize
-    # in-window + tests/test_multimodal; corpus_lang_profile — lang_id
-    # core in-window; streaming_event_windows and streaming_range_join
-    # — batch-twin oracles + tests/test_streaming;
-    # revenue_by_nation_salted — salting pinned semantics-preserving
-    # by tests/test_skew; embedding_label_stats,
-    # large_volume_customers, late_order_priority, returned_customers
-    # — r4-proven, locally re-proven every session by
-    # tests/test_oracle_parity.py like all deferred rows;
-    # dict_ner_tokenjoin — shares ORACLE_DICT_NER VERBATIM with
-    # dict_ner, r7-proven, so its exact output is carrier-covered —
-    # deferred for the late source_drift_kl addition)
-    "dedup_minhash_lsh",
-    "geo_resolver_chain", "mentions_extract",
-    "osm_parse_nominatim",
-    "shipping_priority",
-    "streaming_sessionize",
-    "supplier_nation_volume",
-    "within_doc_entities_person",
-    "dedup_simhash",
+    # (a) never driver-proven under current semantics: the r9
+    # additions + the three rows with no correctness record at all +
+    # the shadowed original events_json_extract
+    "events_json_rollup", "repetition_stats", "gopher_quality_filter",
+    "ann_ivf_pq", "kmeans_clusters_vec", "streaming_bloom",
+    "events_approx_profile", "events_json_extract",
+    # (b) r3 remainder
+    "bm25_search",
+    # (c) full r4 block (every r8 deferral included)
+    "across_doc_entities_person_simple", "ann_lsh", "audio_chunks",
+    "corpus_lang_profile", "dict_ner_tokenjoin", "embedding_label_stats",
+    "large_volume_customers", "late_order_priority",
+    "minhash_signatures_vec", "returned_customers",
+    "revenue_by_nation_salted", "streaming_event_windows",
+    "streaming_incremental_dedup", "streaming_range_join",
+    "streaming_sessionize_state", "video_frame_sample",
+    "within_doc_entities_person_simple",
+    # (d) r5 block, 24 of 42 (deferrals documented above)
+    "across_doc_entities_location", "across_doc_entities_org",
+    "across_doc_entities_person", "created_by_filter", "curation_funnel",
+    "customer_order_histogram", "decontaminate_ngrams", "doc_chunking",
+    "events_asof_join", "events_range_join", "events_rollup",
+    "events_sessionize", "events_stratified_sample",
+    "events_tumbling_window", "gazetteer_join", "lm_doc_scores",
+    "node_id_dump", "pii_redact", "pq_codebooks", "pq_codes",
+    "sequence_packing", "sn_degrees", "sn_pagerank", "sn_triangles",
 ]

@@ -1451,3 +1451,169 @@ QUERIES["ann_lsh_banded"] = q_ann_lsh_banded
 ORACLES["ann_lsh_banded"] = ORACLE_ANN_LSH_BANDED
 QUERIES["ann_recall_eval_banded"] = q_ann_recall_eval_banded
 ORACLES["ann_recall_eval_banded"] = ORACLE_ANN_RECALL_BANDED
+
+
+# --- IVFADC: IVF coarse partition + PQ asymmetric-distance scoring -------
+
+NPROBE = 2  # centroids searched per query
+
+
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVFADC — the composition FAISS-style billion-scale ANN actually
+    deploys (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): an IVF coarse quantizer bounds the candidate
+    set (only the query's NPROBE closest centroids' inverted lists are
+    touched) and PQ asymmetric distance scores those candidates from
+    M small codes per vector instead of raw floats. The repo's
+    ``ann_ivf`` (candidate bounding, nprobe=1, raw-vector scoring) and
+    ``ann_pq`` (ADC scoring, NO candidate bounding) each demonstrate
+    one half; this is the production shape where BOTH resource bounds
+    hold at once: per-query work is O(sum of probed list sizes), and
+    scoring memory is PQ_M ints per candidate. Non-residual variant
+    (codes quantize raw vectors, not centroid residuals) — documented,
+    and pinned by reusing the SAME gated artifacts as its parents:
+    the memoized IVF assignment (``_ivf_assigned``) and the memoized
+    PQ training run (``_pq_train``), so no third training pass exists.
+
+    Plan at 100 TB: probes = queries x broadcast centroid table
+    (tiny); candidates = probe list join keyed on centroid_id
+    (bounded fan-out, the IVF promise); ADC = candidate join against
+    codes keyed on vec_id then a broadcast lookup-table join keyed on
+    (query, m, cid) — the distance table is n_queries*PQ_M*PQ_K rows,
+    broadcastable at any corpus size; final top-K is a per-query
+    window over the bounded candidate set. Deterministic tie-breaks
+    throughout: probes (cos desc, centroid asc), ranking (adc asc,
+    cand asc)."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cm"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "centroid_id",
+            cos_micro(F.col("q_emb"), F.col("cent_emb")).alias("cm"),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("cand_id"), "centroid_id"
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    comp, cents = _pq_train(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
+        "m int, cid int, dim int, c long",
+    )
+    diff = F.col("q") - F.col("c")
+    codes = (
+        comp.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    qcomp = comp.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "m", "dim", F.col("q").alias("qq")
+    )
+    qtab = (
+        qcomp.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("query_id", "m", "cid")
+        .agg(
+            F.sum((F.col("qq") - F.col("c")) * (F.col("qq") - F.col("c")))
+            .cast("long").alias("qd2")
+        )
+    )
+    scored = (
+        cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(qtab), ["query_id", "m", "cid"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd2").cast("long").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "cand_id", "adc", "rnk")
+    )
+
+
+ORACLE_ANN_IVF_PQ = _pq_oracle_ctes() + f""",
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+),
+ivf_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {sql_cos_micro('e.embedding', 'c.cent_emb')} AS cm
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS rn
+    FROM ivf_scored
+  ) x WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS pr
+    FROM ivf_scored WHERE vec_id % {QUERY_MOD} = 0
+  ) y WHERE pr <= {NPROBE}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id <> a.vec_id
+),
+d_final AS (
+  SELECT vec_id, comp.m, cid, CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+  FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
+  GROUP BY vec_id, comp.m, cid
+),
+codes AS (
+  SELECT vec_id, m, cid FROM d_final
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+qtab AS (
+  SELECT comp.vec_id AS query_id, comp.m, cid,
+         CAST(sum((q - c) * (q - c)) AS BIGINT) AS qd2
+  FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
+  WHERE comp.vec_id % {QUERY_MOD} = 0
+  GROUP BY comp.vec_id, comp.m, cid
+),
+adc_scored AS (
+  SELECT cn.query_id, cn.cand_id, CAST(sum(qd2) AS BIGINT) AS adc
+  FROM cands cn
+  JOIN codes co ON cn.cand_id = co.vec_id
+  JOIN qtab qt ON qt.query_id = cn.query_id
+             AND qt.m = co.m AND qt.cid = co.cid
+  GROUP BY cn.query_id, cn.cand_id
+)
+SELECT query_id, cand_id, adc,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS rnk
+FROM adc_scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
+        <= {TOPK}
+"""
+
+QUERIES["ann_ivf_pq"] = q_ann_ivf_pq
+ORACLES["ann_ivf_pq"] = ORACLE_ANN_IVF_PQ
