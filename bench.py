@@ -100,6 +100,7 @@ HEADLINE = [
     "repetition_stats",
     "gopher_quality_filter",
     "ann_ivf_pq",
+    "ann_recall_eval_ivfpq",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -1617,3 +1617,71 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
 
 QUERIES["ann_ivf_pq"] = q_ann_ivf_pq
 ORACLES["ann_ivf_pq"] = ORACLE_ANN_IVF_PQ
+
+
+def q_ann_recall_eval_ivfpq(spark, sf_dir):
+    """Measured retrieval quality of the IVFADC index against exact
+    brute-force cosine ground truth — the number that justifies (or
+    vetoes) deploying ``ann_ivf_pq`` at scale. Note what is being
+    measured: BOTH approximations at once — the IVF candidate bound
+    (a true neighbor outside the probed lists can never be returned)
+    AND the PQ distance distortion (a candidate in-list can still be
+    mis-ranked by quantized distances), against a truth set ranked by
+    exact cosine while ADC ranks by quantized L2 — i.e. the evaluation
+    answers the deployment question (does the compound index return
+    the neighbors exact search would?), not the component questions
+    its siblings answer for LSH banding (``ann_recall_eval`` /
+    ``_banded``). Same gated metric layer (``_recall_metrics``), same
+    integer-exact micro units.
+
+    Measured at sf0.01 (PLANS.md r9): recall@3 = 0.33 for IVFADC vs
+    1.00 for IVF-alone (exact scoring, nprobe=1) and 0.20 for
+    PQ-alone — the loss is entirely PQ distortion from the toy
+    PQ_K=4 codebook, not the IVF candidate bound, and the bound even
+    HELPS the quantized ranking by excluding distant vectors the
+    codebook confuses with near ones (0.33 > 0.20). This is the
+    decision the eval exists to drive: at deployment scale you grow
+    PQ_K (256 is standard) before you grow NPROBE."""
+    truth = q_ann_cosine_topk(spark, sf_dir).filter(
+        F.col("rank") <= RECALL_K
+    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    approx = q_ann_ivf_pq(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rnk").alias("a_rank")
+    )
+    return _recall_metrics(truth, approx)
+
+
+ORACLE_ANN_RECALL_IVFPQ = f"""
+WITH truth AS (
+  SELECT query_id, cand_id, rank AS t_rank
+  FROM ({ORACLE_ANN_TOPK}) x WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, cand_id, rnk AS a_rank
+  FROM ({ORACLE_ANN_IVF_PQ}) y
+),
+qids AS (SELECT DISTINCT query_id FROM truth),
+hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  GROUP BY t.query_id
+),
+rr AS (
+  SELECT t.query_id, CAST(1000000 // a.a_rank AS BIGINT) AS rr_micro
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  WHERE t.t_rank = 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {RECALL_K} AS BIGINT)
+         AS recall_micro,
+       CAST(coalesce(rr.rr_micro, 0) AS BIGINT) AS rr_micro
+FROM qids q
+LEFT JOIN hits h ON q.query_id = h.query_id
+LEFT JOIN rr ON q.query_id = rr.query_id
+"""
+
+QUERIES["ann_recall_eval_ivfpq"] = q_ann_recall_eval_ivfpq
+ORACLES["ann_recall_eval_ivfpq"] = ORACLE_ANN_RECALL_IVFPQ
