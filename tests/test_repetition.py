@@ -169,3 +169,55 @@ def test_ann_ivf_pq_candidates_respect_probe_lists(spark, sf_dir):
         rr.sort()
         assert [x[0] for x in rr] == list(range(1, len(rr) + 1))
         assert all(rr[i][1] <= rr[i + 1][1] for i in range(len(rr) - 1))
+
+
+def test_source_quality_report_reconciles(spark, sf_dir):
+    """The rollup must reconcile exactly with the per-doc flags it is
+    built on (no double counting, no dropped docs)."""
+    from vizlinc_ingester_spark.suite.repetition import (
+        q_gopher_quality_filter,
+        q_source_quality_report,
+    )
+
+    per_doc = q_gopher_quality_filter(spark, sf_dir).collect()
+    report = {r["source"]: r for r in
+              q_source_quality_report(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: {"n": 0, "kept": 0, "fd5": 0})
+    for r in per_doc:
+        a = agg[docs[r["doc_id"]]]
+        a["n"] += 1
+        a["kept"] += int(r["keep"])
+        a["fd5"] += int(not r["ok_dup5"])
+    assert set(report) == set(agg)
+    for s, a in agg.items():
+        assert report[s]["n_docs"] == a["n"]
+        assert report[s]["n_kept"] == a["kept"]
+        assert report[s]["n_fail_dup5"] == a["fd5"]
+
+
+def test_dedup_keep_best_picks_max_quality(spark, sf_dir):
+    """Exactly one keeper per cluster, and it is the
+    (quality desc, doc_id asc) maximum of its cluster."""
+    from vizlinc_ingester_spark.suite.dedup import q_dedup_keep_best
+
+    rows = q_dedup_keep_best(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1, cid
+        best = sorted(members, key=lambda r: (-r["quality_micro"], r["doc_id"]))[0]
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(r["cluster_size"] == len(members) for r in members)

@@ -1092,3 +1092,57 @@ ORACLES = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "simjoin_allpairs": ORACLE_SIMJOIN,
 }
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection over the near-dup clusters —
+    the representative-picking step real curation pipelines run after
+    clustering (RefinedWeb/FineWeb keep ONE member per near-dup
+    cluster, and the one worth keeping is the highest-quality copy,
+    not the smallest id): per cluster, keeper = max by
+    (quality_micro desc, doc_id asc), where quality_micro is the
+    already-gated heuristic score from ``quality_scores``
+    (functions/text.py). Non-degenerate on the natural corpus at
+    sf0.01: 13 of 23 clusters pick a DIFFERENT keeper than
+    ``dedup_clusters``'s min-doc_id rule, and the quality score
+    varies inside every cluster (PLANS.md r9).
+
+    Plan at 100 TB: the cluster relation is pair-verified-LSH-sized
+    (tiny next to the corpus); the quality join is per-doc scalar
+    expressions pushed to the scan; the keeper window partitions on
+    cluster_id — bounded groups by construction."""
+    from ..functions import text as tx
+
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    quality = _docs(spark, sf_dir).select(
+        "doc_id", tx.quality_score_micro(F.col("text")).alias("quality_micro")
+    )
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_micro"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id", "cluster_id", "cluster_size", "quality_micro",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+def _keep_best_oracle() -> str:
+    from ..functions import text as tx
+
+    return f"""
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_micro,
+       (row_number() OVER (
+            PARTITION BY c.cluster_id
+            ORDER BY q.quality_micro DESC, c.doc_id ASC) = 1) AS is_keeper
+FROM ({ORACLE_DEDUP_CLUSTERS}) c
+JOIN (SELECT doc_id, {tx.sql_quality_score_micro('text')} AS quality_micro
+      FROM documents) q
+  ON c.doc_id = q.doc_id
+"""
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = _keep_best_oracle()

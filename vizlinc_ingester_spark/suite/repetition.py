@@ -362,3 +362,63 @@ ORACLES = {
     "repetition_stats": ORACLE_REPETITION_STATS,
     "gopher_quality_filter": ORACLE_GOPHER_QUALITY,
 }
+
+
+def q_source_quality_report(spark, sf_dir):
+    """Per-source curation dashboard: the rollup a 100 TB pipeline
+    actually pages humans with — for every source, how many documents
+    survive the composite rule and which rule kills the casualties
+    (feed-health companion to ``source_drift_kl``). Built ON the gated
+    per-doc flags (one lineage, no recomputation of the rules), joined
+    back to the natural corpus for the source key; the rollup itself
+    is a map-side-combinable aggregate on a source-bounded group
+    space. mean_dup5_micro is an exact integer div, floor on both
+    engines."""
+    flags = q_gopher_quality_filter(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    cnt = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long")
+    return (
+        flags.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            cnt("ok_words").alias("n_fail_words"),
+            cnt("ok_stop").alias("n_fail_stop"),
+            cnt("ok_top2").alias("n_fail_top2"),
+            cnt("ok_dup5").alias("n_fail_dup5"),
+            F.sum("dup5_rate_micro").cast("long").alias("sum_dup5"),
+        )
+        .select(
+            "source", "n_docs", "n_kept", "n_fail_words", "n_fail_stop",
+            "n_fail_top2", "n_fail_dup5",
+            F.expr("sum_dup5 div n_docs").cast("long").alias("mean_dup5_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_QUALITY = f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN g.ok_words THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_words,
+       CAST(sum(CASE WHEN g.ok_stop THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_stop,
+       CAST(sum(CASE WHEN g.ok_top2 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_top2,
+       CAST(sum(CASE WHEN g.ok_dup5 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_dup5,
+       CAST(sum(g.dup5_rate_micro) // count(*) AS BIGINT)
+         AS mean_dup5_micro
+FROM ({ORACLE_GOPHER_QUALITY}) g
+JOIN documents d ON g.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+QUERIES["source_quality_report"] = q_source_quality_report
+ORACLES["source_quality_report"] = ORACLE_SOURCE_QUALITY
