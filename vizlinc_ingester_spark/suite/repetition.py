@@ -118,55 +118,60 @@ def _grams(base: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _union_coverage(pos_df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, covered): union length of fixed-length-n intervals
-    starting at pos (distinct per doc). One window keyed on doc_id."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    step = F.when(
-        F.col("nxt").isNull(), F.lit(n)
-    ).otherwise(F.least(F.lit(n), F.col("nxt") - F.col("pos")))
-    return (
-        pos_df.withColumn("nxt", F.lead("pos").over(w))
-        .groupBy("doc_id")
-        .agg(F.sum(step).cast("long").alias("covered"))
-    )
-
-
 def _repetition_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared lineage for both queries: per-doc n_tokens, top-2-gram
-    identity/count/coverage, duplicated-5-gram coverage."""
+    identity/count/coverage, duplicated-5-gram coverage.
+
+    Plan shape (iterated — the first version groupBy'd per-(doc,gram)
+    counts and joined them BACK to a re-derived gram stream, costing 5
+    corpus scans): each gram stream is materialized ONCE and every
+    per-gram quantity is a window over it — count(*) over (doc, gram),
+    dense_rank over (doc) ordered by (count desc, gram asc) whose
+    rank-1 rows are exactly the top gram's positions, lead(pos) for
+    the union-coverage step. All three windows cluster on doc_id, so
+    EnsureRequirements plans ONE hash exchange per stream
+    (HashPartitioning(doc_id) satisfies the (doc_id, gram) clustering
+    too) and the corpus is scanned 3x total (base + one per gram
+    order) instead of 5x, with zero join-backs. A/B warm best-of-3 at
+    sf0.1, same session config (PLANS.md r9): repetition_stats
+    1.92 -> 1.38 s, gopher_quality_filter 2.10 -> 1.53 s."""
     corpus = _gated_corpus(spark, sf_dir)
     base = corpus.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
     ).select("doc_id", "t", F.size("t").cast("long").alias("n_tokens"))
 
-    g2 = _grams(base, 2)
-    cnt2 = g2.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    w_cnt = Window.partitionBy("doc_id", "gram")
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+
+    def _step(n):
+        return F.when(F.col("nxt").isNull(), F.lit(n)).otherwise(
+            F.least(F.lit(n), F.col("nxt") - F.col("pos"))
+        )
+
+    g2 = _grams(base, 2).withColumn(
+        "c", F.count(F.lit(1)).over(w_cnt).cast("long")
     )
-    w2 = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
     top2 = (
-        cnt2.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "gram", "c")
-    )
-    cov2 = _union_coverage(
-        g2.join(top2.select("doc_id", "gram"), ["doc_id", "gram"]).select(
-            "doc_id", "pos"
-        ),
-        2,
+        g2.withColumn("rk", F.dense_rank().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .withColumn("nxt", F.lead("pos").over(w_pos))
+        .groupBy("doc_id")
+        .agg(
+            F.min("gram").alias("top2_gram"),
+            F.max("c").cast("long").alias("c"),
+            F.sum(_step(2)).cast("long").alias("cov2"),
+        )
     )
 
-    g5 = _grams(base, 5)
-    dup5 = (
-        g5.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    cov5 = (
+        _grams(base, 5)
+        .withColumn("c", F.count(F.lit(1)).over(w_cnt))
         .filter(F.col("c") >= 2)
-        .select("doc_id", "gram")
-    )
-    cov5 = _union_coverage(
-        g5.join(dup5, ["doc_id", "gram"]).select("doc_id", "pos"), 5
+        .withColumn("nxt", F.lead("pos").over(w_pos))
+        .groupBy("doc_id")
+        .agg(F.sum(_step(5)).cast("long").alias("cov5"))
     )
 
     # integer div, not float /: Spark's long `div` truncation equals
@@ -174,9 +179,8 @@ def _repetition_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no double-rounding hazard on exact quotients
     return (
         base.select("doc_id", "n_tokens")
-        .join(top2.withColumnRenamed("gram", "top2_gram"), "doc_id", "left")
-        .join(cov2.withColumnRenamed("covered", "cov2"), "doc_id", "left")
-        .join(cov5.withColumnRenamed("covered", "cov5"), "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(cov5, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
