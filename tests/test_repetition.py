@@ -221,3 +221,34 @@ def test_dedup_keep_best_picks_max_quality(spark, sf_dir):
         best = sorted(members, key=lambda r: (-r["quality_micro"], r["doc_id"]))[0]
         assert keepers[0]["doc_id"] == best["doc_id"]
         assert all(r["cluster_size"] == len(members) for r in members)
+
+
+def test_budget_allocation_water_filling_properties(spark, sf_dir):
+    """sum(allocated) == budget exactly; uncapped sources keep every
+    token; capped sources get level or level+1 (largest-remainder);
+    allocation is monotone in source size."""
+    from vizlinc_ingester_spark.suite.curation import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        q_corpus_budget_allocation,
+    )
+
+    rows = q_corpus_budget_allocation(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["t_tokens"] for r in rows)
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    assert sum(r["allocated"] for r in rows) == budget
+    capped = [r for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    assert capped and uncapped  # both branches live on this corpus
+    for r in uncapped:
+        assert r["allocated"] == r["t_tokens"]
+    levels = {r["allocated"] for r in capped}
+    assert len(levels) <= 2 and max(levels) - min(levels) <= 1
+    # monotonicity: a larger source is never allocated less
+    by_size = sorted(rows, key=lambda r: (r["t_tokens"], r["source"]))
+    for a, b in zip(by_size, by_size[1:]):
+        assert a["allocated"] <= b["allocated"] + 1  # +1 remainder slack
+    # every capped source is at least as large as every uncapped one's
+    # allocation level
+    assert min(r["t_tokens"] for r in capped) > min(levels) - 1

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
@@ -1196,3 +1196,177 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 
 QUERIES["decontaminate_fuzzy"] = q_decontaminate_fuzzy
 ORACLES["decontaminate_fuzzy"] = _fuzzy_decon_oracle()
+
+
+# --- exact water-filling token-budget allocation (round 9) ----------------
+
+BUDGET_NUM = 19  # budget = total * 19 div 20 — the mild "shave the
+BUDGET_DEN = 20  # top domains" trim; calibrated so BOTH branches of
+#                  the water line are non-degenerate on this corpus
+#                  (12-13 of 20 sources capped, 7-8 kept whole, at
+#                  both gated SFs — a 50% budget caps ALL 20, leaving
+#                  the keep-everything branch untested)
+
+
+def q_corpus_budget_allocation(spark, sf_dir):
+    """Exact water-filling allocation of a token budget across sources
+    — the capping step of data-recipe construction (Dolma/FineWeb
+    style: over-represented sources are capped at a common level L,
+    under-represented sources keep everything, and L is chosen so the
+    budget is spent EXACTLY). Given per-source token counts T_s and
+    budget B = total * BUDGET_NUM div BUDGET_DEN:
+
+      allocated_s = min(T_s, L) (+1 for the first R capped sources by
+      source asc), where L = max level with sum(min(T_s, L)) <= B and
+      R = B - sum(min(T_s, L)) — the largest-remainder finish, so
+      sum(allocated) == B exactly.
+
+    L is found closed-form, not iteratively: sort sources by (T asc,
+    source asc) with prefix sums; for row rn, the candidate level
+    freezing rows < rn at their full T is L_rn = (B - prefix_before)
+    div (n - rn + 1); the FIRST row whose candidate satisfies
+    lag(T) <= L_rn < T_rn is the water line (min-rn tie-break pins
+    integer-div edge cases identically on both engines).
+
+    Plan at 100 TB: per-source totals are one map-side-combinable agg
+    (source-bounded group space); everything after operates on
+    n_sources rows — the global windows are single-partition by
+    construction ON PURPOSE (20 rows here, thousands at worst in any
+    real corpus registry), the same "tiny relation, exact algebra"
+    stance as the PQ codebook. The corpus is scanned once."""
+    from ..functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    t = d.groupBy("source").agg(
+        F.sum(tx.whitespace_token_count(F.col("text")))
+        .cast("long")
+        .alias("t_tokens")
+    )
+    stats = t.agg(
+        F.sum("t_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    t2 = t.crossJoin(F.broadcast(stats)).withColumn(
+        "budget", F.expr(f"(total * {BUDGET_NUM}) div {BUDGET_DEN}")
+    )
+    w_rn = Window.orderBy(F.asc("t_tokens"), F.asc("source"))
+    ranked = (
+        t2.withColumn("rn", F.row_number().over(w_rn).cast("long"))
+        .withColumn(
+            "prefix_before",
+            F.coalesce(
+                F.sum("t_tokens").over(
+                    w_rn.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("prev_t", F.lag("t_tokens").over(w_rn))
+    )
+    cand = ranked.withColumn(
+        "level", F.expr("(budget - prefix_before) div (n - rn + 1)")
+    ).filter(
+        (F.coalesce(F.col("prev_t"), F.lit(0)) <= F.col("level"))
+        & (F.col("t_tokens") > F.col("level"))
+    )
+    line = (
+        cand.orderBy("rn")
+        .limit(1)
+        .select(
+            F.col("level").alias("wl_level"),
+            F.col("prefix_before").alias("wl_prefix"),
+            F.col("rn").alias("wl_rn"),
+            F.col("n").alias("wl_n"),
+            F.col("budget").alias("wl_budget"),
+        )
+    )
+    j = ranked.crossJoin(F.broadcast(line)).withColumn(
+        "remainder",
+        F.expr("wl_budget - (wl_prefix + (wl_n - wl_rn + 1) * wl_level)"),
+    )
+    capped = F.col("t_tokens") > F.col("wl_level")
+    j = j.withColumn(
+        "cap_rank",
+        F.when(
+            capped,
+            F.row_number().over(
+                Window.orderBy(
+                    F.when(capped, 0).otherwise(1), F.asc("source")
+                )
+            ),
+        ),
+    )
+    return j.select(
+        "source",
+        "t_tokens",
+        F.when(~capped, F.col("t_tokens"))
+        .otherwise(
+            F.col("wl_level")
+            + F.when(F.col("cap_rank") <= F.col("remainder"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+        capped.alias("capped"),
+    ).orderBy("source")
+
+
+def _budget_oracle() -> str:
+    from ..functions import text as tx
+
+    tc = tx.sql_whitespace_token_count("text")
+    return f"""
+WITH t AS (
+  SELECT source, CAST(sum({tc}) AS BIGINT) AS t_tokens
+  FROM documents GROUP BY source
+),
+stats AS (
+  SELECT CAST(sum(t_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t_tokens) * {BUDGET_NUM} // {BUDGET_DEN} AS BIGINT) AS budget
+  FROM t
+),
+ranked AS (
+  SELECT t.*, stats.n, stats.budget,
+         row_number() OVER (ORDER BY t_tokens ASC, source ASC) AS rn,
+         CAST(coalesce(sum(t_tokens) OVER (
+             ORDER BY t_tokens ASC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prefix_before,
+         lag(t_tokens) OVER (ORDER BY t_tokens ASC, source ASC) AS prev_t
+  FROM t, stats
+),
+line AS (
+  SELECT level AS wl_level, prefix_before AS wl_prefix, rn AS wl_rn,
+         n AS wl_n, budget AS wl_budget
+  FROM (
+    SELECT *, CAST((budget - prefix_before) // (n - rn + 1) AS BIGINT)
+              AS level
+    FROM ranked
+  )
+  WHERE coalesce(prev_t, 0) <= level AND t_tokens > level
+  ORDER BY rn LIMIT 1
+),
+j AS (
+  SELECT r.*, l.wl_level,
+         CAST(l.wl_budget
+              - (l.wl_prefix + (l.wl_n - l.wl_rn + 1) * l.wl_level)
+           AS BIGINT) AS remainder,
+         CASE WHEN r.t_tokens > l.wl_level THEN
+           row_number() OVER (
+             PARTITION BY (r.t_tokens > l.wl_level) ORDER BY r.source ASC)
+         END AS cap_rank
+  FROM ranked r, line l
+)
+SELECT source, t_tokens,
+       CAST(CASE WHEN t_tokens <= wl_level THEN t_tokens
+                 ELSE wl_level
+                      + (CASE WHEN cap_rank <= remainder THEN 1 ELSE 0 END)
+            END AS BIGINT) AS allocated,
+       (t_tokens > wl_level) AS capped
+FROM j
+ORDER BY source
+"""
+
+
+QUERIES["corpus_budget_allocation"] = q_corpus_budget_allocation
+ORACLES["corpus_budget_allocation"] = _budget_oracle()
