@@ -104,6 +104,7 @@ HEADLINE = [
     "source_quality_report",
     "dedup_keep_best",
     "corpus_budget_allocation",
+    "curriculum_interleave",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

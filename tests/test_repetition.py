@@ -252,3 +252,66 @@ def test_budget_allocation_water_filling_properties(spark, sf_dir):
     # every capped source is at least as large as every uncapped one's
     # allocation level
     assert min(r["t_tokens"] for r in capped) > min(levels) - 1
+
+
+def test_curriculum_interleave_stride_property(spark, sf_dir):
+    """Stride guarantee: in the vt order, any prefix up to virtual
+    time V contains ~V * t_s / SCALE docs of each source (within the
+    integer-floor slack), i.e. sources are proportionally interleaved
+    rather than concatenated."""
+    from vizlinc_ingester_spark.suite.curation import (
+        INTERLEAVE_SCALE,
+        q_curriculum_interleave,
+    )
+
+    rows = q_curriculum_interleave(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    # reconstruct t_tokens from any row: vt = rn * SCALE div t
+    # -> with rn=1: t in (SCALE/(vt+1), SCALE/vt]; use exact recompute
+    import pyspark.sql.functions as F2
+    from vizlinc_ingester_spark.functions import text as tx
+
+    t_tokens = {
+        r["source"]: r["t"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F2.sum(tx.whitespace_token_count(F2.col("text"))).alias("t"))
+        .collect()
+    }
+    all_vt = sorted(r["vt"] for r in rows)
+    for V in [all_vt[len(all_vt) // 4], all_vt[len(all_vt) // 2]]:
+        for s, members in by_src.items():
+            got = sum(1 for r in members if r["vt"] <= V)
+            expect = min(len(members), V * t_tokens[s] // INTERLEAVE_SCALE)
+            assert abs(got - expect) <= 2, (s, V, got, expect)
+    # vt is monotone in rn within each source, and the seeded shuffle
+    # is deterministic (same doc -> same rank across calls)
+    again = {
+        (r["doc_id"]): r["rn"]
+        for r in q_curriculum_interleave(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert again[r["doc_id"]] == r["rn"]
+
+
+def test_streaming_quality_report_matches_batch(spark, sf_dir):
+    """The foreachBatch counter maintenance must equal the one-shot
+    batch rollup exactly (same finalize, same rows)."""
+    from vizlinc_ingester_spark.suite.repetition import (
+        q_source_quality_report,
+    )
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_quality_report,
+    )
+
+    batch = sorted(
+        map(tuple, q_source_quality_report(spark, sf_dir).collect())
+    )
+    stream = sorted(
+        map(tuple, q_streaming_quality_report(spark, sf_dir).collect())
+    )
+    assert batch == stream

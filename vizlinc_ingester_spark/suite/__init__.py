@@ -76,10 +76,10 @@ def collect_suite() -> tuple[
 # semantics were last driver-proven r5 — re-proven here under the
 # de-duplicated dict). Groups (b)/(c) refresh the oldest proven
 # rows: the r3 remainder (bm25_search) and the FULL r4 block (17
-# rows, including every r8 deferral). Group (d) takes 20 of the 42
+# rows, including every r8 deferral). Group (d) takes 18 of the 42
 # r5-proven rows.
 #
-# Outside the window by design (not neglect) — the 22 deferred r5
+# Outside the window by design (not neglect) — the 24 deferred r5
 # rows, all locally re-proven every session by
 # tests/test_oracle_parity.py, several with in-window carriers:
 # across_doc_entities_person_scalable / customer_value_quartiles_
@@ -100,15 +100,19 @@ def collect_suite() -> tuple[
 # across_doc_entities_location (same coref.across_doc_entities core
 # as in-window across_doc_entities_person, differing only in the type
 # constant; their within_doc siblings were r7-proven),
-# customer_order_histogram (TPC-H shape family like the four above).
-# They head the r10 rotation.
+# customer_order_histogram (TPC-H shape family like the four above),
+# decontaminate_ngrams (held-out-fixture machinery shared with
+# r8-proven decontaminate_fuzzy), sn_degrees (degree algebra exercised
+# by in-window sn_triangles and r7-proven sn_kcore/degree-filtered
+# social_network_filtered). They head the r10 rotation.
 DRIVER_WINDOW = [
     # (a) never driver-proven under current semantics: the r9
     # additions + the three rows with no correctness record at all +
     # the shadowed original events_json_extract
     "events_json_rollup", "repetition_stats", "gopher_quality_filter",
     "source_quality_report", "dedup_keep_best",
-    "corpus_budget_allocation",
+    "corpus_budget_allocation", "curriculum_interleave",
+    "streaming_quality_report",
     "ann_ivf_pq", "ann_recall_eval_ivfpq", "kmeans_clusters_vec",
     "streaming_bloom", "events_approx_profile", "events_json_extract",
     # (b) r3 remainder
@@ -122,12 +126,12 @@ DRIVER_WINDOW = [
     "streaming_incremental_dedup", "streaming_range_join",
     "streaming_sessionize_state", "video_frame_sample",
     "within_doc_entities_person_simple",
-    # (d) r5 block, 20 of 42 (deferrals documented above)
+    # (d) r5 block, 18 of 42 (deferrals documented above)
     "across_doc_entities_person", "created_by_filter", "curation_funnel",
-    "decontaminate_ngrams", "doc_chunking",
+    "doc_chunking",
     "events_asof_join", "events_range_join", "events_rollup",
     "events_sessionize", "events_stratified_sample",
     "events_tumbling_window", "gazetteer_join", "lm_doc_scores",
     "node_id_dump", "pii_redact", "pq_codebooks",
-    "sequence_packing", "sn_degrees", "sn_pagerank", "sn_triangles",
+    "sequence_packing", "sn_pagerank", "sn_triangles",
 ]

@@ -1370,3 +1370,91 @@ ORDER BY source
 
 QUERIES["corpus_budget_allocation"] = q_corpus_budget_allocation
 ORACLES["corpus_budget_allocation"] = _budget_oracle()
+
+
+# --- deterministic source-interleaved curriculum order (round 9) ----------
+
+INTERLEAVE_SEED = "vl-interleave-1"
+INTERLEAVE_SCALE = 1_000_000_000  # vt units; rn * SCALE stays in int64
+#                                   for rn <= 9.2e9 (any real corpus's
+#                                   per-source doc count)
+
+
+def q_curriculum_interleave(spark, sf_dir):
+    """Deterministic proportional source interleaving — stride
+    scheduling (Waldspurger & Weihl 1995) applied to training-data
+    ordering: within each source, docs get a seeded-shuffle rank
+    rn = 1, 2, ...; the global reading order is ascending virtual time
+
+        vt = rn * INTERLEAVE_SCALE div t_tokens(source)
+
+    so a source holding fraction f of the corpus tokens occupies ~f of
+    every prefix of the stream (its docs land every 1/f-th slot) — the
+    reproducible interleave data loaders need instead of a random
+    global shuffle that must be re-materialized to change the mix.
+    The operator emits the ORDER KEY (vt, source, rn — a total order),
+    not a materialized ordinal: consumers sort on it (a distributed
+    range sort), and if ordinals are required the manifest's bucketed
+    offset pattern applies (training_manifest shows it gated). All
+    integer; ties across sources broken by (source, rn) — documented.
+
+    Plan at 100 TB: per-source token totals are one map-side agg; the
+    within-source rank is a window keyed on source (bounded groups —
+    and a skewed mega-source ranks by seeded hash, not by any hot
+    key); vt is scan-stage arithmetic. No global window anywhere."""
+    from pyspark.sql import Window
+
+    from ..functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    t = d.groupBy("source").agg(
+        F.sum(tx.whitespace_token_count(F.col("text")))
+        .cast("long")
+        .alias("t_tokens")
+    )
+    hs = F.md5(
+        F.concat(
+            F.lit(INTERLEAVE_SEED + ":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        d.select("doc_id", "source", hs.alias("h"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(t), "source")
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rn",
+        F.expr(f"(rn * {INTERLEAVE_SCALE}) div t_tokens")
+        .cast("long")
+        .alias("vt"),
+    )
+
+
+def _interleave_oracle() -> str:
+    from ..functions import text as tx
+
+    tc = tx.sql_whitespace_token_count("text")
+    return f"""
+WITH t AS (
+  SELECT source, CAST(sum({tc}) AS BIGINT) AS t_tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('{INTERLEAVE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rn,
+       CAST((r.rn * {INTERLEAVE_SCALE}) // t.t_tokens AS BIGINT) AS vt
+FROM ranked r JOIN t ON r.source = t.source
+"""
+
+
+QUERIES["curriculum_interleave"] = q_curriculum_interleave
+ORACLES["curriculum_interleave"] = _interleave_oracle()

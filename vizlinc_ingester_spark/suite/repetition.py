@@ -84,12 +84,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _inject_repetition(d: DataFrame) -> DataFrame:
     """documents with a partial self-repetition injected into every
     REPEAT_MOD-th doc (module docstring). Token source of truth is the
     single-space split with empties dropped — the corpus's own
-    tokenization (bm25/simjoin precedent)."""
-    d = _docs(spark, sf_dir)
+    tokenization (bm25/simjoin precedent). Takes the docs RELATION
+    (not a path) so the streaming per-batch maintenance reuses the
+    identical gating."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     head = F.concat_ws(" ", F.slice(toks, 1, REPEAT_SLICE))
     return d.select(
@@ -101,6 +102,10 @@ def _gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+
+
+def _gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _inject_repetition(_docs(spark, sf_dir))
 
 
 def _grams(base: DataFrame, n: int) -> DataFrame:
@@ -135,7 +140,10 @@ def _repetition_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) instead of 5x, with zero join-backs. A/B warm best-of-3 at
     sf0.1, same session config (PLANS.md r9): repetition_stats
     1.92 -> 1.38 s, gopher_quality_filter 2.10 -> 1.53 s."""
-    corpus = _gated_corpus(spark, sf_dir)
+    return _repetition_core_corpus(_gated_corpus(spark, sf_dir))
+
+
+def _repetition_core_corpus(corpus: DataFrame) -> DataFrame:
     base = corpus.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
@@ -209,7 +217,17 @@ def q_gopher_quality_filter(spark, sf_dir):
     just the conjunction) plus the final keep. All rule inputs are
     exact integers; mean word length is micro-chars via integer
     divide (floor — both engines)."""
-    corpus = _gated_corpus(spark, sf_dir)
+    return gopher_flags(_docs(spark, sf_dir))
+
+
+def gopher_flags(d: DataFrame) -> DataFrame:
+    """Per-doc rule flags for an arbitrary docs relation (doc_id,
+    text, ...) — the relation-level form the streaming per-batch
+    maintenance calls; q_gopher_quality_filter is this over the full
+    corpus. Flags depend on the document ALONE (every rule is
+    per-doc), which is exactly what makes the per-source counters
+    mergeable across micro-batches."""
+    corpus = _inject_repetition(d)
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = corpus.select(
         "doc_id",
@@ -226,7 +244,7 @@ def q_gopher_quality_filter(spark, sf_dir):
         F.expr("n_word_chars * 1000000 div n_words").alias("mean_wlen_micro"),
         "stop_hits",
     )
-    rep = _repetition_core(spark, sf_dir).select(
+    rep = _repetition_core_corpus(corpus).select(
         "doc_id", "top2_cov_micro", "dup5_rate_micro"
     )
     j = base.join(rep, "doc_id")
@@ -378,8 +396,24 @@ def q_source_quality_report(spark, sf_dir):
     is a map-side-combinable aggregate on a source-bounded group
     space. mean_dup5_micro is an exact integer div, floor on both
     engines."""
-    flags = q_gopher_quality_filter(spark, sf_dir)
-    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return quality_finalize(quality_counters(_docs(spark, sf_dir)))
+
+
+QUALITY_COUNTER_COLS = [
+    "n_docs", "n_kept", "n_fail_words", "n_fail_stop",
+    "n_fail_top2", "n_fail_dup5", "sum_dup5",
+]
+
+
+def quality_counters(d: DataFrame) -> DataFrame:
+    """Per-source ADDITIVE counters over an arbitrary docs relation —
+    each column is a plain sum over per-doc quantities, so counters
+    from disjoint batches merge by per-source summation
+    (``merge_quality_counters``): the property the streaming at-ingest
+    maintenance relies on, and the map-side-combine property the
+    batch rollup relies on — same algebra, two execution modes."""
+    flags = gopher_flags(d)
+    src = d.select("doc_id", "source")
     cnt = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long")
     return (
         flags.join(src, "doc_id")
@@ -395,13 +429,26 @@ def q_source_quality_report(spark, sf_dir):
             cnt("ok_dup5").alias("n_fail_dup5"),
             F.sum("dup5_rate_micro").cast("long").alias("sum_dup5"),
         )
-        .select(
-            "source", "n_docs", "n_kept", "n_fail_words", "n_fail_stop",
-            "n_fail_top2", "n_fail_dup5",
-            F.expr("sum_dup5 div n_docs").cast("long").alias("mean_dup5_micro"),
-        )
-        .orderBy("source")
     )
+
+
+def merge_quality_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter merge = per-source summation (disjoint-batch algebra)."""
+    return (
+        a.unionByName(b)
+        .groupBy("source")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in QUALITY_COUNTER_COLS])
+    )
+
+
+def quality_finalize(counters: DataFrame) -> DataFrame:
+    """Counters -> the report shape (mean is derived at FINALIZE from
+    the additive sum/count pair, never maintained directly)."""
+    return counters.select(
+        "source", "n_docs", "n_kept", "n_fail_words", "n_fail_stop",
+        "n_fail_top2", "n_fail_dup5",
+        F.expr("sum_dup5 div n_docs").cast("long").alias("mean_dup5_micro"),
+    ).orderBy("source")
 
 
 ORACLE_SOURCE_QUALITY = f"""

@@ -651,3 +651,74 @@ def _bloom_batch_oracle() -> str:
 
 
 ORACLES["streaming_bloom"] = _bloom_batch_oracle()
+
+
+def q_streaming_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest maintenance of the per-source quality dashboard under
+    the SAME oracle as the batch ``source_quality_report``: documents
+    arrive as two micro-batches (doc_id parity), each ``foreachBatch``
+    computes the batch's per-source ADDITIVE counters
+    (repetition.quality_counters — every Gopher rule is per-doc, so
+    disjoint batches contribute independent counter rows) and folds
+    them into the store by per-source summation
+    (repetition.merge_quality_counters); the final finalize (mean from
+    the sum/count pair) must hash-match the one-shot batch rollup.
+    Third member of the mergeable-maintenance family (KMV, Bloom —
+    this one is the trivially-additive end of the spectrum, which is
+    the point: the dashboard costs one batch-local rollup per trigger
+    and per-source state forever, no corpus re-scan)."""
+    from .repetition import (
+        QUALITY_COUNTER_COLS,
+        merge_quality_counters,
+        quality_counters,
+        quality_finalize,
+    )
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = tempfile.mkdtemp(prefix="vl_stream_quality_")
+    work = tempfile.mkdtemp(prefix="vl_stream_quality_work_")
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stores: list[str] = []
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        cnts = quality_counters(batch)
+        if stores:
+            cnts = merge_quality_counters(
+                cnts, spark.read.parquet(stores[-1])
+            )
+        path = os.path.join(work, f"counters_{batch_id}")
+        cnts.select("source", *QUALITY_COUNTER_COLS).write.mode(
+            "overwrite"
+        ).parquet(path)
+        stores.append(path)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return quality_finalize(spark.read.parquet(stores[-1]))
+
+
+QUERIES["streaming_quality_report"] = q_streaming_quality_report
+
+
+def _quality_batch_oracle() -> str:
+    from .repetition import ORACLES as REP_ORACLES
+
+    return REP_ORACLES["source_quality_report"]
+
+
+ORACLES["streaming_quality_report"] = _quality_batch_oracle()
