@@ -678,6 +678,56 @@ def main() -> None:
         probe_lpa(spark)
     if which in ("kmeans", "all"):
         probe_kmeans(spark)
+    if which in ("repetition", "all"):
+        probe_repetition(spark)
+
+
+
+def probe_repetition(spark, reps: int = 10) -> None:
+    """Mega-doc skew regime for the repetition coverage core: the
+    per-doc windows put ALL of a document's gram rows in one task, so
+    a single pathological giant doc is the worst case (r9 question).
+    Two corpora, same total token volume (~2.6M tokens): UNIFORM =
+    26k docs x 100 tokens; MEGADOC = the same plus ONE 1M-token doc
+    with heavy internal repetition (vocab 1k, so dup-gram density is
+    real). Measures whether the single hot partition stalls the stage
+    wall-clock relative to the uniform baseline."""
+    import random
+
+    from vizlinc_ingester_spark.suite.repetition import (
+        _inject_repetition,
+        _repetition_core_corpus,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(5000)]
+    uniform = [
+        (i, " ".join(rng.choice(vocab) for _ in range(100)))
+        for i in range(26_000)
+    ]
+    small_vocab = [f"m{i}" for i in range(1_000)]
+    mega = (10_000_001, " ".join(rng.choice(small_vocab) for _ in range(1_000_000)))
+
+    def run(rows, detail):
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = _inject_repetition(d)
+        _noop(_repetition_core_corpus(corpus))  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _noop(_repetition_core_corpus(corpus))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"PROBE repetition {best:.1f} {detail}", flush=True)
+        return best
+
+    b_uni = run(uniform, "uniform 26k x 100 tokens")
+    b_mega = run(uniform + [mega], "uniform + one 1M-token mega-doc")
+    print(
+        f"PROBE repetition ratio {b_mega / b_uni:.2f} "
+        "(mega-doc stage penalty)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
