@@ -101,6 +101,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "ann_ivf_pq",
     "ann_recall_eval_ivfpq",
+    "ann_ivf_pq_rerank",
     "source_quality_report",
     "dedup_keep_best",
     "corpus_budget_allocation",

@@ -315,3 +315,56 @@ def test_streaming_quality_report_matches_batch(spark, sf_dir):
         map(tuple, q_streaming_quality_report(spark, sf_dir).collect())
     )
     assert batch == stream
+
+
+def test_ann_ivf_pq_rerank_semantics(spark, sf_dir):
+    """Reranked output is a subset of the ADC shortlist, ordered by
+    EXACT cosine (ranks dense per query), and its recall against
+    exact truth is >= the unranked IVFADC top-K recall (rerank can
+    re-order but never discards a shortlisted true neighbor)."""
+    from pyspark.sql import Window
+
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    out = sim.q_ann_ivf_pq_rerank(spark, sf_dir).collect()
+    assert out
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("cand_id")
+    )
+    shortlist = {
+        (r["query_id"], r["cand_id"])
+        for r in sim._ivf_pq_scored(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= sim.RERANK_C)
+        .collect()
+    }
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in out:
+        assert (r["query_id"], r["cand_id"]) in shortlist
+        per_q[r["query_id"]].append((r["rank"], r["cos_micro"]))
+    for qid, rr in per_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, len(rr) + 1))
+        assert all(rr[i][1] >= rr[i + 1][1] for i in range(len(rr) - 1))
+
+    truth = (
+        sim.q_ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= sim.RECALL_K)
+        .select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    )
+    rr_rerank = sim._recall_metrics(
+        truth,
+        sim.q_ann_ivf_pq_rerank(spark, sf_dir).select(
+            "query_id", "cand_id", F.col("rank").alias("a_rank")
+        ),
+    ).collect()
+    rr_plain = sim._recall_metrics(
+        truth,
+        sim.q_ann_ivf_pq(spark, sf_dir).select(
+            "query_id", "cand_id", F.col("rnk").alias("a_rank")
+        ),
+    ).collect()
+    mean = lambda rows: sum(r["recall_micro"] for r in rows) / len(rows)
+    assert mean(rr_rerank) >= mean(rr_plain)

@@ -76,10 +76,10 @@ def collect_suite() -> tuple[
 # semantics were last driver-proven r5 — re-proven here under the
 # de-duplicated dict). Groups (b)/(c) refresh the oldest proven
 # rows: the r3 remainder (bm25_search) and the FULL r4 block (17
-# rows, including every r8 deferral). Group (d) takes 18 of the 42
+# rows, including every r8 deferral). Group (d) takes 17 of the 42
 # r5-proven rows.
 #
-# Outside the window by design (not neglect) — the 24 deferred r5
+# Outside the window by design (not neglect) — the 25 deferred r5
 # rows, all locally re-proven every session by
 # tests/test_oracle_parity.py, several with in-window carriers:
 # across_doc_entities_person_scalable / customer_value_quartiles_
@@ -104,7 +104,10 @@ def collect_suite() -> tuple[
 # decontaminate_ngrams (held-out-fixture machinery shared with
 # r8-proven decontaminate_fuzzy), sn_degrees (degree algebra exercised
 # by in-window sn_triangles and r7-proven sn_kcore/degree-filtered
-# social_network_filtered). They head the r10 rotation.
+# social_network_filtered), created_by_filter (the suite's simplest
+# relational filter — r5-proven, re-proven locally every session; no
+# structural carrier, first in the r10 queue for that reason). They
+# head the r10 rotation.
 DRIVER_WINDOW = [
     # (a) never driver-proven under current semantics: the r9
     # additions + the three rows with no correctness record at all +
@@ -113,7 +116,8 @@ DRIVER_WINDOW = [
     "source_quality_report", "dedup_keep_best",
     "corpus_budget_allocation", "curriculum_interleave",
     "streaming_quality_report",
-    "ann_ivf_pq", "ann_recall_eval_ivfpq", "kmeans_clusters_vec",
+    "ann_ivf_pq", "ann_recall_eval_ivfpq", "ann_ivf_pq_rerank",
+    "kmeans_clusters_vec",
     "streaming_bloom", "events_approx_profile", "events_json_extract",
     # (b) r3 remainder
     "bm25_search",
@@ -126,8 +130,8 @@ DRIVER_WINDOW = [
     "streaming_incremental_dedup", "streaming_range_join",
     "streaming_sessionize_state", "video_frame_sample",
     "within_doc_entities_person_simple",
-    # (d) r5 block, 18 of 42 (deferrals documented above)
-    "across_doc_entities_person", "created_by_filter", "curation_funnel",
+    # (d) r5 block, 17 of 42 (deferrals documented above)
+    "across_doc_entities_person", "curation_funnel",
     "doc_chunking",
     "events_asof_join", "events_range_join", "events_rollup",
     "events_sessionize", "events_stratified_sample",
