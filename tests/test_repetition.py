@@ -368,3 +368,45 @@ def test_ann_ivf_pq_rerank_semantics(spark, sf_dir):
     ).collect()
     mean = lambda rows: sum(r["recall_micro"] for r in rows) / len(rows)
     assert mean(rr_rerank) >= mean(rr_plain)
+
+
+def test_r9_plan_shapes(spark, sf_dir):
+    """Physical-plan guards for the r9 scale claims:
+    - curriculum_interleave: NO SinglePartition exchange anywhere (its
+      docstring promises no global window — the ordinal-free design);
+    - repetition core: the gram streams cluster on doc_id, so the plan
+      must contain no SinglePartition exchange either;
+    - corpus_budget_allocation: single-partition windows are the
+      DOCUMENTED tiny-relation stance (n_sources rows), but they must
+      sit above the per-source aggregate, never on the corpus scan —
+      asserted by checking the plan still contains the hash exchange
+      for the groupBy below them."""
+    from vizlinc_ingester_spark.suite.curation import (
+        q_corpus_budget_allocation,
+        q_curriculum_interleave,
+    )
+    from vizlinc_ingester_spark.suite.repetition import q_repetition_stats
+
+    plan = (
+        q_curriculum_interleave(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan[:4000]
+
+    plan_rep = (
+        q_repetition_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan_rep, plan_rep[:4000]
+
+    plan_b = (
+        q_corpus_budget_allocation(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(source" in plan_b, plan_b[:4000]
