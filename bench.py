@@ -106,6 +106,7 @@ HEADLINE = [
     "dedup_keep_best",
     "corpus_budget_allocation",
     "curriculum_interleave",
+    "perplexity_buckets",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -410,3 +410,37 @@ def test_r9_plan_shapes(spark, sf_dir):
         .toString()
     )
     assert "hashpartitioning(source" in plan_b, plan_b[:4000]
+
+
+def test_perplexity_buckets_no_single_partition_and_exact(spark, sf_dir):
+    """The decile assignment must plan with no SinglePartition
+    exchange (scale claim), produce equal-size deciles on a unique
+    sort key, and be monotone: a doc in a lower decile never has a
+    higher avg_nll than one in a higher decile (ties aside)."""
+    from vizlinc_ingester_spark.suite.textstats import q_perplexity_buckets
+
+    df = q_perplexity_buckets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the ONLY SinglePartition allowed is the LM's 1-row scalar
+    # aggregate (vocab size V — a map-side-combined global reduce);
+    # the decile itself must come from broadcast boundary comparisons,
+    # never a global window/ntile, so no Window operator may appear
+    assert "Window" not in plan, plan[:4000]
+    for frag in plan.split("SinglePartition")[1:]:
+        # every SinglePartition exchange must feed a HashAggregate
+        # (the scalar reduce), not a Sort/Window
+        head = frag[:400]
+        assert "Sort" not in head.split("HashAggregate")[0], plan[:4000]
+    rows = df.collect()
+    n = len(rows)
+    from collections import Counter
+
+    sizes = Counter(r["decile"] for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    lo = {d: min(r["avg_nll_micro"] for r in rows if r["decile"] == d)
+          for d in sizes}
+    hi = {d: max(r["avg_nll_micro"] for r in rows if r["decile"] == d)
+          for d in sizes}
+    for d in range(1, 10):
+        assert hi[d] <= lo[d + 1] or hi[d] == lo[d + 1], (d, hi[d], lo[d + 1])

@@ -76,10 +76,10 @@ def collect_suite() -> tuple[
 # semantics were last driver-proven r5 — re-proven here under the
 # de-duplicated dict). Groups (b)/(c) refresh the oldest proven
 # rows: the r3 remainder (bm25_search) and the FULL r4 block (17
-# rows, including every r8 deferral). Group (d) takes 17 of the 42
+# rows, including every r8 deferral). Group (d) takes 16 of the 42
 # r5-proven rows.
 #
-# Outside the window by design (not neglect) — the 25 deferred r5
+# Outside the window by design (not neglect) — the 26 deferred r5
 # rows, all locally re-proven every session by
 # tests/test_oracle_parity.py, several with in-window carriers:
 # across_doc_entities_person_scalable / customer_value_quartiles_
@@ -106,8 +106,10 @@ def collect_suite() -> tuple[
 # by in-window sn_triangles and r7-proven sn_kcore/degree-filtered
 # social_network_filtered), created_by_filter (the suite's simplest
 # relational filter — r5-proven, re-proven locally every session; no
-# structural carrier, first in the r10 queue for that reason). They
-# head the r10 rotation.
+# structural carrier, first in the r10 queue for that reason),
+# lm_doc_scores (its ENTIRE scoring lineage runs verbatim inside
+# in-window perplexity_buckets — the strongest carrier in the list).
+# They head the r10 rotation.
 DRIVER_WINDOW = [
     # (a) never driver-proven under current semantics: the r9
     # additions + the three rows with no correctness record at all +
@@ -115,7 +117,7 @@ DRIVER_WINDOW = [
     "events_json_rollup", "repetition_stats", "gopher_quality_filter",
     "source_quality_report", "dedup_keep_best",
     "corpus_budget_allocation", "curriculum_interleave",
-    "streaming_quality_report",
+    "streaming_quality_report", "perplexity_buckets",
     "ann_ivf_pq", "ann_recall_eval_ivfpq", "ann_ivf_pq_rerank",
     "kmeans_clusters_vec",
     "streaming_bloom", "events_approx_profile", "events_json_extract",
@@ -130,12 +132,12 @@ DRIVER_WINDOW = [
     "streaming_incremental_dedup", "streaming_range_join",
     "streaming_sessionize_state", "video_frame_sample",
     "within_doc_entities_person_simple",
-    # (d) r5 block, 17 of 42 (deferrals documented above)
+    # (d) r5 block, 16 of 42 (deferrals documented above)
     "across_doc_entities_person", "curation_funnel",
     "doc_chunking",
     "events_asof_join", "events_range_join", "events_rollup",
     "events_sessionize", "events_stratified_sample",
-    "events_tumbling_window", "gazetteer_join", "lm_doc_scores",
+    "events_tumbling_window", "gazetteer_join",
     "node_id_dump", "pii_redact", "pq_codebooks",
     "sequence_packing", "sn_pagerank", "sn_triangles",
 ]

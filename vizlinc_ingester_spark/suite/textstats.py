@@ -1100,3 +1100,72 @@ FROM terms GROUP BY source
 
 QUERIES["source_drift_kl"] = q_source_drift_kl
 ORACLES["source_drift_kl"] = ORACLE_SOURCE_DRIFT
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """Exact perplexity-decile assignment — the binning step of
+    LM-quality curation (CCNet buckets the corpus by LM perplexity
+    and samples per bucket; the bucket boundary must be an EXACT
+    order statistic or the recipe is irreproducible across runs):
+    every doc's bigram-LM score (the gated ``lm_doc_scores`` lineage,
+    verbatim) is placed into ntile(10) deciles of
+    (avg_nll_micro asc, doc_id asc) — decile 1 = most probable text.
+
+    Scale form, not the window form: boundary keys come from
+    operators/selection.exact_rank_keys (range shuffle + metadata
+    jobs — the customer_value_quartiles_scalable machinery), and each
+    row places itself against the 9 broadcast boundary literals in
+    the scan stage. No Window operator and no single-partition SORT
+    anywhere (the plan's only SinglePartition exchange is the LM's
+    1-row vocabulary-size scalar reduce, which is map-side combined —
+    tests/test_repetition.py pins exactly this shape); the oracle is
+    DuckDB's real ntile(10), so the hash match proves the distributed
+    selection reproduces the global window exactly (the sort key is
+    unique, so assignment is deterministic)."""
+    from ..operators.selection import exact_rank_keys, ntile_boundaries
+
+    scores = q_lm_doc_scores(spark, sf_dir).select(
+        "doc_id", "avg_nll_micro"
+    )
+    scores = scores.persist()
+    try:
+        n = scores.count()
+        if n == 0:
+            return scores.select(
+                "doc_id", "avg_nll_micro", F.lit(1).alias("decile")
+            ).limit(0)
+        bounds = exact_rank_keys(
+            scores,
+            [F.asc("avg_nll_micro"), F.asc("doc_id")],
+            ntile_boundaries(n, 10),
+        )
+    finally:
+        scores.unpersist()
+    after = [
+        (F.col("avg_nll_micro") > b["avg_nll_micro"])
+        | (
+            (F.col("avg_nll_micro") == b["avg_nll_micro"])
+            & (F.col("doc_id") > b["doc_id"])
+        )
+        for b in bounds
+    ]
+    decile = F.lit(1)
+    for a in after:
+        decile = decile + a.cast("int")
+    return q_lm_doc_scores(spark, sf_dir).select(
+        "doc_id", "avg_nll_micro", decile.cast("int").alias("decile")
+    )
+
+
+ORACLE_PERPLEXITY_BUCKETS = f"""
+WITH scores AS (
+  SELECT doc_id, avg_nll_micro FROM ({ORACLE_LM_DOC_SCORES.strip()}) s
+)
+SELECT doc_id, avg_nll_micro,
+       CAST(ntile(10) OVER (ORDER BY avg_nll_micro ASC, doc_id ASC)
+            AS INT) AS decile
+FROM scores
+"""
+
+QUERIES["perplexity_buckets"] = q_perplexity_buckets
+ORACLES["perplexity_buckets"] = ORACLE_PERPLEXITY_BUCKETS
