@@ -444,3 +444,49 @@ def test_perplexity_buckets_no_single_partition_and_exact(spark, sf_dir):
           for d in sizes}
     for d in range(1, 10):
         assert hi[d] <= lo[d + 1] or hi[d] == lo[d + 1], (d, hi[d], lo[d + 1])
+
+
+def test_empty_doc_survives_repetition_core(spark):
+    """Empty / whitespace-only docs must flow through the repetition
+    core with zeroed measures instead of tripping Spark 4's ANSI
+    div-by-zero (DuckDB would yield NULL for the same expression —
+    the divergence the CASE guards exist for)."""
+    d = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, "a b c")], "doc_id long, text string"
+    )
+    from vizlinc_ingester_spark.suite.repetition import (
+        _repetition_core_corpus,
+        gopher_flags,
+    )
+
+    rows = {r["doc_id"]: r for r in _repetition_core_corpus(d).collect()}
+    assert rows[1]["n_tokens"] == 0
+    assert rows[1]["top2_cov_micro"] == 0
+    assert rows[1]["dup5_rate_micro"] == 0
+    assert rows[3]["n_tokens"] == 3
+
+    flags = {r["doc_id"]: r for r in gopher_flags(d).collect()}
+    assert flags[2]["mean_wlen_micro"] == 0
+    assert not flags[2]["keep"]
+
+
+def test_zero_token_source_dropped_from_interleave(spark, tmp_path):
+    """A source whose every doc is empty has nothing to schedule —
+    it must be dropped (not crash the vt division)."""
+    import os
+
+    from vizlinc_ingester_spark.suite.curation import q_curriculum_interleave
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "live", 5),
+            (2, "d e", "en", "live", 3),
+            (3, "", "en", "ghost", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = str(tmp_path / "corpus")
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = q_curriculum_interleave(spark, tmp).collect()
+    assert {r["source"] for r in rows} == {"live"}
+    assert len(rows) == 2

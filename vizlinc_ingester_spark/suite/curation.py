@@ -1418,10 +1418,14 @@ def q_curriculum_interleave(spark, sf_dir):
         ).cast("binary")
     )
     w = Window.partitionBy("source").orderBy("h", "doc_id")
+    # zero-token sources have nothing to schedule; dropping them also
+    # guards the vt division (Spark 4 ANSI throws on div-by-zero,
+    # DuckDB yields NULL — an unguarded join would crash here and
+    # silently diverge there on a pathological fixture)
     ranked = (
         d.select("doc_id", "source", hs.alias("h"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(t), "source")
+        .join(F.broadcast(t.filter(F.col("t_tokens") > 0)), "source")
     )
     return ranked.select(
         "doc_id",
@@ -1453,6 +1457,7 @@ ranked AS (
 SELECT r.doc_id, r.source, r.rn,
        CAST((r.rn * {INTERLEAVE_SCALE}) // t.t_tokens AS BIGINT) AS vt
 FROM ranked r JOIN t ON r.source = t.source
+WHERE t.t_tokens > 0
 """
 
 

@@ -194,12 +194,18 @@ def _repetition_core_corpus(corpus: DataFrame) -> DataFrame:
             "n_tokens",
             F.coalesce("top2_gram", F.lit("")).alias("top2_gram"),
             F.coalesce("c", F.lit(0)).cast("long").alias("top2_cnt"),
-            F.expr("coalesce(cov2, 0L) * 1000000 div n_tokens")
-            .cast("long")
-            .alias("top2_cov_micro"),
-            F.expr("coalesce(cov5, 0L) * 1000000 div n_tokens")
-            .cast("long")
-            .alias("dup5_rate_micro"),
+            # n_tokens = 0 guard (empty/whitespace-only doc): Spark 4
+            # ANSI mode THROWS on div-by-zero while DuckDB yields
+            # NULL — an unguarded div would crash here and silently
+            # diverge there on a future regenerated fixture
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0L "
+                "ELSE coalesce(cov2, 0L) * 1000000 div n_tokens END"
+            ).cast("long").alias("top2_cov_micro"),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0L "
+                "ELSE coalesce(cov5, 0L) * 1000000 div n_tokens END"
+            ).cast("long").alias("dup5_rate_micro"),
         )
     )
 
@@ -241,7 +247,10 @@ def gopher_flags(d: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "n_words",
-        F.expr("n_word_chars * 1000000 div n_words").alias("mean_wlen_micro"),
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0L "
+            "ELSE n_word_chars * 1000000 div n_words END"
+        ).alias("mean_wlen_micro"),
         "stop_hits",
     )
     rep = _repetition_core_corpus(corpus).select(
@@ -332,10 +341,12 @@ rep AS (
   SELECT b.doc_id, b.n_tokens,
          coalesce(t2.gram, '') AS top2_gram,
          CAST(coalesce(t2.c, 0) AS BIGINT) AS top2_cnt,
-         CAST(coalesce(c2.covered, 0) * 1000000 // b.n_tokens AS BIGINT)
-           AS top2_cov_micro,
-         CAST(coalesce(c5.covered, 0) * 1000000 // b.n_tokens AS BIGINT)
-           AS dup5_rate_micro
+         CAST(CASE WHEN b.n_tokens = 0 THEN 0
+                   ELSE coalesce(c2.covered, 0) * 1000000 // b.n_tokens END
+           AS BIGINT) AS top2_cov_micro,
+         CAST(CASE WHEN b.n_tokens = 0 THEN 0
+                   ELSE coalesce(c5.covered, 0) * 1000000 // b.n_tokens END
+           AS BIGINT) AS dup5_rate_micro
   FROM base b
   LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
   LEFT JOIN cov2 c2 ON b.doc_id = c2.doc_id
@@ -352,8 +363,10 @@ ORACLE_GOPHER_QUALITY = f"""WITH {_SQL_REP_CORE},
 q AS (
   SELECT doc_id,
          CAST(len(t) AS BIGINT) AS n_words,
-         CAST(list_sum(list_transform(t, x -> len(x)))
-              * 1000000 // len(t) AS BIGINT) AS mean_wlen_micro,
+         CAST(CASE WHEN len(t) = 0 THEN 0
+                   ELSE coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+                        * 1000000 // len(t) END AS BIGINT)
+           AS mean_wlen_micro,
          CAST({tx.sql_stopword_hits(tx.sql_tokens("text"), "en")} AS BIGINT)
            AS stop_hits
   FROM (SELECT doc_id, text, {_SQL_TOKS} AS t FROM corpus)
