@@ -107,6 +107,10 @@ HEADLINE = [
     "corpus_budget_allocation",
     "curriculum_interleave",
     "perplexity_buckets",
+    # round-10 operators: HMM Viterbi sequence decoding (train +
+    # decode under the gate), per-language curriculum strata
+    "ner_learned_viterbi",
+    "curriculum_interleave_lang",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first
@@ -198,18 +202,40 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": float(sf),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": float(sf),
+    }
+    line = json.dumps(full)
+    print(line)
+    # Tail-proofing (judge r9 item 3): the driver records only the
+    # last ~2000 chars of stdout and parses a JSON line out of that
+    # tail. With 78+ headline rows the full per-query line exceeds
+    # the tail, so its start is cut off and the round's headline
+    # total goes unrecorded (BENCH_r09 parsed: null). When the full
+    # line is too long, ALSO print a compact summary line LAST —
+    # same metric/value/unit/sf, error count, and as many of the
+    # slowest per-query rows as fit in a guaranteed-parseable line.
+    if len(line) > 1900:
+        compact = {
+            "metric": full["metric"],
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "queries": {},
+        }
+        for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+            compact["queries"][name] = secs
+            if len(json.dumps(compact)) > 1700:
+                del compact["queries"][name]
+                break
+        print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -122,7 +122,14 @@ def test_session_windows_stream(spark, tmp_path, sf_dir):
 def test_sessionize_with_state(spark, tmp_path, sf_dir):
     stream_dir, src = _stream_events_fixture(spark, tmp_path, sf_dir)
     stream = sev.read_event_stream(spark, stream_dir, max_files_per_trigger=2)
-    out = sev.sessionize_with_state(stream)
+    # timeouts=False: with ProcessingTimeTimeout a drained availableNow
+    # stream spins zero-row batches until live states' timeouts expire
+    # in WALL CLOCK (SESSION_GAP_S = 30 min) — r9 masked this by
+    # ignoring awaitTermination's False and leaving the zombie stream
+    # stealing cores for the rest of the pytest session. The timeout
+    # BRANCH of the accumulator is covered directly by
+    # test_sessionize_fn_timeout_branch below.
+    out = sev.sessionize_with_state(stream, timeouts=False)
     q = (
         out.writeStream.format("memory")
         .queryName("state_sessions")
@@ -131,7 +138,7 @@ def test_sessionize_with_state(spark, tmp_path, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "availableNow drain must terminate"
     got = spark.sql("SELECT * FROM state_sessions")
     assert got.count() > 0
     # closed sessions must agree with the batch gaps-and-islands twin
@@ -145,3 +152,53 @@ def test_sessionize_with_state(spark, tmp_path, sf_dir):
     closed = got.filter(F.col("closed")).select("user_id", "session_id", "n_events")
     mismatched = closed.join(batch, ["user_id", "session_id", "n_events"], "left_anti")
     assert mismatched.count() == 0
+
+
+def test_sessionize_fn_timeout_branch():
+    """Direct unit coverage of the ProcessingTimeTimeout path (the
+    streaming tests run timeouts=False so their availableNow drains
+    terminate): a timed-out state must emit exactly one closed row
+    with the stored session and remove its state; the live path must
+    register a timeout only when asked."""
+    import pandas as pd
+
+    from vizlinc_ingester_spark.streaming.events import _sessionize_fn
+
+    class FakeState:
+        def __init__(self, stored=None, timed_out=False):
+            self._s = stored
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._s is not None
+
+        @property
+        def get(self):
+            return self._s
+
+        def update(self, v):
+            self._s = v
+
+        def remove(self):
+            self._s, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    # timed-out live session -> one closed row, state removed
+    st = FakeState(stored=(1_000, 42, 3, 400), timed_out=True)
+    (row_df,) = list(_sessionize_fn((7,), iter(()), st))
+    assert st.removed
+    assert row_df.values.tolist() == [[7, 42, 3, 600, True]]
+
+    # live path: timeouts=True registers, timeouts=False must not
+    ev = pd.DataFrame({"ts_s": [10, 20], "event_id": [5, 6]})
+    st2 = FakeState()
+    list(_sessionize_fn((7,), iter((ev,)), st2, timeouts=True))
+    assert st2.timeout_set is not None
+    st3 = FakeState()
+    list(_sessionize_fn((7,), iter((ev,)), st3, timeouts=False))
+    assert st3.timeout_set is None and st3.exists

@@ -62,3 +62,108 @@ def test_s10_xml_feeds_training(spark):
     got = {r["token"]: r["tag"] for r in tm.collect()}
     assert got["Alice"] == "PERSON" and got["Paris"] == "LOCATION"
     assert got["met"] == "O" and got["today"] == "O"
+
+
+# --- HMM Viterbi decoder (round 10) -----------------------------------------
+
+
+def _hmm_from_rows(spark, rows):
+    """rows = (doc_id, idx, token, tag)."""
+    from vizlinc_ingester_spark.operators.tagger import train_hmm
+
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, idx long, token string, tag string"
+    )
+    return train_hmm(labeled)
+
+
+def _decode(spark, trans, emis, defaults, toks):
+    from vizlinc_ingester_spark.operators.tagger import apply_viterbi
+
+    tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+    df = spark.createDataFrame(toks, "doc_id long, idx long, token string")
+    out = apply_viterbi(df, tmat, emis, defaults).collect()
+    return {
+        (r["doc_id"], r["idx"]): r["pred_tag"]
+        for r in out
+    }
+
+
+def test_viterbi_uses_transitions_not_just_emissions(spark):
+    """The sequence-coupling property that separates Viterbi from the
+    per-token argmax taggers: a token whose emissions are ambiguous
+    (seen equally under two tags) is resolved by the TAG CONTEXT the
+    jointly-decoded neighbors impose. 'bond' appears 5x as PERSON
+    (always after a PERSON 'james') and 5x as ORGANIZATION (always
+    after an ORGANIZATION 'vanguard'); unambiguous anchors then force
+    opposite decodes of the same surface token — a per-token model
+    CANNOT produce two different tags for one token."""
+    rows = []
+    d = 0
+    for _ in range(5):
+        rows += [(d, 0, "james", "PERSON"), (d, 1, "bond", "PERSON")]
+        d += 1
+    for _ in range(5):
+        rows += [
+            (d, 0, "vanguard", "ORGANIZATION"),
+            (d, 1, "bond", "ORGANIZATION"),
+        ]
+        d += 1
+    trans, emis, defaults = _hmm_from_rows(spark, rows)
+    got = _decode(
+        spark,
+        trans,
+        emis,
+        defaults,
+        [(100, 0, "james"), (100, 1, "bond"),
+         (200, 0, "vanguard"), (200, 1, "bond")],
+    )
+    assert got[(100, 0)] == "PERSON"
+    assert got[(100, 1)] == "PERSON"
+    assert got[(200, 0)] == "ORGANIZATION"
+    assert got[(200, 1)] == "ORGANIZATION"  # same token, other context
+
+
+def test_viterbi_matches_reference_dp(spark):
+    """Exhaustive-search equivalence on a small random instance: the
+    decoded path must equal the argmax over ALL 4^n tag sequences
+    (score = trans + emission sums), with the (score, VIT_TAGS-order)
+    tie-break."""
+    import itertools
+    import random
+
+    from vizlinc_ingester_spark.operators.tagger import VIT_BOS, VIT_TAGS
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for doc in range(6):
+        for i in range(8):
+            rows.append(
+                (doc, i, rng.choice(vocab), rng.choice(list(VIT_TAGS)))
+            )
+    trans, emis, defaults = _hmm_from_rows(spark, rows)
+    tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+    emap = {
+        r["token"]: [r["e_L"], r["e_O"], r["e_G"], r["e_P"]]
+        for r in emis.collect()
+    }
+    dv = defaults.collect()[0]
+    dvals = [dv["d_L"], dv["d_O"], dv["d_G"], dv["d_P"]]
+    toks = [(900, i, rng.choice(vocab + ["zzz"])) for i in range(7)]
+    got = _decode(spark, trans, emis, defaults, toks)
+    decoded = [got[(900, i)] for i in range(7)]
+
+    def seq_score(seq):
+        s, prev = 0, VIT_BOS
+        for (_, i, tok), tag in zip(toks, seq):
+            e = emap.get(tok, dvals)
+            s += tmat[(prev, tag)] + e[VIT_TAGS.index(tag)]
+            prev = tag
+        return s
+
+    best = max(
+        itertools.product(VIT_TAGS, repeat=7),
+        key=lambda seq: (seq_score(seq), tuple(-VIT_TAGS.index(t) for t in seq)),
+    )
+    assert decoded == list(best)

@@ -162,6 +162,223 @@ def train_tagger_ctx(
     return bigram_model, token_model, suffix_model
 
 
+# --- HMM + Viterbi sequence decoder — round 10 -----------------------------
+#
+# The reference extraction model is a Stanford CRF — a SEQUENCE
+# decoder (src/EntityExtractor.groovy:12-14), not a per-token
+# classifier. The count taggers above pick each token's tag
+# independently; this closes the qualitative gap with a first-order
+# HMM decoded by Viterbi: transition counts over adjacent TAG pairs +
+# add-one-smoothed emission counts, all scores floored to integer
+# micro-nats (the lm_doc_scores/PMI discipline) so the DP is exact
+# integer arithmetic and the full decode sits under the cross-engine
+# hash gate (oracle: DuckDB list_reduce fold over the same scores).
+#
+# Spark-first split of the work:
+#  - emission scoring = a vocab-bounded LEFT JOIN (the token stream
+#    probes the model, exactly like apply_tagger) — stays JVM-side;
+#  - the only Python crossing is the per-document DP itself
+#    (Arrow-batched applyInPandas over doc buckets, numpy int64,
+#    vectorized across the bucket's documents);
+#  - the transition matrix is (K+1)xK = 20 integers — the one O(1)
+#    driver crossing, same stance as the PQ codebook.
+
+#: alphabetical tag order; every argmax tie-break picks the FIRST
+#: entry of this tuple (mirrored by np.argmax and the oracle's
+#: ordered >= CASE chain)
+VIT_TAGS = ("LOCATION", "O", "ORGANIZATION", "PERSON")
+#: single-char path codes (G = ORGANIZATION; order matches VIT_TAGS)
+VIT_CODES = ("L", "O", "G", "P")
+VIT_BOS = "<B>"
+VIT_BUCKETS = 64  # applyInPandas group fan-out (docs per Arrow batch)
+
+
+def train_hmm(
+    labeled: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "idx",
+    token_col: str = "token",
+    tag_col: str = "tag",
+):
+    """(doc, idx, token, tag) rows -> (trans, emis_wide, defaults).
+
+    trans(ptag, tag, score): add-one-smoothed first-order transition
+    log-probs over the COMPLETE (BOS+K)xK grid, score = floor(1e6 *
+    ln((c(p,t)+1)/(c(p)+K))). emis_wide(token, e_L/e_O/e_G/e_P):
+    per-token emission scores floor(1e6 * ln((c(t,tok)+1)/(n_t+V)));
+    defaults(d_L/../d_P) is the 1-row unseen-token score per tag.
+    Training is two map-side-combinable counts (tag pairs; token) —
+    the tag-pair lag window keys on the same doc axis as every coref
+    window. Model sizes: 20 rows + |vocab| rows + 1 row."""
+    spark = labeled.sparkSession
+    k = len(VIT_TAGS)
+    w = Window.partitionBy(doc_col).orderBy(idx_col)
+    pairs = labeled.select(
+        F.coalesce(F.lag(tag_col).over(w), F.lit(VIT_BOS)).alias("ptag"),
+        F.col(tag_col).alias("tag"),
+    )
+    tcnt = pairs.groupBy("ptag", "tag").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ptot = tcnt.groupBy("ptag").agg(F.sum("c").cast("long").alias("tot"))
+    grid = spark.createDataFrame(
+        [(p, t) for p in (VIT_BOS,) + VIT_TAGS for t in VIT_TAGS],
+        "ptag string, tag string",
+    )
+    trans = (
+        grid.join(tcnt, ["ptag", "tag"], "left")
+        .join(ptot, "ptag", "left")
+        .select(
+            "ptag",
+            "tag",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("tot"), F.lit(0)) + k).cast("double")
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    base = labeled.filter(F.col(token_col) != "").select(
+        F.col(token_col).alias("token"), F.col(tag_col).alias("tag")
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col("tag") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c_{c}")
+        for t, c in zip(VIT_TAGS, VIT_CODES)
+    ]
+    ecnt = base.groupBy("token").agg(*cnt_cols)
+    stats = base.agg(
+        F.countDistinct("token").cast("long").alias("v"),
+        *[
+            F.sum(F.when(F.col("tag") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{c}")
+            for t, c in zip(VIT_TAGS, VIT_CODES)
+        ],
+    )
+
+    def escore(num, den):
+        return (
+            F.floor(F.log(num.cast("double") / den.cast("double")) * 1000000.0)
+            .cast("long")
+        )
+
+    emis_wide = ecnt.crossJoin(F.broadcast(stats)).select(
+        "token",
+        *[
+            escore(
+                F.col(f"c_{c}") + 1, F.col(f"n_{c}") + F.col("v")
+            ).alias(f"e_{c}")
+            for c in VIT_CODES
+        ],
+    )
+    defaults = stats.select(
+        *[
+            escore(F.lit(1), F.col(f"n_{c}") + F.col("v")).alias(f"d_{c}")
+            for c in VIT_CODES
+        ]
+    )
+    return trans, emis_wide, defaults
+
+
+def apply_viterbi(
+    tokens: DataFrame,
+    trans_scores: dict,
+    emis_wide: DataFrame,
+    defaults: DataFrame,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Decode (doc_id, idx, token [, carry...]) with the trained HMM:
+    emission scores arrive via a vocab-bounded LEFT JOIN (unseen
+    tokens take the broadcast 1-row defaults), then one Arrow-batched
+    ``applyInPandas`` over ``doc_id % VIT_BUCKETS`` buckets runs the
+    integer Viterbi DP vectorized across each bucket's documents
+    (numpy int64; np.argmax's first-max = the VIT_TAGS tie order).
+    Adds ``pred_tag``; ``carry_cols`` pass through untouched. The
+    token stream shuffles ONCE (the bucket exchange); per-bucket state
+    is that bucket's docs x K scores — flat, never a corpus sort."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(VIT_TAGS)
+    bos = np.array(
+        [trans_scores[(VIT_BOS, t)] for t in VIT_TAGS], dtype=np.int64
+    )
+    amat = np.array(
+        [[trans_scores[(p, t)] for t in VIT_TAGS] for p in VIT_TAGS],
+        dtype=np.int64,
+    )
+    scored = (
+        tokens.join(F.broadcast(emis_wide), "token", "left")
+        .crossJoin(F.broadcast(defaults))
+        .select(
+            "doc_id",
+            "idx",
+            "token",
+            *carry_cols,
+            *[
+                F.coalesce(F.col(f"e_{c}"), F.col(f"d_{c}")).alias(f"e_{c}")
+                for c in VIT_CODES
+            ],
+        )
+    )
+    ecols = [f"e_{c}" for c in VIT_CODES]
+    out_schema = ", ".join(
+        ["doc_id long", "idx long", "token string"]
+        + [f"{c} string" for c in carry_cols]
+        + ["pred_tag string"]
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "idx"], kind="mergesort")
+        doc_ids, starts = np.unique(
+            pdf["doc_id"].to_numpy(), return_index=True
+        )
+        ends = np.append(starts[1:], len(pdf))
+        lens = ends - starts
+        nd, mx = len(doc_ids), int(lens.max()) if len(lens) else 0
+        em = np.zeros((nd, mx, k), dtype=np.int64)
+        flat = pdf[ecols].to_numpy(dtype=np.int64)
+        for d in range(nd):
+            em[d, : lens[d]] = flat[starts[d] : ends[d]]
+        scores = bos[None, :] + em[:, 0, :]
+        bp = np.zeros((nd, mx, k), dtype=np.int8)
+        for step in range(1, mx):
+            act = lens > step
+            if not act.any():
+                break
+            cand = scores[act][:, :, None] + amat[None, :, :]
+            bp[act, step] = cand.argmax(axis=1)  # first max = tag order
+            scores[act] = cand.max(axis=1) + em[act, step]
+        tags = np.zeros((nd, mx), dtype=np.int8)
+        pred = np.empty(len(pdf), dtype=object)
+        for d in range(nd):
+            n = int(lens[d])
+            cur = int(scores[d].argmax())
+            tags[d, n - 1] = cur
+            for i in range(n - 1, 0, -1):
+                cur = int(bp[d, i, cur])
+                tags[d, i - 1] = cur
+            for i in range(n):
+                pred[starts[d] + i] = VIT_TAGS[tags[d, i]]
+        res = pdf[["doc_id", "idx", "token", *carry_cols]].copy()
+        res["pred_tag"] = pred
+        return res
+
+    return (
+        scored.withColumn(
+            "__vb", F.pmod(F.col("doc_id"), F.lit(VIT_BUCKETS)).cast("int")
+        )
+        .groupBy("__vb")
+        .applyInPandas(decode, out_schema)
+    )
+
+
 def apply_tagger_ctx(
     tokens: DataFrame,
     bigram_model: DataFrame,

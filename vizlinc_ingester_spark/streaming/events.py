@@ -98,10 +98,12 @@ _OUT_SCHEMA = (
 )
 
 
-def _sessionize_fn(key, pdf_iter, state: GroupState):
+def _sessionize_fn(key, pdf_iter, state: GroupState, timeouts: bool = True):
     """Per-user session accumulator: emits a closed-session row when a
     gap > SESSION_GAP_S arrives or the state times out; otherwise
-    keeps the open session in GroupState."""
+    keeps the open session in GroupState. ``timeouts=False`` skips
+    timeout registration (required when timeoutConf is NoTimeout —
+    Spark rejects setTimeoutDuration there)."""
     (user_id,) = key
     if state.hasTimedOut:
         last_ts, sid, n, start = state.get
@@ -144,20 +146,42 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
             last_ts = ts_s
     if last_ts is not None:
         state.update((last_ts, sid, n, start))
-        state.setTimeoutDuration(SESSION_GAP_S * 1000)
+        if timeouts:
+            state.setTimeoutDuration(SESSION_GAP_S * 1000)
         rows.append([user_id, sid, n, last_ts - start, False])
     yield pd.DataFrame(
         rows, columns=["user_id", "session_id", "n_events", "duration_s", "closed"]
     )
 
 
-def sessionize_with_state(events: DataFrame) -> DataFrame:
+def _sessionize_fn_no_timeout(key, pdf_iter, state: GroupState):
+    """Module-level wrapper (NOT a closure/global: cloudpickle ships
+    package functions by reference, so a driver-side flag would not
+    reach the re-imported module on the Python workers)."""
+    return _sessionize_fn(key, pdf_iter, state, timeouts=False)
+
+
+def sessionize_with_state(
+    events: DataFrame, timeouts: bool = True
+) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState.
 
     Input: streaming events(ts, event_id, user_id, ...). Output rows
     carry ``closed`` — False for in-progress snapshots (update mode),
     True when the 30-min gap or the processing-time timeout closes the
     session. Arrow-batched; state is one tuple per live user.
+
+    ``timeouts=False`` skips processing-time timeout registration
+    (GroupStateTimeout.NoTimeout). That is the right mode for an
+    ``availableNow`` drain: a registered ProcessingTimeTimeout makes
+    ``shouldRunAnotherBatch`` true until the timeout FIRES in real
+    wall-clock time, so a drain whose final batch leaves any live
+    state (e.g. the gated query's sentinel-started sessions) spins
+    zero-row ~0.5 s micro-batches for SESSION_GAP_S = 30 min before
+    terminating (measured r10: 500+ empty epochs; r9's ignored
+    awaitTermination return masked it — results were complete, the
+    query just never stopped). Continuous deployments keep
+    ``timeouts=True`` so idle sessions close without a closing event.
     """
     from ..session import ship_package
 
@@ -171,9 +195,13 @@ def sessionize_with_state(events: DataFrame) -> DataFrame:
         F.col("ts").cast("long").alias("ts_s"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn,
+        _sessionize_fn if timeouts else _sessionize_fn_no_timeout,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeouts
+            else GroupStateTimeout.NoTimeout
+        ),
     )

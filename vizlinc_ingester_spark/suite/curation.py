@@ -1280,11 +1280,18 @@ def q_corpus_budget_allocation(spark, sf_dir):
             F.col("budget").alias("wl_budget"),
         )
     )
-    j = ranked.crossJoin(F.broadcast(line)).withColumn(
+    # LEFT join: when budget >= total no row satisfies the water-line
+    # predicate (every source fits), and the empty `line` relation must
+    # mean "keep everything", not "zero rows out" (judge-r9 ADVICE —
+    # the 19/20 constants guarantee a line exists today, but the
+    # operator must not silently degenerate if the knob ever moves).
+    j = ranked.join(F.broadcast(line), F.lit(True), "left").withColumn(
         "remainder",
         F.expr("wl_budget - (wl_prefix + (wl_n - wl_rn + 1) * wl_level)"),
     )
-    capped = F.col("t_tokens") > F.col("wl_level")
+    capped = F.coalesce(
+        F.col("t_tokens") > F.col("wl_level"), F.lit(False)
+    )
     j = j.withColumn(
         "cap_rank",
         F.when(
@@ -1355,14 +1362,15 @@ j AS (
            row_number() OVER (
              PARTITION BY (r.t_tokens > l.wl_level) ORDER BY r.source ASC)
          END AS cap_rank
-  FROM ranked r, line l
+  FROM ranked r LEFT JOIN line l ON TRUE
 )
 SELECT source, t_tokens,
-       CAST(CASE WHEN t_tokens <= wl_level THEN t_tokens
+       CAST(CASE WHEN wl_level IS NULL OR t_tokens <= wl_level
+                 THEN t_tokens
                  ELSE wl_level
                       + (CASE WHEN cap_rank <= remainder THEN 1 ELSE 0 END)
             END AS BIGINT) AS allocated,
-       (t_tokens > wl_level) AS capped
+       coalesce(t_tokens > wl_level, FALSE) AS capped
 FROM j
 ORDER BY source
 """
@@ -1463,3 +1471,84 @@ WHERE t.t_tokens > 0
 
 QUERIES["curriculum_interleave"] = q_curriculum_interleave
 ORACLES["curriculum_interleave"] = _interleave_oracle()
+
+
+def q_curriculum_interleave_lang(spark, sf_dir):
+    """Per-language curriculum strata (round 10; judge-r9 item 7) —
+    the same stride scheduling as ``curriculum_interleave`` with the
+    stratum refined from source to (source, language):
+
+        vt = rn * INTERLEAVE_SCALE div t_tokens(source, lang)
+
+    where rn is the seeded-shuffle rank WITHIN the (source, lang)
+    stratum. Every prefix of the vt order then holds each (source,
+    lang) cell in proportion to its token share — so per-language
+    proportions are preserved inside every source (the multilingual
+    data-loader requirement: a batch must not drift anglophone just
+    because English docs cluster early in one source's shuffle).
+    Order key (vt, source, lang, rn) is a total order; no materialized
+    ordinal for the same reason as the source-level form.
+
+    Plan at 100 TB: identical shape to the source-level operator —
+    one map-side-combinable (source, lang) token agg (group space =
+    sources × languages, broadcastable forever), a window keyed on
+    the (source, lang) stratum (seeded-hash order, no hot key), vt as
+    scan-stage arithmetic. No global window anywhere."""
+    from pyspark.sql import Window
+
+    from ..functions import text as tx
+
+    d = _docs(spark, sf_dir)
+    t = d.groupBy("source", "lang").agg(
+        F.sum(tx.whitespace_token_count(F.col("text")))
+        .cast("long")
+        .alias("t_tokens")
+    )
+    hs = F.md5(
+        F.concat(
+            F.lit(INTERLEAVE_SEED + ":"), F.col("doc_id").cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    ranked = (
+        d.select("doc_id", "source", "lang", hs.alias("h"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(t.filter(F.col("t_tokens") > 0)), ["source", "lang"])
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "lang",
+        "rn",
+        F.expr(f"(rn * {INTERLEAVE_SCALE}) div t_tokens")
+        .cast("long")
+        .alias("vt"),
+    )
+
+
+def _interleave_lang_oracle() -> str:
+    from ..functions import text as tx
+
+    tc = tx.sql_whitespace_token_count("text")
+    return f"""
+WITH t AS (
+  SELECT source, lang, CAST(sum({tc}) AS BIGINT) AS t_tokens
+  FROM documents GROUP BY source, lang
+),
+ranked AS (
+  SELECT doc_id, source, lang,
+         CAST(row_number() OVER (
+             PARTITION BY source, lang
+             ORDER BY md5('{INTERLEAVE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang, r.rn,
+       CAST((r.rn * {INTERLEAVE_SCALE}) // t.t_tokens AS BIGINT) AS vt
+FROM ranked r JOIN t ON r.source = t.source AND r.lang = t.lang
+WHERE t.t_tokens > 0
+"""
+
+
+QUERIES["curriculum_interleave_lang"] = q_curriculum_interleave_lang
+ORACLES["curriculum_interleave_lang"] = _interleave_lang_oracle()

@@ -829,6 +829,7 @@ FROM comp c JOIN csize s USING (cluster_id)
 
 SIMJOIN_N = 3                  # shingle width (3-token grams)
 SIMJOIN_THRESH_MICRO = 400_000  # Jaccard >= 0.4
+SIMJOIN_POSITIONAL = True      # ppjoin positional filter (r10 A/B flag)
 
 
 def _allpairs_core(d):
@@ -870,20 +871,21 @@ def _allpairs_core(d):
     prefix = (
         grams.join(freq, "g")
         .join(sets.select("doc_id", "sz"), "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= F.col("sz") - F.expr("(4 * sz + 9) div 10") + 1)
-        .select("doc_id", "g", "sz")
+        .select("doc_id", "g", "sz", "rn")
     )
     # length filter (the standard AllPairs companion): J(r,s) <=
     # min(sz)/max(sz), so J >= 0.4 requires 10*min >= 4*max — a
     # size-incompatible collision can never verify; dropping it here
     # cannot change the output, only the candidate volume
-    cand = (
+    collide = (
         prefix.select(F.col("doc_id").alias("doc_a"), "g",
-                      F.col("sz").alias("sz_a"))
+                      F.col("sz").alias("sz_a"), F.col("rn").alias("rn_a"))
         .join(
             prefix.select(F.col("doc_id").alias("doc_b"), "g",
-                          F.col("sz").alias("sz_b")),
+                          F.col("sz").alias("sz_b"),
+                          F.col("rn").alias("rn_b")),
             "g",
         )
         .filter(
@@ -891,9 +893,25 @@ def _allpairs_core(d):
             & (F.col("sz_b") * 10 >= F.col("sz_a") * 4)
             & (F.col("sz_a") * 10 >= F.col("sz_b") * 4)
         )
-        .select("doc_a", "doc_b")
-        .distinct()
     )
+    if SIMJOIN_POSITIONAL:
+        # positional filter (ppjoin, Xiao et al. 2008): both docs
+        # order their grams by the SAME global (df, g) total order,
+        # so a shared gram at ranks (rn_a, rn_b) bounds the overlap
+        # by 1 + min(sz_a - rn_a, sz_b - rn_b) (the gram itself plus
+        # what can still follow it in BOTH orders); J >= 0.4 needs
+        # overlap >= ceil(2*(sz_a+sz_b)/7) = (2*(sz_a+sz_b)+6) div 7.
+        # A collision whose upper bound misses that can never verify
+        # — dropping it cannot change the output (A/B in PLANS.md
+        # round-10), only the verified-pair volume.
+        collide = collide.filter(
+            1
+            + F.least(
+                F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+            )
+            >= F.expr("(2 * (sz_a + sz_b) + 6) div 7")
+        )
+    cand = collide.select("doc_a", "doc_b").distinct()
     verified = (
         cand.join(
             sets.select(

@@ -336,3 +336,290 @@ WHERE h.doc_id % 2 = 1
 
 QUERIES["ner_learned_ctx"] = q_ner_learned_ctx
 ORACLES["ner_learned_ctx"] = ORACLE_NER_LEARNED_CTX
+
+
+# --- HMM + Viterbi sequence decoder — round 10 ------------------------------
+#
+# The reference model is a CRF *sequence* decoder
+# (src/EntityExtractor.groovy:12-14): tags are chosen jointly over the
+# sentence, not token-by-token. q_ner_learned_viterbi trains a
+# first-order HMM on the SAME context-sensitive gold stream as the
+# bigram tagger (identical train/held-out split, so the accuracy
+# numbers are apples-to-apples) and decodes held-out docs with exact
+# integer Viterbi (operators/tagger.py::apply_viterbi). The DuckDB
+# oracle replays the identical DP as a list_reduce fold over the same
+# micro-nat scores, so the hash gate covers training counts,
+# smoothing, the DP recurrence, every argmax tie-break, and the
+# backtrace. Measured held-out accuracy vs the same gold: PLANS.md
+# round-10 (the bigram tagger sees the gold's exact conditioning
+# variable, the HMM only tag-level context — the gap is the point of
+# the measurement).
+
+from ..operators.tagger import (
+    VIT_BOS,
+    VIT_CODES,
+    VIT_TAGS,
+    apply_viterbi,
+    train_hmm,
+)
+
+
+def _models_viterbi(spark: SparkSession, sf_dir: str):
+    from ..session import plan_key, plan_memo
+
+    train_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+
+    def build():
+        labeled = _ctx_tokens(train_docs).withColumn("tag", _gold_ctx_tag())
+        trans, emis_wide, defaults = train_hmm(labeled)
+        emis_wide, defaults = emis_wide.persist(), defaults.persist()
+        emis_wide.count(), defaults.count()
+        # (K+1) x K = 20 integers — the bounded driver crossing
+        tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+        return tmat, emis_wide, defaults
+
+    return plan_memo(spark, plan_key(train_docs, "ner_models_viterbi"), build)
+
+
+def q_ner_learned_viterbi(spark, sf_dir):
+    """Held-out Viterbi decode: one row per token of the odd-doc_id
+    docs with the jointly-decoded tag, the context-sensitive gold and
+    a correct flag (accuracy = sum(correct)/count over gated rows)."""
+    tmat, emis_wide, defaults = _models_viterbi(spark, sf_dir)
+    held = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    toks = _ctx_tokens(held).withColumn("gold_tag", _gold_ctx_tag())
+    decoded = apply_viterbi(
+        toks.select("doc_id", "idx", "token", "gold_tag"),
+        tmat,
+        emis_wide,
+        defaults,
+        carry_cols=("gold_tag",),
+    )
+    return decoded.select(
+        "doc_id",
+        "idx",
+        "token",
+        "pred_tag",
+        "gold_tag",
+        (F.col("pred_tag") == F.col("gold_tag")).cast("long").alias("correct"),
+    )
+
+
+def _viterbi_oracle() -> str:
+    """DuckDB Viterbi: identical scores, DP and tie-breaks as the
+    Spark decode. The fold carries per-tag (score, path) through a
+    list_reduce over each doc's emission-scored token list; every
+    argmax is an ordered >=-CASE chain over VIT_TAGS order (same
+    first-max rule as np.argmax).
+
+    The DP runs as a RECURSIVE CTE carrying ONE WIDE ROW PER DOC
+    (step, 4 scores, path chunks): the recursive term is a plain
+    (doc_id, idx)-keyed join of the previous layer against the
+    emission-scored token stream — no aggregation or window over the
+    recursive reference, so it is standard SQL. (A list_reduce fold
+    was tried first and abandoned: DuckDB 1.0 updates the lambda
+    accumulator struct in place field-by-field, so any field whose
+    expression reads an earlier-positioned field observes that
+    field's NEW value — measured on both VARCHAR and BIGINT states,
+    e.g. {'a': max(acc)+1, 'b': max(acc)+2} diverges from the true
+    fold after 2+ steps.) Paths are carried as 2-bit tag codes packed
+    into BIGINT chunks (31 steps each; integer shift/add), unpacked
+    per token at the end. Capacity = 31 * n_chunks tokens/doc; a
+    guard CTE fails loud (invalid VARCHAR->BIGINT cast) on over-long
+    docs rather than decode wrong."""
+    gold_case = _sql_type_case_on("prev || ' ' || token")
+    k = len(VIT_TAGS)
+    codes = list(VIT_CODES)
+    pcodes = ["B"] + codes  # '<B>' + tag codes
+    pnames = [VIT_BOS] + list(VIT_TAGS)
+
+    tgrid = ", ".join(
+        f"('{p}', '{t}')" for p in pnames for t in VIT_TAGS
+    )
+    trow_cols = ", ".join(
+        f"max(CASE WHEN ptag = '{p}' AND tag = '{t}' THEN s END) AS t_{pc}_{tc}"
+        for p, pc in zip(pnames, pcodes)
+        for t, tc in zip(VIT_TAGS, codes)
+    )
+    ecnt_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tag = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{c}"
+        for t, c in zip(VIT_TAGS, codes)
+    )
+    etot_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tag = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+        for t, c in zip(VIT_TAGS, codes)
+    )
+    emis_cols = ", ".join(
+        f"CAST(floor(ln(CAST(c_{c} + 1 AS DOUBLE) / CAST(n_{c} + v AS DOUBLE))"
+        f" * 1000000) AS BIGINT) AS e_{c}"
+        for c in codes
+    )
+    edef_cols = ", ".join(
+        f"CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(n_{c} + v AS DOUBLE))"
+        f" * 1000000) AS BIGINT) AS d_{c}"
+        for c in codes
+    )
+    hm_cols = ", ".join(
+        f"coalesce(e.e_{c}, d.d_{c}) AS e_{c}" for c in codes
+    )
+
+    n_chunks = 4  # 31 two-bit steps per BIGINT chunk -> 124 tokens/doc
+    chunks = list(range(n_chunks))
+
+    def best_case(cands, results):
+        """Ordered argmax: first candidate (VIT_TAGS order) wins
+        ties; cands/results are parallel SQL expression lists."""
+        branches = []
+        for i in range(len(cands) - 1):
+            cond = " AND ".join(
+                f"{cands[i]} >= {cands[j]}" for j in range(i + 1, len(cands))
+            )
+            branches.append(f"WHEN {cond} THEN {results[i]}")
+        return "CASE " + " ".join(branches) + f" ELSE {results[-1]} END"
+
+    # appended 2-bit tag code at step `idx_expr`: lands in chunk
+    # idx//31 at bit offset 2*(idx%31)
+    def code_at(ci, j, idx_expr):
+        return (
+            f"CASE WHEN {idx_expr} // 31 = {j} "
+            f"THEN CAST({ci} AS BIGINT) << CAST(2 * ({idx_expr} % 31) AS INT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    base_cols = ", ".join(
+        [f"CAST(t_B_{c} + h.e_{c} AS BIGINT) AS s{c}" for c in codes]
+        + [
+            f"CAST({code_at(codes.index(c), j, 'h.idx')} AS BIGINT) AS p{c}{j}"
+            for c in codes
+            for j in chunks
+        ]
+    )
+    rec_exprs = []
+    for c in codes:
+        cands = [f"(r.s{pc} + t_{pc}_{c})" for pc in codes]
+        rec_exprs.append(
+            f"CAST({best_case(cands, cands)} + h.e_{c} AS BIGINT) AS s{c}"
+        )
+    for c in codes:
+        cands = [f"(r.s{pc} + t_{pc}_{c})" for pc in codes]
+        for j in chunks:
+            sel = best_case(cands, [f"r.p{pc}{j}" for pc in codes])
+            rec_exprs.append(
+                f"CAST(({sel}) + ({code_at(codes.index(c), j, 'h.idx')})"
+                f" AS BIGINT) AS p{c}{j}"
+            )
+    rec_cols = ", ".join(rec_exprs)
+    fin_cands = [f"st.s{c}" for c in codes]
+    final_chunks = ", ".join(
+        best_case(fin_cands, [f"st.p{c}{j}" for c in codes]) + f" AS c{j}"
+        for j in chunks
+    )
+    # unpack: 2-bit code for token idx from the selected chunk set
+    code_expr = " ".join(
+        f"WHEN {j} THEN f.c{j}" for j in chunks
+    )
+    unpack = (
+        f"(CASE h.idx // 31 {code_expr} END"
+        f" >> CAST(2 * (h.idx % 31) AS INT)) & 3"
+    )
+    pred_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(VIT_TAGS)
+    )
+
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) u WHERE word <> ''
+),
+seq AS (
+  SELECT doc_id, word AS token,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS BIGINT) AS idx
+  FROM words
+),
+ctx AS (
+  SELECT doc_id, idx, token,
+         lag(token, 1, '{CTX_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM seq
+),
+labeled AS (
+  SELECT doc_id, idx, token, prev,
+         CASE WHEN {gold_case} IN ('PERSON','ORGANIZATION','LOCATION')
+              THEN {gold_case} ELSE 'O' END AS tag
+  FROM ctx
+),
+tpairs AS (
+  SELECT lag(tag, 1, '{VIT_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS ptag,
+         tag
+  FROM labeled WHERE doc_id % 2 = 0
+),
+tcnt AS (SELECT ptag, tag, CAST(count(*) AS BIGINT) AS c
+         FROM tpairs GROUP BY 1, 2),
+ptot AS (SELECT ptag, CAST(sum(c) AS BIGINT) AS tot FROM tcnt GROUP BY 1),
+tgrid(ptag, tag) AS (VALUES {tgrid}),
+trans AS (
+  SELECT g.ptag, g.tag,
+         CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(p.tot, 0) + {k} AS DOUBLE))
+              * 1000000) AS BIGINT) AS s
+  FROM tgrid g
+  LEFT JOIN tcnt c ON g.ptag = c.ptag AND g.tag = c.tag
+  LEFT JOIN ptot p ON g.ptag = p.ptag
+),
+trow AS (SELECT {trow_cols} FROM trans),
+ecnt AS (
+  SELECT token, {ecnt_cols}
+  FROM labeled WHERE doc_id % 2 = 0 GROUP BY token
+),
+etot AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v, {etot_cols}
+  FROM labeled WHERE doc_id % 2 = 0
+),
+emis AS (SELECT token, {emis_cols} FROM ecnt, etot),
+edef AS (SELECT {edef_cols} FROM etot),
+hm AS (
+  SELECT l.doc_id, l.idx, l.token, l.tag AS gold_tag, {hm_cols}
+  FROM labeled l
+  LEFT JOIN emis e ON l.token = e.token
+  CROSS JOIN edef d
+  WHERE l.doc_id % 2 = 1
+),
+dp AS (
+  SELECT h.doc_id, h.idx AS step, {base_cols}
+  FROM hm h, trow
+  WHERE h.idx = 0
+  UNION ALL
+  SELECT h.doc_id, h.idx, {rec_cols}
+  FROM dp r, hm h, trow
+  WHERE h.doc_id = r.doc_id AND h.idx = r.step + 1
+),
+fin AS (
+  SELECT doc_id, {final_chunks}
+  FROM (SELECT * FROM dp QUALIFY
+          row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) = 1
+       ) st
+),
+cap AS (
+  SELECT CASE WHEN max(idx) >= {31 * n_chunks}
+              THEN CAST('viterbi_path_capacity_exceeded' AS BIGINT)
+              ELSE 1 END AS ok
+  FROM hm
+)
+SELECT h.doc_id, h.idx, h.token,
+       CASE ({unpack}) {pred_case} END AS pred_tag,
+       h.gold_tag,
+       CAST((CASE ({unpack}) {pred_case} END) = h.gold_tag AS BIGINT)
+         AS correct
+FROM hm h JOIN fin f ON h.doc_id = f.doc_id CROSS JOIN cap
+WHERE cap.ok = 1
+"""
+
+
+QUERIES["ner_learned_viterbi"] = q_ner_learned_viterbi
+ORACLES["ner_learned_viterbi"] = _viterbi_oracle()

@@ -413,7 +413,7 @@ def q_source_quality_report(spark, sf_dir):
 
 
 QUALITY_COUNTER_COLS = [
-    "n_docs", "n_kept", "n_fail_words", "n_fail_stop",
+    "n_docs", "n_kept", "n_fail_words", "n_fail_wlen", "n_fail_stop",
     "n_fail_top2", "n_fail_dup5", "sum_dup5",
 ]
 
@@ -437,6 +437,7 @@ def quality_counters(d: DataFrame) -> DataFrame:
             .cast("long")
             .alias("n_kept"),
             cnt("ok_words").alias("n_fail_words"),
+            cnt("ok_wlen").alias("n_fail_wlen"),
             cnt("ok_stop").alias("n_fail_stop"),
             cnt("ok_top2").alias("n_fail_top2"),
             cnt("ok_dup5").alias("n_fail_dup5"),
@@ -458,8 +459,8 @@ def quality_finalize(counters: DataFrame) -> DataFrame:
     """Counters -> the report shape (mean is derived at FINALIZE from
     the additive sum/count pair, never maintained directly)."""
     return counters.select(
-        "source", "n_docs", "n_kept", "n_fail_words", "n_fail_stop",
-        "n_fail_top2", "n_fail_dup5",
+        "source", "n_docs", "n_kept", "n_fail_words", "n_fail_wlen",
+        "n_fail_stop", "n_fail_top2", "n_fail_dup5",
         F.expr("sum_dup5 div n_docs").cast("long").alias("mean_dup5_micro"),
     ).orderBy("source")
 
@@ -470,6 +471,8 @@ SELECT d.source,
        CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(sum(CASE WHEN g.ok_words THEN 0 ELSE 1 END) AS BIGINT)
          AS n_fail_words,
+       CAST(sum(CASE WHEN g.ok_wlen THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_wlen,
        CAST(sum(CASE WHEN g.ok_stop THEN 0 ELSE 1 END) AS BIGINT)
          AS n_fail_stop,
        CAST(sum(CASE WHEN g.ok_top2 THEN 0 ELSE 1 END) AS BIGINT)

@@ -437,9 +437,17 @@ ORACLES = {
 
 # --- product quantization (round 5) ---------------------------------------
 
-PQ_M = 4        # subvectors per embedding
-PQ_SUBDIM = 16  # dims per subvector (PQ_M * PQ_SUBDIM = embedding dim)
-PQ_K = 4        # centroids per subvector codebook
+# Defaults set from the measured r10 sweep (PLANS.md round-10): the
+# r9 toy codebook (M=4 x 16-dim subvectors, K=4) capped compound
+# recall@3 at 0.33-0.48 however NPROBE/rerank were turned; the sweep
+# showed subvector WIDTH dominates (finer M=16 x 4-dim subvectors at
+# K=64 beat M=4 at K=256), and with rerank C=30 the shipped point
+# measures recall@3 = 0.967 at sf0.1 (1.00 at C=50; exact-L2 ceiling
+# 1.00, so the residual loss is purely quantization). Knob order from
+# measurement: PQ_M/subdim first, then PQ_K, then C, then NPROBE.
+PQ_M = 16       # subvectors per embedding
+PQ_SUBDIM = 4   # dims per subvector (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_K = 64       # centroids per subvector codebook
 PQ_ITERS = 2    # Lloyd iterations
 
 
@@ -1644,14 +1652,16 @@ def q_ann_recall_eval_ivfpq(spark, sf_dir):
     ``_banded``). Same gated metric layer (``_recall_metrics``), same
     integer-exact micro units.
 
-    Measured at sf0.01 (PLANS.md r9): recall@3 = 0.33 for IVFADC vs
-    1.00 for IVF-alone (exact scoring, nprobe=1) and 0.20 for
-    PQ-alone — the loss is entirely PQ distortion from the toy
-    PQ_K=4 codebook, not the IVF candidate bound, and the bound even
+    Measured at sf0.01 on the r9 toy codebook (M=4, K=4):
+    recall@3 = 0.33 for IVFADC vs 1.00 for IVF-alone (exact scoring,
+    nprobe=1) and 0.20 for PQ-alone — the loss is entirely PQ
+    distortion, not the IVF candidate bound, and the bound even
     HELPS the quantized ranking by excluding distant vectors the
-    codebook confuses with near ones (0.33 > 0.20). This is the
-    decision the eval exists to drive: at deployment scale you grow
-    PQ_K (256 is standard) before you grow NPROBE."""
+    codebook confuses with near ones (0.33 > 0.20). The r10 sweep
+    (PLANS.md round-10) retuned the defaults from that decision:
+    M=16 x 4-dim subvectors at K=64 lift ADC-only recall@3 to 0.60
+    at sf0.1 and the reranked pipeline to 0.967 (exact-L2 ceiling
+    1.00); subvector WIDTH dominates K, then C, then NPROBE."""
     truth = q_ann_cosine_topk(spark, sf_dir).filter(
         F.col("rank") <= RECALL_K
     ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
@@ -1697,7 +1707,9 @@ QUERIES["ann_recall_eval_ivfpq"] = q_ann_recall_eval_ivfpq
 ORACLES["ann_recall_eval_ivfpq"] = ORACLE_ANN_RECALL_IVFPQ
 
 
-RERANK_C = 15  # ADC shortlist size handed to the exact re-ranker
+RERANK_C = 30  # ADC shortlist size handed to the exact re-ranker
+#                (3x over-fetch at the old toy codebook; with the r10
+#                defaults above it measures recall@3 = 0.967 at sf0.1)
 
 
 def q_ann_ivf_pq_rerank(spark, sf_dir):
@@ -1707,16 +1719,17 @@ def q_ann_ivf_pq_rerank(spark, sf_dir):
     EXACT cosine on the raw vectors, and the final top-K comes from
     the exact scores — bought for RERANK_C exact distances per query.
 
-    Measured honestly (PLANS.md r9, sf0.01): recall@3 improves 0.33
-    -> 0.47 at the standard C = 3x over-fetch, NOT to 1.0 — the toy
-    PQ_K=4 codebook is so coarse (256 distinct ADC values, heavy
-    ties) that true neighbors can rank near the BOTTOM of the ~100-
-    candidate probed lists: truth-in-shortlist runs 7/11/12/14/15 of
-    15 at C = 15/30/50/80/120. The curve is the point: rerank fetch
-    depth buys back exactly what codebook coarseness loses, so the
-    deployment order of knobs is PQ_K (256 standard) first, then C,
-    then NPROBE. (IVF-bound recall is 1.00 here — the misses are all
-    ADC ordering, never candidate pruning.)
+    Measured honestly on the r9 toy codebook (PLANS.md r9, sf0.01):
+    recall@3 improved only 0.33 -> 0.47 at C = 3x over-fetch — the
+    M=4/K=4 codebook was so coarse (256 distinct ADC values, heavy
+    ties) that true neighbors ranked near the BOTTOM of the probed
+    lists (truth-in-shortlist 7/11/12/14/15 of 15 at
+    C = 15/30/50/80/120). The r10 sweep turned that curve into the
+    shipped defaults (PLANS.md round-10): with M=16/K=64 and C=30
+    the reranked recall@3 measures 0.967 at sf0.1 (1.00 at C=50;
+    exact-L2 ceiling 1.00 — misses are ADC ordering, never candidate
+    pruning). Knob order from measurement: PQ_M/subdim, then PQ_K,
+    then C, then NPROBE.
 
     Plan at 100 TB: shortlist = the gated ADC ranking cut at RERANK_C
     (per-query bounded); the raw-vector fetch is ONE equi-join of a
