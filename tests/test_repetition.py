@@ -561,3 +561,20 @@ def test_zero_token_source_dropped_from_interleave(spark, tmp_path):
     rows = q_curriculum_interleave(spark, tmp).collect()
     assert {r["source"] for r in rows} == {"live"}
     assert len(rows) == 2
+
+
+def test_curriculum_interleave_lang_plan_no_single_partition(spark, sf_dir):
+    """The (source, lang) strata refinement must keep the
+    no-global-window property of the source-level operator."""
+    from vizlinc_ingester_spark.suite.curation import (
+        q_curriculum_interleave_lang,
+    )
+
+    plan = (
+        q_curriculum_interleave_lang(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

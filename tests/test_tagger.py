@@ -167,3 +167,30 @@ def test_viterbi_matches_reference_dp(spark):
         key=lambda seq: (seq_score(seq), tuple(-VIT_TAGS.index(t) for t in seq)),
     )
     assert decoded == list(best)
+
+
+def test_viterbi_decode_plan_shape(spark, sf_dir):
+    """Plan guard (the perplexity_buckets discipline): the decode's
+    only SinglePartition exchanges are 1-row scalar reduces (the
+    emission-stats aggregate — keys=[], map-side combined); the
+    emission probe is a broadcast join; exactly ONE Arrow crossing
+    (the bucketed DP) and no row-at-a-time Python anywhere."""
+    from vizlinc_ingester_spark.suite.ner import q_ner_learned_viterbi
+
+    plan = (
+        q_ner_learned_viterbi(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 2) : i])
+            assert "HashAggregate(keys=[]" in above, (
+                "non-scalar SinglePartition exchange:\n" + above
+            )
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
