@@ -111,6 +111,7 @@ HEADLINE = [
     # decode under the gate), per-language curriculum strata
     "ner_learned_viterbi",
     "curriculum_interleave_lang",
+    "bpe_fertility",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -415,3 +415,31 @@ def test_jl_projection_linearity(spark, monkeypatch):
         assert out[1][f"p{j}"] == plane(j, 0) * 1_000_000
         assert out[2][f"p{j}"] == plane(j, 1) * 1_000_000
         assert out[3][f"p{j}"] == out[1][f"p{j}"] + out[2][f"p{j}"]
+
+
+def test_bpe_fertility_reconciles_with_encode(spark, sf_dir):
+    """Fertility must reconcile with the encode lineage it reuses:
+    per-language sums bound by construction (a known word of length
+    >= 2 yields 1..len symbols), n_tokens/n_chars consistent with the
+    integer-micro ratios, every corpus language present."""
+    from vizlinc_ingester_spark.suite.textstats import q_bpe_fertility
+
+    rows = q_bpe_fertility(spark, sf_dir).collect()
+    langs = {
+        r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        assert 0 < r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        assert r["fertility_micro"] == r["n_tokens"] * 1_000_000 // r["n_words"]
+        assert (
+            r["chars_per_token_micro"]
+            == r["n_chars"] * 1_000_000 // r["n_tokens"]
+        )
+        # a trained merge actually fires somewhere: fertility < chars
+        # per word (pure char-split would make n_tokens == n_chars)
+        assert r["n_tokens"] < r["n_chars"]

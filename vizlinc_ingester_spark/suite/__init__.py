@@ -93,6 +93,7 @@ def collect_suite() -> tuple[
 DRIVER_WINDOW = [
     # (a) new in r10
     "ner_learned_viterbi", "curriculum_interleave_lang",
+    "bpe_fertility",
     # (b) r10-changed lineage, re-proven under the new code (incl.
     # the measured IVFADC/PQ default retune — judge-r9 item 5: PQ_M
     # 4->16, PQ_SUBDIM 16->4, PQ_K 4->64, RERANK_C 15->30 — which
@@ -118,9 +119,10 @@ DRIVER_WINDOW = [
     "sn_triangles_degree", "snapshot_diff", "social_network",
     "social_network_filtered", "user_outliers", "users_intersect",
     # (d) r7-proven freshness picks (carrier-less scalar/filter ops;
-    # four more — doc_scan_filter, mention_type_filter,
-    # union_mentions, prefix_merge_pairs — were displaced by the four
-    # PQ-retune rows in (b) and head the r11 freshness queue)
+    # five more — doc_scan_filter, mention_type_filter,
+    # union_mentions, prefix_merge_pairs, normalize_mentions — were
+    # displaced by the four PQ-retune rows in (b) and the third r10
+    # addition in (a), and head the r11 freshness queue)
     "top_mention_per_doc", "candidate_split_person",
-    "country_suffix_join", "dms_parse", "normalize_mentions",
+    "country_suffix_join", "dms_parse",
 ]

@@ -433,6 +433,118 @@ ORACLES["bpe_merges"] = _bpe_oracle()
 ORACLES["bpe_encode"] = _bpe_encode_oracle()
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY by language (round 10; the r9 parked
+    idea): tokens-per-word and chars-per-token of the trained BPE
+    tokenizer, per corpus language — the number multilingual
+    pretraining teams watch (a tokenizer trained on English-heavy
+    data over-segments other languages, inflating their effective
+    cost per word; fertility is the standard metric, e.g. XLM-R's
+    tokenizer analyses). Reuses the GATED learn+encode lineage
+    verbatim: the same merges, the same greedy fold — this query is
+    the rollup a user computes from the tokenizer artifact, measured
+    over each language's occurrences of the training vocabulary
+    (out-of-vocab words are excluded BY DESIGN: fertility compares
+    segmentation of the words the tokenizer knows).
+
+    Plan at 100 TB: the encode runs over the BPE_VOCAB_TOP-bounded
+    vocabulary (never the corpus); the corpus contributes one
+    tokenize + (lang, word) count rollup (map-side combinable); the
+    occurrence⋈encoding join keys on the vocab-bounded word (AQE
+    broadcasts it); the final group space is the language set. All
+    ratios integer-micro with zero guards on both engines."""
+    from ..operators.bpe import _merge_fold, learn_bpe_merges
+    from ..session import plan_key, plan_memo
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    # the merge list is a TRAINED TOKENIZER artifact (learn-once /
+    # apply-many, the PQ-codebook / NER-model memo stance); the
+    # training queries themselves (bpe_merges / bpe_encode) stay
+    # un-memoized — they ARE the gated training runs
+    merges = plan_memo(
+        spark,
+        plan_key(vocab, "bpe_merges", BPE_N_MERGES),
+        lambda: learn_bpe_merges(vocab, BPE_N_MERGES),
+    )
+    seqs = vocab.select("word", F.split("word", "").alias("symbols"))
+    for _, l, r, _cnt in merges:
+        seqs = seqs.select("word", _merge_fold(l, r).alias("symbols"))
+    enc = seqs.select(
+        "word",
+        F.size(F.filter("symbols", lambda s: s != ""))
+        .cast("long")
+        .alias("n_sym"),
+        F.length("word").cast("long").alias("wlen"),
+    )
+    d = _docs(spark, sf_dir)
+    occ = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        occ.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("wlen")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr(
+                "CASE WHEN n_words = 0 THEN 0"
+                " ELSE n_tokens * 1000000 div n_words END"
+            ).cast("long").alias("fertility_micro"),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0"
+                " ELSE n_chars * 1000000 div n_tokens END"
+            ).cast("long").alias("chars_per_token_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    final = f"""
+, enc AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(s, '~'), x -> x <> ''))
+           AS BIGINT) AS n_sym,
+         CAST(len(word) AS BIGINT) AS wlen
+  FROM seqs_{BPE_N_MERGES}
+),
+occ AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY lang, word
+)
+SELECT o.lang,
+       CAST(sum(o.cnt) AS BIGINT) AS n_words,
+       CAST(sum(o.cnt * e.n_sym) AS BIGINT) AS n_tokens,
+       CAST(sum(o.cnt * e.wlen) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN sum(o.cnt) = 0 THEN 0
+                 ELSE sum(o.cnt * e.n_sym) * 1000000 // sum(o.cnt) END
+         AS BIGINT) AS fertility_micro,
+       CAST(CASE WHEN sum(o.cnt * e.n_sym) = 0 THEN 0
+                 ELSE sum(o.cnt * e.wlen) * 1000000
+                      // sum(o.cnt * e.n_sym) END
+         AS BIGINT) AS chars_per_token_micro
+FROM occ o JOIN enc e ON o.word = e.word
+GROUP BY o.lang
+ORDER BY o.lang
+"""
+    return "WITH RECURSIVE " + ",\n".join(_bpe_oracle_ctes()) + final
+
+
+QUERIES["bpe_fertility"] = q_bpe_fertility
+ORACLES["bpe_fertility"] = _bpe_fertility_oracle()
+
+
 # --- bigram language-model scoring (LLM-track, round 5) -------------------
 
 def q_lm_doc_scores(spark, sf_dir):
