@@ -110,6 +110,7 @@ HEADLINE = [
     # round-10 operators: HMM Viterbi sequence decoding (train +
     # decode under the gate), per-language curriculum strata
     "ner_learned_viterbi",
+    "ner_viterbi_spans",
     "curriculum_interleave_lang",
     "bpe_fertility",
     # bm25_search_indexed is timed specially below (build vs probe);

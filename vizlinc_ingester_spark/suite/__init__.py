@@ -63,10 +63,11 @@ def collect_suite() -> tuple[
 # size). Governing invariant unchanged since r8: ZERO declared
 # queries with no driver hash evidence, and after this round no
 # query's latest hash-green row is older than r7 (judge-r9 item 1:
-# the 26 r5-stale rows ALL rotate in — group (c) — so r10 adds only
-# the two judge-mandated queries).
+# the 26 r5-stale rows ALL rotate in — group (c); r10 adds four
+# queries — the two judge-mandated ones plus the span-gold Viterbi
+# twin and the parked BPE fertility rollup).
 #
-# Group (a): the two r10 additions (must be driver-proven the round
+# Group (a): the four r10 additions (must be driver-proven the round
 # they ship). Group (b): every query whose LINEAGE changed this
 # round and therefore needs fresh driver evidence — the coref
 # synthesize family (the collect_set -> first-in-doc num_docs
@@ -92,8 +93,8 @@ def collect_suite() -> tuple[
 # evidence for the entity-synthesis lineage alongside group (b).
 DRIVER_WINDOW = [
     # (a) new in r10
-    "ner_learned_viterbi", "curriculum_interleave_lang",
-    "bpe_fertility",
+    "ner_learned_viterbi", "ner_viterbi_spans",
+    "curriculum_interleave_lang", "bpe_fertility",
     # (b) r10-changed lineage, re-proven under the new code (incl.
     # the measured IVFADC/PQ default retune — judge-r9 item 5: PQ_M
     # 4->16, PQ_SUBDIM 16->4, PQ_K 4->64, RERANK_C 15->30 — which
@@ -119,10 +120,11 @@ DRIVER_WINDOW = [
     "sn_triangles_degree", "snapshot_diff", "social_network",
     "social_network_filtered", "user_outliers", "users_intersect",
     # (d) r7-proven freshness picks (carrier-less scalar/filter ops;
-    # five more — doc_scan_filter, mention_type_filter,
-    # union_mentions, prefix_merge_pairs, normalize_mentions — were
-    # displaced by the four PQ-retune rows in (b) and the third r10
-    # addition in (a), and head the r11 freshness queue)
-    "top_mention_per_doc", "candidate_split_person",
+    # six more — doc_scan_filter, mention_type_filter,
+    # union_mentions, prefix_merge_pairs, normalize_mentions,
+    # candidate_split_person — were displaced by the four PQ-retune
+    # rows in (b) and the third/fourth r10 additions in (a), and head
+    # the r11 freshness queue)
+    "top_mention_per_doc",
     "country_suffix_join", "dms_parse",
 ]

@@ -405,7 +405,7 @@ def q_ner_learned_viterbi(spark, sf_dir):
     )
 
 
-def _viterbi_oracle() -> str:
+def _viterbi_oracle(labeled_tail: str | None = None) -> str:
     """DuckDB Viterbi: identical scores, DP and tie-breaks as the
     Spark decode. The fold carries per-tag (score, path) through a
     list_reduce over each doc's emission-scored token list; every
@@ -426,8 +426,21 @@ def _viterbi_oracle() -> str:
     into BIGINT chunks (31 steps each; integer shift/add), unpacked
     per token at the end. Capacity = 31 * n_chunks tokens/doc; a
     guard CTE fails loud (invalid VARCHAR->BIGINT cast) on over-long
-    docs rather than decode wrong."""
+    docs rather than decode wrong.
+
+    ``labeled_tail`` overrides the gold labeling: the CTE chain after
+    ``ctx`` producing ``labeled(doc_id, idx, token, tag)`` — the
+    default is the context-sensitive gold shared with
+    ``ner_learned_ctx``; ``ner_viterbi_spans`` passes the
+    span-continuation gold instead (same DP, different labels)."""
     gold_case = _sql_type_case_on("prev || ' ' || token")
+    if labeled_tail is None:
+        labeled_tail = f"""labeled AS (
+  SELECT doc_id, idx, token, prev,
+         CASE WHEN {gold_case} IN ('PERSON','ORGANIZATION','LOCATION')
+              THEN {gold_case} ELSE 'O' END AS tag
+  FROM ctx
+)"""
     k = len(VIT_TAGS)
     codes = list(VIT_CODES)
     pcodes = ["B"] + codes  # '<B>' + tag codes
@@ -547,12 +560,7 @@ ctx AS (
              PARTITION BY doc_id ORDER BY idx) AS prev
   FROM seq
 ),
-labeled AS (
-  SELECT doc_id, idx, token, prev,
-         CASE WHEN {gold_case} IN ('PERSON','ORGANIZATION','LOCATION')
-              THEN {gold_case} ELSE 'O' END AS tag
-  FROM ctx
-),
+{labeled_tail},
 tpairs AS (
   SELECT lag(tag, 1, '{VIT_BOS}') OVER (
              PARTITION BY doc_id ORDER BY idx) AS ptag,
@@ -623,3 +631,104 @@ WHERE cap.ok = 1
 
 QUERIES["ner_learned_viterbi"] = q_ner_learned_viterbi
 ORACLES["ner_learned_viterbi"] = _viterbi_oracle()
+
+
+# --- Viterbi on span-continuation gold (round 10) ---------------------------
+#
+# The context-sensitive gold above conditions on the previous SURFACE
+# TOKEN, which tag-level transitions cannot see — so on that gold the
+# HMM structurally collapses to its emission argmax (measured: 0.393
+# vs the 0.397 unigram floor). This second gold has the structure CRF
+# sequence decoding exists for: typed words START an entity span and
+# every untyped word CONTINUES the previous span's type (BIO-style
+# continuation; 'O' only before a doc's first typed word). Emissions
+# alone CANNOT label continuation tokens (the same surface word
+# continues PERSON in one doc and LOCATION in another); the learned
+# transition matrix's strong self-transitions can — so this pair of
+# golds measures exactly the qualitative gap between per-token
+# classification and joint decoding (accuracy table in PLANS.md
+# round-10).
+
+
+def _span_gold(toks: DataFrame) -> DataFrame:
+    """(doc_id, idx, token, ...) -> + tag: typed words carry their
+    class; untyped words inherit the last typed class before them in
+    the doc ('O' before the first typed word)."""
+    from pyspark.sql import Window
+
+    c = _type_from_word(F.col("token"))
+    typed = F.when(c.isin(*TAG_CLASSES), c)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.withColumn(
+        "tag",
+        F.coalesce(F.last(typed, ignorenulls=True).over(w), F.lit("O")),
+    )
+
+
+def _models_viterbi_spans(spark: SparkSession, sf_dir: str):
+    from ..session import plan_key, plan_memo
+
+    train_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+
+    def build():
+        labeled = _span_gold(_ctx_tokens(train_docs))
+        trans, emis_wide, defaults = train_hmm(labeled)
+        emis_wide, defaults = emis_wide.persist(), defaults.persist()
+        emis_wide.count(), defaults.count()
+        tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+        return tmat, emis_wide, defaults
+
+    return plan_memo(
+        spark, plan_key(train_docs, "ner_models_viterbi_spans"), build
+    )
+
+
+def q_ner_viterbi_spans(spark, sf_dir):
+    """Held-out Viterbi decode on the span-continuation gold: one row
+    per token with the jointly-decoded tag, the span gold and a
+    correct flag (docstring above; the accuracy vs the per-token
+    taggers is the point of this query's existence)."""
+    tmat, emis_wide, defaults = _models_viterbi_spans(spark, sf_dir)
+    held = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    toks = _span_gold(_ctx_tokens(held)).withColumnRenamed("tag", "gold_tag")
+    decoded = apply_viterbi(
+        toks.select("doc_id", "idx", "token", "gold_tag"),
+        tmat,
+        emis_wide,
+        defaults,
+        carry_cols=("gold_tag",),
+    )
+    return decoded.select(
+        "doc_id",
+        "idx",
+        "token",
+        "pred_tag",
+        "gold_tag",
+        (F.col("pred_tag") == F.col("gold_tag")).cast("long").alias("correct"),
+    )
+
+
+def _spans_labeled_tail() -> str:
+    word_case = _sql_type_case_on("token")
+    return f"""typed AS (
+  SELECT doc_id, idx, token,
+         CASE WHEN {word_case} IN ('PERSON','ORGANIZATION','LOCATION')
+              THEN {word_case} END AS c
+  FROM ctx
+),
+labeled AS (
+  SELECT doc_id, idx, token,
+         coalesce(last_value(c IGNORE NULLS) OVER (
+             PARTITION BY doc_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'O')
+           AS tag
+  FROM typed
+)"""
+
+
+QUERIES["ner_viterbi_spans"] = q_ner_viterbi_spans
+ORACLES["ner_viterbi_spans"] = _viterbi_oracle(_spans_labeled_tail())
