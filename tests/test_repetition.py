@@ -626,3 +626,20 @@ def test_ann_ivf_rpq_probe_bound_and_nondegeneracy(spark, sf_dir):
         (F2.col("vec_id") == cent) & (F2.col("gdim") == gdim)
     ).collect()[0]["q"]
     assert some["q"] == raw - cq
+
+
+def test_streaming_bpe_fertility_matches_batch(spark, sf_dir):
+    """The foreachBatch fertility-counter maintenance (10th streaming
+    execution) must equal the one-shot batch rollup exactly — the
+    tokenizer artifact is fixed, so per-language counters from
+    disjoint doc batches must sum to the corpus answer."""
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_bpe_fertility,
+    )
+    from vizlinc_ingester_spark.suite.textstats import q_bpe_fertility
+
+    batch = sorted(map(tuple, q_bpe_fertility(spark, sf_dir).collect()))
+    stream = sorted(
+        map(tuple, q_streaming_bpe_fertility(spark, sf_dir).collect())
+    )
+    assert batch == stream

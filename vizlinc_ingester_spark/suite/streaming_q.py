@@ -742,3 +742,78 @@ def _quality_batch_oracle() -> str:
 
 
 ORACLES["streaming_quality_report"] = _quality_batch_oracle()
+
+
+def q_streaming_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest maintenance of the per-language tokenizer-fertility
+    dashboard under the SAME oracle as the batch ``bpe_fertility`` —
+    the 10th true streaming execution, and the deployment shape the
+    metric actually has: the tokenizer (vocab + merges) is a FIXED
+    offline-trained artifact, and fertility is monitored as documents
+    ARRIVE. Documents stream in two micro-batches (doc_id parity);
+    each ``foreachBatch`` computes the batch's per-language ADDITIVE
+    counters (textstats.fertility_counters — sums over word
+    occurrences, so disjoint batches contribute independent rows
+    against the same static encoded vocabulary) and folds them into
+    the store by per-language summation; finalize derives the
+    integer-micro ratios from the summed counters. Fourth member of
+    the mergeable-maintenance family (KMV, Bloom, quality counters).
+    State: one row per language, forever."""
+    from .textstats import (
+        FERTILITY_COUNTER_COLS,
+        _fertility_enc,
+        fertility_counters,
+        fertility_finalize,
+        merge_fertility_counters,
+    )
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    enc = _fertility_enc(spark, sf_dir).persist()
+    enc.count()  # the static tokenizer artifact, materialized once
+    stage = tempfile.mkdtemp(prefix="vl_stream_fert_")
+    work = tempfile.mkdtemp(prefix="vl_stream_fert_work_")
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stores: list[str] = []
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        cnts = fertility_counters(batch, enc)
+        if stores:
+            cnts = merge_fertility_counters(
+                cnts, spark.read.parquet(stores[-1])
+            )
+        path = os.path.join(work, f"counters_{batch_id}")
+        cnts.select("lang", *FERTILITY_COUNTER_COLS).write.mode(
+            "overwrite"
+        ).parquet(path)
+        stores.append(path)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 900)
+    return fertility_finalize(spark.read.parquet(stores[-1]))
+
+
+QUERIES["streaming_bpe_fertility"] = q_streaming_bpe_fertility
+
+
+def _fertility_batch_oracle() -> str:
+    from .textstats import ORACLES as TX_ORACLES
+
+    return TX_ORACLES["bpe_fertility"]
+
+
+ORACLES["streaming_bpe_fertility"] = _fertility_batch_oracle()

@@ -453,14 +453,24 @@ def q_bpe_fertility(spark, sf_dir):
     occurrence⋈encoding join keys on the vocab-bounded word (AQE
     broadcasts it); the final group space is the language set. All
     ratios integer-micro with zero guards on both engines."""
+    return fertility_finalize(
+        fertility_counters(
+            _docs(spark, sf_dir), _fertility_enc(spark, sf_dir)
+        )
+    )
+
+
+def _fertility_enc(spark, sf_dir) -> DataFrame:
+    """The encoded-vocabulary artifact (word, n_sym, wlen): trained
+    BPE merges applied to the vocab. The merge list is a TRAINED
+    TOKENIZER artifact (learn-once / apply-many, the PQ-codebook /
+    NER-model memo stance); the training queries themselves
+    (bpe_merges / bpe_encode) stay un-memoized — they ARE the gated
+    training runs."""
     from ..operators.bpe import _merge_fold, learn_bpe_merges
     from ..session import plan_key, plan_memo
 
     vocab = _bpe_vocab(spark, sf_dir)
-    # the merge list is a TRAINED TOKENIZER artifact (learn-once /
-    # apply-many, the PQ-codebook / NER-model memo stance); the
-    # training queries themselves (bpe_merges / bpe_encode) stay
-    # un-memoized — they ARE the gated training runs
     merges = plan_memo(
         spark,
         plan_key(vocab, "bpe_merges", BPE_N_MERGES),
@@ -469,16 +479,27 @@ def q_bpe_fertility(spark, sf_dir):
     seqs = vocab.select("word", F.split("word", "").alias("symbols"))
     for _, l, r, _cnt in merges:
         seqs = seqs.select("word", _merge_fold(l, r).alias("symbols"))
-    enc = seqs.select(
+    return seqs.select(
         "word",
         F.size(F.filter("symbols", lambda s: s != ""))
         .cast("long")
         .alias("n_sym"),
         F.length("word").cast("long").alias("wlen"),
     )
-    d = _docs(spark, sf_dir)
+
+
+FERTILITY_COUNTER_COLS = ["n_words", "n_tokens", "n_chars"]
+
+
+def fertility_counters(docs: DataFrame, enc: DataFrame) -> DataFrame:
+    """Per-language ADDITIVE fertility counters over an arbitrary docs
+    relation, against a FIXED encoded-vocabulary artifact ``enc``
+    (word, n_sym, wlen): each column is a plain sum over word
+    occurrences, so counters from disjoint batches merge by
+    per-language summation — the streaming at-ingest maintenance
+    property (same algebra split as repetition.quality_counters)."""
     occ = (
-        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -490,22 +511,37 @@ def q_bpe_fertility(spark, sf_dir):
             F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
             F.sum(F.col("cnt") * F.col("wlen")).cast("long").alias("n_chars"),
         )
-        .select(
-            "lang",
-            "n_words",
-            "n_tokens",
-            "n_chars",
-            F.expr(
-                "CASE WHEN n_words = 0 THEN 0"
-                " ELSE n_tokens * 1000000 div n_words END"
-            ).cast("long").alias("fertility_micro"),
-            F.expr(
-                "CASE WHEN n_tokens = 0 THEN 0"
-                " ELSE n_chars * 1000000 div n_tokens END"
-            ).cast("long").alias("chars_per_token_micro"),
-        )
-        .orderBy("lang")
     )
+
+
+def merge_fertility_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter merge = per-language summation (disjoint-batch algebra)."""
+    return (
+        a.unionByName(b)
+        .groupBy("lang")
+        .agg(
+            *[F.sum(c).cast("long").alias(c) for c in FERTILITY_COUNTER_COLS]
+        )
+    )
+
+
+def fertility_finalize(counters: DataFrame) -> DataFrame:
+    """Counters -> the report shape (ratios derived at FINALIZE from
+    the additive sums, never maintained directly)."""
+    return counters.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN 0"
+            " ELSE n_tokens * 1000000 div n_words END"
+        ).cast("long").alias("fertility_micro"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE n_chars * 1000000 div n_tokens END"
+        ).cast("long").alias("chars_per_token_micro"),
+    ).orderBy("lang")
 
 
 def _bpe_fertility_oracle() -> str:
