@@ -133,11 +133,11 @@ def test_ann_ivf_pq_candidates_respect_probe_lists(spark, sf_dir):
         for r in sim._ivf_assigned(spark, sf_dir).collect()
     }
     e = sim._emb(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") % sim.CENTROID_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < sim.N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cent_emb"),
     )
-    q = e.filter(F.col("vec_id") % sim.QUERY_MOD == 0).select(
+    q = e.filter(F.col("vec_id") < sim.N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     from vizlinc_ingester_spark.suite.dedup import cos_micro

@@ -159,24 +159,28 @@ def test_training_manifest_positions_contiguous(spark, sf_dir):
 def test_kmeans_empty_cluster_drops(spark):
     """A seed centroid that attracts no vectors after round 1 must
     disappear from later rounds (both engines share this algebra).
-    Construct it directly: two tight groups far apart, both seeds
-    inside group A -> after the round-1 update one centroid captures
-    everything nearby and the other keeps only its own seed... then
-    verify via the suite query on a crafted sf_dir."""
+    Force it deterministically: seed KMEANS_K-1 is an exact duplicate
+    of seed 0, so in round 1 it ties (dist 0) with cluster 0 and the
+    (dist, cluster_id) tie-break assigns BOTH copies to cluster 0 —
+    cluster KMEANS_K-1 is empty after round 1 and must be absent from
+    the final assignment."""
     import numpy as np
 
     from vizlinc_ingester_spark.suite.similarity import (
-        KMEANS_MOD,
+        KMEANS_K,
         q_kmeans_clusters,
     )
 
     rng = np.random.RandomState(7)
     rows = []
-    # group A near +1, group B near -1 (dim 4, padded to 8)
+    # group A near +1 (holds every seed: vec_id < KMEANS_K), group B
+    # near -1 (no seeds -> its vectors join whichever A-cluster is
+    # least far; legal k-means)
     for vid in range(0, 401):
         center = 1.0 if vid <= 350 else -1.0
         vec = (center + rng.uniform(-0.01, 0.01, 8)).astype("float32")
         rows.append((vid, vec.tolist(), 0))
+    rows[KMEANS_K - 1] = (KMEANS_K - 1, rows[0][1], 0)  # exact dup of seed 0
     import pandas as pd
     import tempfile, os
     df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
@@ -184,14 +188,12 @@ def test_kmeans_empty_cluster_drops(spark):
     spark.createDataFrame(df).write.mode("overwrite").parquet(
         os.path.join(tmp, "embeddings.parquet")
     )
-    # seeds = vec_id % 100 == 0 -> 0,100,200,300 (group A), 400 (group B)
     out = q_kmeans_clusters(spark, tmp).toPandas()
     assert len(out) == 401
-    # every vector assigned to exactly one surviving cluster; group B's
-    # vectors keep centroid 400; group A's collapse onto A-side seeds
-    b = out[out.vec_id > 350]
-    assert set(b.cluster_id) == {400}
-    assert set(out.cluster_id) <= {0, 100, 200, 300, 400}
+    # every vector lands on a surviving seed cluster; the duplicated
+    # seed's cluster emptied in round 1 and dropped
+    assert set(out.cluster_id) <= set(range(KMEANS_K - 1))
+    assert KMEANS_K - 1 not in set(out.cluster_id)
 
 
 def test_kmeans_vec_twin_bit_identical(spark, sf_dir):

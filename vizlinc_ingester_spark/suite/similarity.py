@@ -18,8 +18,17 @@ from pyspark.sql import functions as F
 from .dedup import cos_micro, sql_cos_micro
 
 TOPK = 5
-QUERY_MOD = 100  # vec_id % 100 == 0 -> query set
-CENTROID_MOD = 50  # vec_id % 50 == 0 -> IVF centroid set
+# Fixed-SIZE query/centroid sets (the PQ_K precedent at _lloyd_train's
+# seed rule): membership is ``vec_id < C`` — a constant-size set at ANY
+# corpus size — NOT ``vec_id % MOD == 0``, whose set grows as
+# corpus/MOD and silently turned "bounded broadcast / bounded driver
+# collect" into O(corpus) at 100 TB (the r10 verdict's scale defect:
+# the IVF centroid broadcast, the k-means seed collect and the query
+# batch all scaled with the corpus). With fixed C the centroid table,
+# the seed set and the serving batch are the same size at sf0.001 and
+# at a 1000-executor 100 TB run.
+N_QUERIES = 64     # serving query batch: vec_id < N_QUERIES
+N_CENTROIDS = 128  # IVF centroid set: vec_id < N_CENTROIDS
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +49,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     inner side is the full corpus scanned once per batch of queries
     (queries broadcast, corpus never shuffles)."""
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = F.broadcast(q).crossJoin(
@@ -62,7 +71,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          {sql_cos_micro('q.embedding', 'c.embedding')} AS cos_micro
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-  WHERE q.vec_id % {QUERY_MOD} = 0
+  WHERE q.vec_id < {N_QUERIES}
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
@@ -87,7 +96,7 @@ def _ivf_assigned(spark, sf_dir):
     e = _emb(spark, sf_dir)
 
     def build():
-        cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("centroid_id"),
             F.col("embedding").alias("cent_emb"),
         )
@@ -111,18 +120,19 @@ def _ivf_assigned(spark, sf_dir):
         assigned.count()  # materialize before the self-join fan-out
         return assigned
 
-    return plan_memo(spark, plan_key(e, "ivf_assign", CENTROID_MOD), build)
+    return plan_memo(spark, plan_key(e, "ivf_assign", N_CENTROIDS), build)
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: centroid set = vec_id % {CENTROID_MOD} == 0;
+    """IVF-style ANN: centroid set = the fixed N_CENTROIDS-row
+    ``vec_id < N_CENTROIDS`` prefix;
     every vector is assigned to its max-cosine centroid (deterministic
     tie-break on centroid id); queries search only their own
     centroid's inverted list. The shuffle is keyed on centroid_id —
     bounded fan-out, no O(n^2) pair space. The assignment is the
     materialized index (``_ivf_assigned``); the search self-joins it."""
     assigned = _ivf_assigned(spark, sf_dir)
-    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "centroid_id",
@@ -146,7 +156,7 @@ def q_ann_ivf(spark, sf_dir):
 ORACLE_ANN_IVF = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cent_emb
-  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -165,7 +175,7 @@ pairs AS (
          {sql_cos_micro('q.embedding', 'c.embedding')} AS cos_micro
   FROM assigned q JOIN assigned c
     ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
-  WHERE q.vec_id % {QUERY_MOD} = 0
+  WHERE q.vec_id < {N_QUERIES}
 )
 SELECT query_id, cand_id, centroid_id, cos_micro,
        CAST(rank AS BIGINT) AS rank
@@ -213,7 +223,7 @@ def q_ann_lsh(spark, sf_dir):
         return out.cast("long")
 
     sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
-    q = sig.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
     )
     c = sig.select(
@@ -255,7 +265,7 @@ pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
          {sql_cos_micro('q.embedding', 'c.embedding')} AS cos_micro
   FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-  WHERE q.vec_id % {QUERY_MOD} = 0
+  WHERE q.vec_id < {N_QUERIES}
 )
 SELECT query_id, cand_id, bucket, cos_micro, CAST(rank AS BIGINT) AS rank
 FROM (
@@ -290,7 +300,7 @@ def q_ann_cosine_topk_vec(spark, sf_dir):
     # The query batch is collected + broadcast: it is the small side
     # by construction (a serving batch), never the corpus.
     q_rows = (
-        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        e.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -361,7 +371,7 @@ scored AS (
               (sqrt(list_dot_product(q.v, q.v)) *
                sqrt(list_dot_product(c.v, c.v)))) AS BIGINT) AS cos_micro
   FROM iv q JOIN iv c ON q.vec_id <> c.vec_id
-  WHERE q.vec_id % {QUERY_MOD} = 0
+  WHERE q.vec_id < {N_QUERIES}
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (
@@ -675,7 +685,7 @@ def q_ann_pq(spark, sf_dir):
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
     )
     # per-(query, m, cid) distance table — tiny, broadcast
-    qcomp = comp.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    qcomp = comp.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "m", "dim", F.col("q").alias("qq")
     )
     qtab = (
@@ -714,7 +724,7 @@ qtab AS (
   SELECT comp.vec_id AS qid, comp.m, cid,
          CAST(sum((q - c) * (q - c)) AS BIGINT) AS qd2
   FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
-  WHERE comp.vec_id % {QUERY_MOD} = 0
+  WHERE comp.vec_id < {N_QUERIES}
   GROUP BY comp.vec_id, comp.m, cid
 ),
 scored AS (
@@ -787,7 +797,7 @@ def q_dedup_semantic(spark, sf_dir):
 ORACLE_DEDUP_SEMANTIC = f"""
 WITH cent AS (
   SELECT vec_id AS centroid_id, embedding AS cent_emb
-  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -826,7 +836,7 @@ ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC
 # Lloyd's k-means over the embedding table — the clustering primitive
 # behind cluster-balanced sampling, SemDeDup-style pruning, and IVF
 # list training ("Deduplicating..." appendix; DiverseEvol etc.). The
-# IVF index above uses FIXED centroids (vec_id % CENTROID_MOD); this
+# IVF index above uses FIXED centroids (vec_id < N_CENTROIDS); this
 # operator actually ITERATES the centroid update, under the full
 # cross-engine hash gate — possible because everything runs in exact
 # integer arithmetic:
@@ -854,7 +864,7 @@ ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC
 # MATERIALIZED CTEs, Spark localCheckpoints the K x D centroid table
 # per round to keep lineage flat).
 
-KMEANS_MOD = 100     # vec_id % 100 == 0 -> seed centroid set
+KMEANS_K = 64        # seed set: vec_id < KMEANS_K (fixed size, see header)
 KMEANS_ROUNDS = 2    # assignment passes (centroids update between)
 
 
@@ -885,13 +895,13 @@ def q_kmeans_clusters(spark, sf_dir):
         return out
 
     return plan_memo(
-        spark, plan_key(e0, "kmeans_assign", KMEANS_MOD, KMEANS_ROUNDS), build
+        spark, plan_key(e0, "kmeans_assign", KMEANS_K, KMEANS_ROUNDS), build
     )
 
 
 def _kmeans_assign(e0):
     e = e0.select("vec_id", _micro_vec(F.col("embedding")).alias("em"))
-    cent = e.filter(F.col("vec_id") % KMEANS_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("em").alias("cem")
     )
     assigned = None
@@ -951,7 +961,7 @@ WITH em AS MATERIALIZED (
   FROM embeddings
 ),
 c_0 AS MATERIALIZED (
-  SELECT vec_id AS cluster_id, em AS cem FROM em WHERE vec_id % {KMEANS_MOD} = 0
+  SELECT vec_id AS cluster_id, em AS cem FROM em WHERE vec_id < {KMEANS_K}
 )"""]
     for r in range(1, KMEANS_ROUNDS + 1):
         dist = sql_l2.format(a="e.em", b="c.cem")
@@ -1088,7 +1098,7 @@ def q_kmeans_clusters_vec(spark, sf_dir):
         "vec_id", _micro_vec(F.col("embedding")).alias("em")
     )
     cent_rows = (
-        e.filter(F.col("vec_id") % KMEANS_MOD == 0)
+        e.filter(F.col("vec_id") < KMEANS_K)
         .select(F.col("vec_id").alias("cluster_id"), F.col("em").alias("cem"))
         .collect()
     )
@@ -1231,6 +1241,34 @@ ORACLES["jl_projection"] = ORACLE_JL
 RECALL_K = 3  # evaluate approx top-3 against exact top-3
 
 
+def _truth_topk(spark, sf_dir) -> DataFrame:
+    """Exact brute-force top-RECALL_K ground truth shared by the four
+    recall evals — memoized + persisted per (session, input plan)
+    through the one cache registry (session.plan_memo), because truth
+    is a build-once artifact consumed by every eval in the family (the
+    _ivf_assigned / _pq_train stance; before the memo each eval
+    recomputed the full brute-force scan per bench rep — the two
+    slowest bench rows after simjoin in r10). Bounded: N_QUERIES x
+    RECALL_K rows."""
+    from ..session import plan_key, plan_memo
+
+    e = _emb(spark, sf_dir)
+
+    def build():
+        t = (
+            q_ann_cosine_topk(spark, sf_dir)
+            .filter(F.col("rank") <= RECALL_K)
+            .select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+            .persist()
+        )
+        t.count()
+        return t
+
+    return plan_memo(
+        spark, plan_key(e, "ann_truth", N_QUERIES, RECALL_K), build
+    )
+
+
 def q_ann_recall_eval(spark, sf_dir):
     """Retrieval-quality evaluation of the LSH index against exact
     brute-force ground truth — the measurement loop every ANN
@@ -1245,11 +1283,10 @@ def q_ann_recall_eval(spark, sf_dir):
 
     Plan at 100 TB: the truth side is whatever exact or
     gold-labelled subset the evaluation owns (here the brute top-K
-    over the query sample); the metric joins are keyed on
-    (query_id, cand_id) — query-sample-sized, never corpus-sized."""
-    truth = q_ann_cosine_topk(spark, sf_dir).filter(
-        F.col("rank") <= RECALL_K
-    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    over the query sample, memoized once per session — _truth_topk);
+    the metric joins are keyed on (query_id, cand_id) —
+    query-sample-sized, never corpus-sized."""
+    truth = _truth_topk(spark, sf_dir)
     approx = q_ann_lsh(spark, sf_dir).select(
         "query_id", "cand_id", F.col("rank").alias("a_rank")
     )
@@ -1367,7 +1404,7 @@ def q_ann_lsh_banded(spark, sf_dir):
             F.expr("sig div 16").alias("v"),
         )
     )
-    q = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "b", "v"
     )
     c = bands.select(F.col("vec_id").alias("cand_id"), "b", "v")
@@ -1403,7 +1440,7 @@ bands AS (
 pairs AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
   FROM bands q JOIN bands c ON q.b = c.b AND q.v = c.v
-  WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
 ),
 scored AS (
   SELECT p.query_id, p.cand_id,
@@ -1428,9 +1465,7 @@ FROM (
 def q_ann_recall_eval_banded(spark, sf_dir):
     """``ann_recall_eval`` with the banded index as the system under
     test — the banding knob's measured payoff, hash-gated."""
-    truth = q_ann_cosine_topk(spark, sf_dir).filter(
-        F.col("rank") <= RECALL_K
-    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    truth = _truth_topk(spark, sf_dir)
     approx = q_ann_lsh_banded(spark, sf_dir).select(
         "query_id", "cand_id", F.col("rank").alias("a_rank")
     )
@@ -1508,11 +1543,11 @@ def _ivf_pq_scored(spark, sf_dir):
     cand asc)."""
     assigned = _ivf_assigned(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cent_emb"),
     )
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -1551,7 +1586,7 @@ def _ivf_pq_scored(spark, sf_dir):
         .groupBy("vec_id", "m")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
     )
-    qcomp = comp.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    qcomp = comp.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", "dim", F.col("q").alias("qq")
     )
     qtab = (
@@ -1586,7 +1621,7 @@ def _ivf_pq_oracle(k: int) -> str:
     return _pq_oracle_ctes() + f""",
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS cent_emb
-  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 ivf_scored AS (
   SELECT e.vec_id, c.centroid_id,
@@ -1604,7 +1639,7 @@ probes AS (
   SELECT vec_id AS query_id, centroid_id FROM (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS pr
-    FROM ivf_scored WHERE vec_id % {QUERY_MOD} = 0
+    FROM ivf_scored WHERE vec_id < {N_QUERIES}
   ) y WHERE pr <= {NPROBE}
 ),
 cands AS (
@@ -1625,7 +1660,7 @@ qtab AS (
   SELECT comp.vec_id AS query_id, comp.m, cid,
          CAST(sum((q - c) * (q - c)) AS BIGINT) AS qd2
   FROM comp JOIN c_{PQ_ITERS} ON comp.m = c_{PQ_ITERS}.m AND comp.dim = c_{PQ_ITERS}.dim
-  WHERE comp.vec_id % {QUERY_MOD} = 0
+  WHERE comp.vec_id < {N_QUERIES}
   GROUP BY comp.vec_id, comp.m, cid
 ),
 adc_scored AS (
@@ -1676,9 +1711,7 @@ def q_ann_recall_eval_ivfpq(spark, sf_dir):
     M=16 x 4-dim subvectors at K=64 lift ADC-only recall@3 to 0.60
     at sf0.1 and the reranked pipeline to 0.967 (exact-L2 ceiling
     1.00); subvector WIDTH dominates K, then C, then NPROBE."""
-    truth = q_ann_cosine_topk(spark, sf_dir).filter(
-        F.col("rank") <= RECALL_K
-    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    truth = _truth_topk(spark, sf_dir)
     approx = q_ann_ivf_pq(spark, sf_dir).select(
         "query_id", "cand_id", F.col("rnk").alias("a_rank")
     )
@@ -1761,7 +1794,7 @@ def q_ann_ivf_pq_rerank(spark, sf_dir):
         .select("query_id", "cand_id")
     )
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.select(
@@ -1855,9 +1888,9 @@ def _rpq_comp(spark, sf_dir) -> DataFrame:
     micro-quantized FIRST), so the whole residual pipeline stays
     under the hash gate. Plan: one flat component explode, the
     id-sized assignment map join, and a broadcast join against the
-    centroid components (centroids are corpus/CENTROID_MOD rows)."""
+    centroid components (the centroid set is N_CENTROIDS rows — fixed at any corpus size)."""
     vq = _vq_micro(spark, sf_dir)
-    cent_q = vq.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cent_q = vq.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), "gdim", F.col("q").alias("cq")
     )
     amap = _ivf_assigned(spark, sf_dir).select("vec_id", "centroid_id")
@@ -1911,11 +1944,11 @@ def _ivf_rpq_scored(spark, sf_dir):
     list's centroid — the residual trick's only structural cost."""
     assigned = _ivf_assigned(spark, sf_dir)
     e = _emb(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cent = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cent_emb"),
     )
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -1943,7 +1976,7 @@ def _ivf_rpq_scored(spark, sf_dir):
     codes, cdf = _codes_from(comp, cents)
     # query residual components PER PROBED CENTROID
     vq = _vq_micro(spark, sf_dir)
-    cent_q = vq.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+    cent_q = vq.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), "gdim", F.col("q").alias("cq")
     )
     qr = (
@@ -1995,9 +2028,7 @@ def q_ann_recall_eval_ivfrpq(spark, sf_dir):
     — the HONEST negative on near-isotropic embeddings, where
     residuals are larger than raw vectors (see the section header);
     same gated metric layer as the other recall evals."""
-    truth = q_ann_cosine_topk(spark, sf_dir).filter(
-        F.col("rank") <= RECALL_K
-    ).select("query_id", "cand_id", F.col("rank").alias("t_rank"))
+    truth = _truth_topk(spark, sf_dir)
     approx = q_ann_ivf_rpq(spark, sf_dir).select(
         "query_id", "cand_id", F.col("rnk").alias("a_rank")
     )
@@ -2015,10 +2046,10 @@ def _rpq_comp_ctes() -> list[str]:
   FROM embeddings
 )""", f"""rcent AS (
   SELECT vec_id AS centroid_id, gdim, q AS cq FROM vq
-  WHERE vec_id % {CENTROID_MOD} = 0
+  WHERE vec_id < {N_CENTROIDS}
 )""", f"""ivf_cent AS (
   SELECT vec_id AS centroid_id, embedding AS cent_emb
-  FROM embeddings WHERE vec_id % {CENTROID_MOD} = 0
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
 )""", f"""ivf_scored AS (
   SELECT e.vec_id, c.centroid_id,
          {sql_cos_micro('e.embedding', 'c.cent_emb')} AS cm
@@ -2046,7 +2077,7 @@ probes AS (
   SELECT vec_id AS query_id, centroid_id FROM (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS pr
-    FROM ivf_scored WHERE vec_id % {QUERY_MOD} = 0
+    FROM ivf_scored WHERE vec_id < {N_QUERIES}
   ) y WHERE pr <= {NPROBE}
 ),
 cands AS (
