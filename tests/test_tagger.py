@@ -194,3 +194,33 @@ def test_viterbi_decode_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_viterbi_oracle_capacity_covers_sweep_corpora():
+    """The DuckDB Viterbi oracle packs the backtrace as 2-bit codes in
+    31-step BIGINT chunks — capacity 31 * VIT_ORACLE_CHUNKS tokens per
+    document, and the oracle fails loud mid-sweep past it (r10 ADVICE).
+    Trip the guard HERE, at data-definition time: if the driver ever
+    regenerates documents with longer texts, this test names the fix
+    (raise VIT_ORACLE_CHUNKS in suite/ner.py; the Spark decode already
+    handles any length) before a sweep ever sees the oracle error."""
+    import os
+
+    import duckdb
+
+    from vizlinc_ingester_spark.suite.ner import VIT_ORACLE_CHUNKS
+
+    cap = 31 * VIT_ORACLE_CHUNKS
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        mx = duckdb.sql(
+            "SELECT max(len(list_filter(string_split(text, ' '),"
+            f" w -> w <> ''))) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+        assert mx < cap, (
+            f"sf{sf} max doc length {mx} >= oracle path capacity {cap}: "
+            "raise VIT_ORACLE_CHUNKS in suite/ner.py (Spark side needs "
+            "no change)"
+        )

@@ -328,9 +328,15 @@ def apply_viterbi(
         )
     )
     ecols = [f"e_{c}" for c in VIT_CODES]
+    # carry columns keep their INPUT types (a hardcoded 'string' here
+    # silently mis-declared e.g. a long id and produced an Arrow cast
+    # failure or a wrong output schema at runtime)
+    in_types = {f.name: f.dataType.simpleString() for f in tokens.schema.fields}
+    missing = [c for c in carry_cols if c not in in_types]
+    assert not missing, f"carry_cols not in tokens schema: {missing}"
     out_schema = ", ".join(
         ["doc_id long", "idx long", "token string"]
-        + [f"{c} string" for c in carry_cols]
+        + [f"{c} {in_types[c]}" for c in carry_cols]
         + ["pred_tag string"]
     )
 

@@ -34,6 +34,14 @@ from ..operators.tagger import SUFFIX_LEN, TAG_CLASSES, apply_tagger, train_tagg
 from ..oracle import _sql_type_case
 
 
+# DuckDB Viterbi-oracle backtrace capacity: 2-bit tag codes packed in
+# 31-step BIGINT chunks -> 31 * VIT_ORACLE_CHUNKS tokens per document.
+# The oracle fails loud past it; tests/test_tagger.py pins every sweep
+# corpus under this bound at data-definition time (r10 ADVICE), so a
+# regenerated longer-doc corpus trips there with the fix named instead
+# of erroring mid-sweep.
+VIT_ORACLE_CHUNKS = 4
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -476,7 +484,7 @@ def _viterbi_oracle(labeled_tail: str | None = None) -> str:
         f"coalesce(e.e_{c}, d.d_{c}) AS e_{c}" for c in codes
     )
 
-    n_chunks = 4  # 31 two-bit steps per BIGINT chunk -> 124 tokens/doc
+    n_chunks = VIT_ORACLE_CHUNKS
     chunks = list(range(n_chunks))
 
     def best_case(cands, results):

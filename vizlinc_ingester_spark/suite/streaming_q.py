@@ -768,8 +768,10 @@ def q_streaming_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    enc = _fertility_enc(spark, sf_dir).persist()
-    enc.count()  # the static tokenizer artifact, materialized once
+    # the static tokenizer artifact — memoized + persisted inside
+    # _fertility_enc (one registry entry per session, not one leaked
+    # persist per invocation; r10 ADVICE)
+    enc = _fertility_enc(spark, sf_dir)
     stage = tempfile.mkdtemp(prefix="vl_stream_fert_")
     work = tempfile.mkdtemp(prefix="vl_stream_fert_work_")
     raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(

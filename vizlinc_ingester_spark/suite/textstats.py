@@ -466,25 +466,37 @@ def _fertility_enc(spark, sf_dir) -> DataFrame:
     TOKENIZER artifact (learn-once / apply-many, the PQ-codebook /
     NER-model memo stance); the training queries themselves
     (bpe_merges / bpe_encode) stay un-memoized — they ARE the gated
-    training runs."""
+    training runs. The encoded relation itself is ALSO memoized +
+    persisted per (session, vocab plan) through session.plan_memo:
+    before this, every streaming/batch fertility invocation persisted
+    a fresh copy and never released it — exactly the block-manager
+    leak pattern the registry exists to prevent (r10 ADVICE)."""
     from ..operators.bpe import _merge_fold, learn_bpe_merges
     from ..session import plan_key, plan_memo
 
     vocab = _bpe_vocab(spark, sf_dir)
-    merges = plan_memo(
-        spark,
-        plan_key(vocab, "bpe_merges", BPE_N_MERGES),
-        lambda: learn_bpe_merges(vocab, BPE_N_MERGES),
-    )
-    seqs = vocab.select("word", F.split("word", "").alias("symbols"))
-    for _, l, r, _cnt in merges:
-        seqs = seqs.select("word", _merge_fold(l, r).alias("symbols"))
-    return seqs.select(
-        "word",
-        F.size(F.filter("symbols", lambda s: s != ""))
-        .cast("long")
-        .alias("n_sym"),
-        F.length("word").cast("long").alias("wlen"),
+
+    def build():
+        merges = plan_memo(
+            spark,
+            plan_key(vocab, "bpe_merges", BPE_N_MERGES),
+            lambda: learn_bpe_merges(vocab, BPE_N_MERGES),
+        )
+        seqs = vocab.select("word", F.split("word", "").alias("symbols"))
+        for _, l, r, _cnt in merges:
+            seqs = seqs.select("word", _merge_fold(l, r).alias("symbols"))
+        enc = seqs.select(
+            "word",
+            F.size(F.filter("symbols", lambda s: s != ""))
+            .cast("long")
+            .alias("n_sym"),
+            F.length("word").cast("long").alias("wlen"),
+        ).persist()
+        enc.count()  # vocab-bounded; materialized once per session
+        return enc
+
+    return plan_memo(
+        spark, plan_key(vocab, "fertility_enc", BPE_N_MERGES), build
     )
 
 
