@@ -388,6 +388,37 @@ def test_streaming_quality_report_matches_batch(spark, sf_dir):
     assert batch == stream
 
 
+def test_streaming_lang_quality_report_matches_batch(spark, sf_dir):
+    """The per-(source, lang) streaming counter maintenance must equal
+    the one-shot batch rollup exactly (same keyed finalize, same
+    rows) — the widened-key member of the mergeable-maintenance
+    family."""
+    from vizlinc_ingester_spark.suite.repetition import (
+        quality_counters,
+        quality_finalize,
+    )
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_lang_quality_report,
+    )
+    from vizlinc_ingester_spark.suite.vizlinc import docs
+
+    keys = ("source", "lang")
+    batch = sorted(
+        map(
+            tuple,
+            quality_finalize(
+                quality_counters(docs(spark, sf_dir), keys), keys
+            ).collect(),
+        )
+    )
+    stream = sorted(
+        map(tuple, q_streaming_lang_quality_report(spark, sf_dir).collect())
+    )
+    assert batch == stream
+    # composite key is non-degenerate: more groups than sources alone
+    assert len({(r[0],) for r in batch}) < len(batch)
+
+
 def test_ann_ivf_pq_rerank_semantics(spark, sf_dir):
     """Reranked output is a subset of the ADC shortlist, ordered by
     EXACT cosine (ranks dense per query), and its recall against

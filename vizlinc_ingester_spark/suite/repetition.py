@@ -418,19 +418,22 @@ QUALITY_COUNTER_COLS = [
 ]
 
 
-def quality_counters(d: DataFrame) -> DataFrame:
-    """Per-source ADDITIVE counters over an arbitrary docs relation —
+def quality_counters(d: DataFrame, keys: tuple = ("source",)) -> DataFrame:
+    """Per-``keys`` ADDITIVE counters over an arbitrary docs relation —
     each column is a plain sum over per-doc quantities, so counters
-    from disjoint batches merge by per-source summation
+    from disjoint batches merge by per-key summation
     (``merge_quality_counters``): the property the streaming at-ingest
     maintenance relies on, and the map-side-combine property the
-    batch rollup relies on — same algebra, two execution modes."""
+    batch rollup relies on — same algebra, two execution modes.
+    ``keys`` defaults to the per-source dashboard; the per-language
+    feed-health twin passes ("source", "lang") — the group space stays
+    bounded by the (source x language) lattice, never the corpus."""
     flags = gopher_flags(d)
-    src = d.select("doc_id", "source")
+    src = d.select("doc_id", *keys)
     cnt = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long")
     return (
         flags.join(src, "doc_id")
-        .groupBy("source")
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0))
@@ -446,23 +449,27 @@ def quality_counters(d: DataFrame) -> DataFrame:
     )
 
 
-def merge_quality_counters(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Counter merge = per-source summation (disjoint-batch algebra)."""
+def merge_quality_counters(
+    a: DataFrame, b: DataFrame, keys: tuple = ("source",)
+) -> DataFrame:
+    """Counter merge = per-key summation (disjoint-batch algebra)."""
     return (
         a.unionByName(b)
-        .groupBy("source")
+        .groupBy(*keys)
         .agg(*[F.sum(c).cast("long").alias(c) for c in QUALITY_COUNTER_COLS])
     )
 
 
-def quality_finalize(counters: DataFrame) -> DataFrame:
+def quality_finalize(
+    counters: DataFrame, keys: tuple = ("source",)
+) -> DataFrame:
     """Counters -> the report shape (mean is derived at FINALIZE from
     the additive sum/count pair, never maintained directly)."""
     return counters.select(
-        "source", "n_docs", "n_kept", "n_fail_words", "n_fail_wlen",
+        *keys, "n_docs", "n_kept", "n_fail_words", "n_fail_wlen",
         "n_fail_stop", "n_fail_top2", "n_fail_dup5",
         F.expr("sum_dup5 div n_docs").cast("long").alias("mean_dup5_micro"),
-    ).orderBy("source")
+    ).orderBy(*keys)
 
 
 ORACLE_SOURCE_QUALITY = f"""
@@ -489,3 +496,26 @@ ORDER BY d.source
 
 QUERIES["source_quality_report"] = q_source_quality_report
 ORACLES["source_quality_report"] = ORACLE_SOURCE_QUALITY
+
+
+ORACLE_LANG_QUALITY = f"""
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN g.ok_words THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_words,
+       CAST(sum(CASE WHEN g.ok_wlen THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_wlen,
+       CAST(sum(CASE WHEN g.ok_stop THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_stop,
+       CAST(sum(CASE WHEN g.ok_top2 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_top2,
+       CAST(sum(CASE WHEN g.ok_dup5 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_fail_dup5,
+       CAST(sum(g.dup5_rate_micro) // count(*) AS BIGINT)
+         AS mean_dup5_micro
+FROM ({ORACLE_GOPHER_QUALITY}) g
+JOIN documents d ON g.doc_id = d.doc_id
+GROUP BY d.source, d.lang
+ORDER BY d.source, d.lang
+"""

@@ -744,6 +744,80 @@ def _quality_batch_oracle() -> str:
 ORACLES["streaming_quality_report"] = _quality_batch_oracle()
 
 
+def q_streaming_lang_quality_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """At-ingest maintenance of the per-(source, language) quality
+    dashboard — the feed-health view a multilingual 100 TB pipeline
+    actually watches (a source can stay healthy overall while one of
+    its languages collapses under the composite rule). The 11th true
+    readStream execution and the 5th mergeable-maintenance member
+    (KMV, Bloom, quality counters, fertility): identical additive-
+    store discipline as ``streaming_quality_report``, with the
+    counter key widened to (source, lang) — state is bounded by the
+    source x language lattice, never the corpus, and every counter
+    column is a plain per-doc sum so disjoint micro-batches fold by
+    per-key summation. Gated against the one-shot batch rollup's SQL
+    (ORACLE_LANG_QUALITY); batch==stream equality additionally pinned
+    in tests/test_streaming.py."""
+    from .repetition import (
+        QUALITY_COUNTER_COLS,
+        merge_quality_counters,
+        quality_counters,
+        quality_finalize,
+    )
+
+    keys = ("source", "lang")
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = tempfile.mkdtemp(prefix="vl_stream_langq_")
+    work = tempfile.mkdtemp(prefix="vl_stream_langq_work_")
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stores: list[str] = []
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        cnts = quality_counters(batch, keys)
+        if stores:
+            cnts = merge_quality_counters(
+                cnts, spark.read.parquet(stores[-1]), keys
+            )
+        path = os.path.join(work, f"counters_{batch_id}")
+        cnts.select(*keys, *QUALITY_COUNTER_COLS).write.mode(
+            "overwrite"
+        ).parquet(path)
+        stores.append(path)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 900)
+    return quality_finalize(spark.read.parquet(stores[-1]), keys)
+
+
+QUERIES["streaming_lang_quality_report"] = q_streaming_lang_quality_report
+
+
+def _lang_quality_batch_oracle() -> str:
+    from .repetition import ORACLE_LANG_QUALITY
+
+    return ORACLE_LANG_QUALITY
+
+
+ORACLES["streaming_lang_quality_report"] = _lang_quality_batch_oracle()
+
+
 def q_streaming_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-ingest maintenance of the per-language tokenizer-fertility
     dashboard under the SAME oracle as the batch ``bpe_fertility`` —
