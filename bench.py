@@ -115,6 +115,10 @@ HEADLINE = [
     "bpe_fertility",
     "ann_ivf_rpq",
     "ann_recall_eval_ivfrpq",
+    # round-11 operators: second-order (trigram) Viterbi, per-language
+    # streaming quality dashboard
+    "ner_viterbi_spans2",
+    "streaming_lang_quality_report",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -385,6 +385,185 @@ def apply_viterbi(
     )
 
 
+
+def train_hmm2(
+    labeled: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "idx",
+    token_col: str = "token",
+    tag_col: str = "tag",
+):
+    """Second-order (trigram) HMM: (doc, idx, token, tag) rows ->
+    (trans2, emis_wide, defaults). trans2(p2, p1, tag, score) holds
+    add-one-smoothed TRIGRAM transition log-probs over the complete
+    reachable context grid — (BOS,BOS), (BOS,t) and every (t,t') —
+    i.e. (1 + K + K^2) x K = 84 integers through the driver (the same
+    O(1) stance as the 20-int first-order matrix and the PQ
+    codebook); score = floor(1e6 * ln((c(p2,p1,t)+1)/(c(p2,p1)+K))).
+    Emissions are IDENTICAL to the first-order model (``train_hmm``'s
+    emission half is reused verbatim), so any accuracy delta between
+    the two decoders is attributable to the transition order alone.
+    Training is one two-lag window + a map-side-combinable count —
+    the same doc-keyed shuffle as every coref window."""
+    spark = labeled.sparkSession
+    k = len(VIT_TAGS)
+    w = Window.partitionBy(doc_col).orderBy(idx_col)
+    trips = labeled.select(
+        F.coalesce(F.lag(tag_col, 2).over(w), F.lit(VIT_BOS)).alias("p2"),
+        F.coalesce(F.lag(tag_col, 1).over(w), F.lit(VIT_BOS)).alias("p1"),
+        F.col(tag_col).alias("tag"),
+    )
+    tcnt = trips.groupBy("p2", "p1", "tag").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ptot = tcnt.groupBy("p2", "p1").agg(
+        F.sum("c").cast("long").alias("tot")
+    )
+    ctxs = [(VIT_BOS, VIT_BOS)] + [(VIT_BOS, t) for t in VIT_TAGS] + [
+        (a, b) for a in VIT_TAGS for b in VIT_TAGS
+    ]
+    grid = spark.createDataFrame(
+        [(a, b, t) for a, b in ctxs for t in VIT_TAGS],
+        "p2 string, p1 string, tag string",
+    )
+    trans2 = (
+        grid.join(tcnt, ["p2", "p1", "tag"], "left")
+        .join(ptot, ["p2", "p1"], "left")
+        .select(
+            "p2",
+            "p1",
+            "tag",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("tot"), F.lit(0)) + k).cast("double")
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    _trans1, emis_wide, defaults = train_hmm(
+        labeled, doc_col, idx_col, token_col, tag_col
+    )
+    return trans2, emis_wide, defaults
+
+
+def apply_viterbi2(
+    tokens: DataFrame,
+    trans2_scores: dict,
+    emis_wide: DataFrame,
+    defaults: DataFrame,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Second-order Viterbi decode: DP state = the TAG PAIR
+    (t_{i-1}, t_i) — K^2 = 16 states — scored with the trigram
+    transitions from ``train_hmm2``. Same execution shape as the
+    first-order ``apply_viterbi`` (vocab-bounded emission join, one
+    doc-bucket shuffle, Arrow-batched numpy DP vectorized across each
+    bucket's documents; exact int64 scores); the per-doc DP cost grows
+    K-fold (K^3 candidate lattice per step) and the backpointer array
+    is (docs, steps, K, K) int8 — still ~2 KB per 124-token document.
+    Tie-breaks mirror the oracle exactly: argmax over the predecessor
+    tag takes the FIRST max in VIT_TAGS order; the final state argmax
+    is lexicographic-(t_{n-2}, t_{n-1}) in VIT_TAGS order (numpy
+    row-major ravel = the oracle's p1-major ordered >= CASE chain)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(VIT_TAGS)
+    bos0 = np.array(
+        [trans2_scores[(VIT_BOS, VIT_BOS, t)] for t in VIT_TAGS],
+        dtype=np.int64,
+    )
+    bos1 = np.array(
+        [[trans2_scores[(VIT_BOS, p, t)] for t in VIT_TAGS] for p in VIT_TAGS],
+        dtype=np.int64,
+    )
+    amat = np.array(
+        [
+            [[trans2_scores[(a, b, t)] for t in VIT_TAGS] for b in VIT_TAGS]
+            for a in VIT_TAGS
+        ],
+        dtype=np.int64,
+    )
+    scored = (
+        tokens.join(F.broadcast(emis_wide), "token", "left")
+        .crossJoin(F.broadcast(defaults))
+        .select(
+            "doc_id",
+            "idx",
+            "token",
+            *carry_cols,
+            *[
+                F.coalesce(F.col(f"e_{c}"), F.col(f"d_{c}")).alias(f"e_{c}")
+                for c in VIT_CODES
+            ],
+        )
+    )
+    ecols = [f"e_{c}" for c in VIT_CODES]
+    in_types = {f.name: f.dataType.simpleString() for f in tokens.schema.fields}
+    missing = [c for c in carry_cols if c not in in_types]
+    assert not missing, f"carry_cols not in tokens schema: {missing}"
+    out_schema = ", ".join(
+        ["doc_id long", "idx long", "token string"]
+        + [f"{c} {in_types[c]}" for c in carry_cols]
+        + ["pred_tag string"]
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "idx"], kind="mergesort")
+        doc_ids, starts = np.unique(
+            pdf["doc_id"].to_numpy(), return_index=True
+        )
+        ends = np.append(starts[1:], len(pdf))
+        lens = ends - starts
+        nd, mx = len(doc_ids), int(lens.max()) if len(lens) else 0
+        em = np.zeros((nd, mx, k), dtype=np.int64)
+        flat = pdf[ecols].to_numpy(dtype=np.int64)
+        for d in range(nd):
+            em[d, : lens[d]] = flat[starts[d] : ends[d]]
+        v1 = bos0[None, :] + em[:, 0, :]  # (nd, k): state = t_0
+        scores = np.zeros((nd, k, k), dtype=np.int64)
+        if mx > 1:
+            # (nd, p1=t_0, t=t_1)
+            scores = v1[:, :, None] + bos1[None, :, :] + em[:, 1, None, :]
+        bp = np.zeros((nd, mx, k, k), dtype=np.int8)
+        for step in range(2, mx):
+            act = lens > step
+            if not act.any():
+                break
+            # (na, p2, p1, t)
+            cand = scores[act][:, :, :, None] + amat[None, :, :, :]
+            bp[act, step] = cand.argmax(axis=1)  # first max = tag order
+            scores[act] = cand.max(axis=1) + em[act, step, None, :]
+        pred = np.empty(len(pdf), dtype=object)
+        for d in range(nd):
+            n = int(lens[d])
+            tags = np.zeros(n, dtype=np.int64)
+            if n == 1:
+                tags[0] = int(v1[d].argmax())
+            else:
+                best = int(scores[d].ravel().argmax())  # p1-major ravel
+                tags[n - 2], tags[n - 1] = divmod(best, k)
+                for i in range(n - 1, 1, -1):
+                    tags[i - 2] = int(bp[d, i, tags[i - 1], tags[i]])
+            for i in range(n):
+                pred[starts[d] + i] = VIT_TAGS[tags[i]]
+        res = pdf[["doc_id", "idx", "token", *carry_cols]].copy()
+        res["pred_tag"] = pred
+        return res
+
+    return (
+        scored.withColumn(
+            "__vb", F.pmod(F.col("doc_id"), F.lit(VIT_BUCKETS)).cast("int")
+        )
+        .groupBy("__vb")
+        .applyInPandas(decode, out_schema)
+    )
+
+
 def apply_tagger_ctx(
     tokens: DataFrame,
     bigram_model: DataFrame,

@@ -740,3 +740,312 @@ labeled AS (
 
 QUERIES["ner_viterbi_spans"] = q_ner_viterbi_spans
 ORACLES["ner_viterbi_spans"] = _viterbi_oracle(_spans_labeled_tail())
+
+
+# --- second-order (trigram) Viterbi on the span gold (round 11) -------------
+#
+# Judge-r10 item 6: the spans gold exists precisely to measure whether
+# a longer transition memory buys accuracy over the first-order HMM's
+# 0.934. State = the tag PAIR (t_{i-1}, t_i) — K^2 = 16 states — and
+# the transition table is the (1 + K + K^2) x K = 84-integer trigram
+# grid (still the PQ-codebook O(1) driver stance). The oracle is the
+# same wide-row recursive-CTE DP as the first-order form with the
+# state axis widened: 16 score columns + 16 x chunks packed-path
+# columns per step; every argmax is an ordered >=-CASE chain (first
+# max in VIT_TAGS order over the predecessor tag; the final argmax is
+# p1-major lexicographic — exactly numpy's row-major ravel argmax).
+# Single-token documents can't reach the pair-state base (which needs
+# idx 0 AND 1), so a separate 4-candidate branch handles them.
+
+
+def _models_viterbi_spans2(spark: SparkSession, sf_dir: str):
+    from ..operators.tagger import train_hmm2
+    from ..session import plan_key, plan_memo
+
+    train_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+
+    def build():
+        labeled = _span_gold(_ctx_tokens(train_docs))
+        trans2, emis_wide, defaults = train_hmm2(labeled)
+        emis_wide, defaults = emis_wide.persist(), defaults.persist()
+        emis_wide.count(), defaults.count()
+        tmat = {
+            (r["p2"], r["p1"], r["tag"]): r["score"]
+            for r in trans2.collect()
+        }
+        return tmat, emis_wide, defaults
+
+    return plan_memo(
+        spark, plan_key(train_docs, "ner_models_viterbi_spans2"), build
+    )
+
+
+def q_ner_viterbi_spans2(spark, sf_dir):
+    """Held-out SECOND-ORDER Viterbi decode on the span-continuation
+    gold: one row per token with the trigram-decoded tag, the span
+    gold and a correct flag — the direct accuracy sibling of
+    ``ner_viterbi_spans`` (identical emissions, identical gold, only
+    the transition order differs), so the measured delta is
+    attributable to the transition memory alone (PLANS.md round-11
+    accuracy table)."""
+    from ..operators.tagger import apply_viterbi2
+
+    tmat, emis_wide, defaults = _models_viterbi_spans2(spark, sf_dir)
+    held = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    toks = _span_gold(_ctx_tokens(held)).withColumnRenamed("tag", "gold_tag")
+    decoded = apply_viterbi2(
+        toks.select("doc_id", "idx", "token", "gold_tag"),
+        tmat,
+        emis_wide,
+        defaults,
+        carry_cols=("gold_tag",),
+    )
+    return decoded.select(
+        "doc_id",
+        "idx",
+        "token",
+        "pred_tag",
+        "gold_tag",
+        (F.col("pred_tag") == F.col("gold_tag")).cast("long").alias("correct"),
+    )
+
+
+def _viterbi2_oracle(labeled_tail: str) -> str:
+    """DuckDB second-order Viterbi: the `_viterbi_oracle` recursive
+    wide-row DP with the state axis widened to tag PAIRS (see the
+    section comment). Shares the tokenize/gold/emission CTE shapes;
+    the trigram transition table is trained with a two-lag window
+    over the same train half."""
+    from ..operators.tagger import VIT_BOS
+
+    k = len(VIT_TAGS)
+    codes = list(VIT_CODES)
+    n_chunks = VIT_ORACLE_CHUNKS
+    chunks = list(range(n_chunks))
+
+    # --- trigram transition training ---------------------------------
+    ctxs = (
+        [(VIT_BOS, "B", VIT_BOS, "B")]
+        + [(VIT_BOS, "B", t, c) for t, c in zip(VIT_TAGS, codes)]
+        + [
+            (a, ac, b, bc)
+            for a, ac in zip(VIT_TAGS, codes)
+            for b, bc in zip(VIT_TAGS, codes)
+        ]
+    )
+    t3grid = ", ".join(
+        f"('{p2}', '{p1}', '{t}')" for p2, _, p1, _ in ctxs for t in VIT_TAGS
+    )
+    trow3_cols = ", ".join(
+        f"max(CASE WHEN p2 = '{p2}' AND p1 = '{p1}' AND tag = '{t}'"
+        f" THEN s END) AS t_{p2c}_{p1c}_{tc}"
+        for p2, p2c, p1, p1c in ctxs
+        for t, tc in zip(VIT_TAGS, codes)
+    )
+
+    # --- emission columns (identical to the first-order oracle) ------
+    ecnt_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tag = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{c}"
+        for t, c in zip(VIT_TAGS, codes)
+    )
+    etot_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tag = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+        for t, c in zip(VIT_TAGS, codes)
+    )
+    emis_cols = ", ".join(
+        f"CAST(floor(ln(CAST(c_{c} + 1 AS DOUBLE) / CAST(n_{c} + v AS DOUBLE))"
+        f" * 1000000) AS BIGINT) AS e_{c}"
+        for c in codes
+    )
+    edef_cols = ", ".join(
+        f"CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(n_{c} + v AS DOUBLE))"
+        f" * 1000000) AS BIGINT) AS d_{c}"
+        for c in codes
+    )
+    hm_cols = ", ".join(
+        f"coalesce(e.e_{c}, d.d_{c}) AS e_{c}" for c in codes
+    )
+
+    def best_case(cands, results):
+        branches = []
+        for i in range(len(cands) - 1):
+            cond = " AND ".join(
+                f"{cands[i]} >= {cands[j]}" for j in range(i + 1, len(cands))
+            )
+            branches.append(f"WHEN {cond} THEN {results[i]}")
+        return "CASE " + " ".join(branches) + f" ELSE {results[-1]} END"
+
+    def code_at(ci, j, idx_expr):
+        return (
+            f"CASE WHEN {idx_expr} // 31 = {j} "
+            f"THEN CAST({ci} AS BIGINT) << CAST(2 * ({idx_expr} % 31) AS INT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    # state order everywhere: p1-major (a outer, c inner) — numpy ravel
+    states = [(a, c) for a in codes for c in codes]
+
+    # --- base term: step 1, state (a=t0, c=t1) ------------------------
+    base_exprs = []
+    for a, c in states:
+        base_exprs.append(
+            f"CAST(t_B_B_{a} + h0.e_{a} + t_B_{a}_{c} + h1.e_{c}"
+            f" AS BIGINT) AS s_{a}{c}"
+        )
+    for a, c in states:
+        ai, ci = codes.index(a), codes.index(c)
+        for j in chunks:
+            v = (ai) + (ci << 2) if j == 0 else 0
+            base_exprs.append(f"CAST({v} AS BIGINT) AS p_{a}{c}{j}")
+    base_cols = ", ".join(base_exprs)
+
+    # --- recursive term: state (b=t_{i-1}, c=t_i) ----------------------
+    rec_exprs = []
+    for b, c in states:
+        cands = [f"(r.s_{a}{b} + t_{a}_{b}_{c})" for a in codes]
+        rec_exprs.append(
+            f"CAST({best_case(cands, cands)} + h.e_{c} AS BIGINT) AS s_{b}{c}"
+        )
+    for b, c in states:
+        ci = codes.index(c)
+        cands = [f"(r.s_{a}{b} + t_{a}_{b}_{c})" for a in codes]
+        for j in chunks:
+            sel = best_case(cands, [f"r.p_{a}{b}{j}" for a in codes])
+            rec_exprs.append(
+                f"CAST(({sel}) + ({code_at(ci, j, 'h.idx')})"
+                f" AS BIGINT) AS p_{b}{c}{j}"
+            )
+    rec_cols = ", ".join(rec_exprs)
+
+    fin_cands = [f"st.s_{a}{c}" for a, c in states]
+    final_chunks = ", ".join(
+        best_case(fin_cands, [f"st.p_{a}{c}{j}" for a, c in states])
+        + f" AS c{j}"
+        for j in chunks
+    )
+    # single-token docs: 4-candidate argmax over (B,B) -> t
+    one_cands = [f"(t_B_B_{c} + h.e_{c})" for c in codes]
+    one_chunks = ", ".join(
+        best_case(
+            one_cands,
+            [
+                f"CAST({codes.index(c) if j == 0 else 0} AS BIGINT)"
+                for c in codes
+            ],
+        )
+        + f" AS c{j}"
+        for j in chunks
+    )
+    code_expr = " ".join(f"WHEN {j} THEN f.c{j}" for j in chunks)
+    unpack = (
+        f"(CASE h.idx // 31 {code_expr} END"
+        f" >> CAST(2 * (h.idx % 31) AS INT)) & 3"
+    )
+    pred_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(VIT_TAGS)
+    )
+
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  ) u WHERE word <> ''
+),
+seq AS (
+  SELECT doc_id, word AS token,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+              AS BIGINT) AS idx
+  FROM words
+),
+ctx AS (
+  SELECT doc_id, idx, token,
+         lag(token, 1, '{CTX_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS prev
+  FROM seq
+),
+{labeled_tail},
+t3pairs AS (
+  SELECT lag(tag, 2, '{VIT_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS p2,
+         lag(tag, 1, '{VIT_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS p1,
+         tag
+  FROM labeled WHERE doc_id % 2 = 0
+),
+t3cnt AS (SELECT p2, p1, tag, CAST(count(*) AS BIGINT) AS c
+          FROM t3pairs GROUP BY 1, 2, 3),
+t3tot AS (SELECT p2, p1, CAST(sum(c) AS BIGINT) AS tot
+          FROM t3cnt GROUP BY 1, 2),
+t3grid(p2, p1, tag) AS (VALUES {t3grid}),
+trans3 AS (
+  SELECT g.p2, g.p1, g.tag,
+         CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(t.tot, 0) + {k} AS DOUBLE))
+              * 1000000) AS BIGINT) AS s
+  FROM t3grid g
+  LEFT JOIN t3cnt c ON g.p2 = c.p2 AND g.p1 = c.p1 AND g.tag = c.tag
+  LEFT JOIN t3tot t ON g.p2 = t.p2 AND g.p1 = t.p1
+),
+trow3 AS (SELECT {trow3_cols} FROM trans3),
+ecnt AS (
+  SELECT token, {ecnt_cols}
+  FROM labeled WHERE doc_id % 2 = 0 GROUP BY token
+),
+etot AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v, {etot_cols}
+  FROM labeled WHERE doc_id % 2 = 0
+),
+emis AS (SELECT token, {emis_cols} FROM ecnt, etot),
+edef AS (SELECT {edef_cols} FROM etot),
+hm AS (
+  SELECT l.doc_id, l.idx, l.token, l.tag AS gold_tag, {hm_cols}
+  FROM labeled l
+  LEFT JOIN emis e ON l.token = e.token
+  CROSS JOIN edef d
+  WHERE l.doc_id % 2 = 1
+),
+dp AS (
+  SELECT h1.doc_id, h1.idx AS step, {base_cols}
+  FROM hm h0
+  JOIN hm h1 ON h0.doc_id = h1.doc_id AND h0.idx = 0 AND h1.idx = 1
+  CROSS JOIN trow3
+  UNION ALL
+  SELECT h.doc_id, h.idx, {rec_cols}
+  FROM dp r, hm h, trow3
+  WHERE h.doc_id = r.doc_id AND h.idx = r.step + 1
+),
+fin_multi AS (
+  SELECT doc_id, {final_chunks}
+  FROM (SELECT * FROM dp QUALIFY
+          row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) = 1
+       ) st
+),
+len1 AS (SELECT doc_id FROM hm GROUP BY doc_id HAVING max(idx) = 0),
+fin_one AS (
+  SELECT h.doc_id, {one_chunks}
+  FROM hm h JOIN len1 l ON h.doc_id = l.doc_id
+  CROSS JOIN trow3
+  WHERE h.idx = 0
+),
+fin AS (SELECT * FROM fin_multi UNION ALL SELECT * FROM fin_one),
+cap AS (
+  SELECT CASE WHEN max(idx) >= {31 * n_chunks}
+              THEN CAST('viterbi_path_capacity_exceeded' AS BIGINT)
+              ELSE 1 END AS ok
+  FROM hm
+)
+SELECT h.doc_id, h.idx, h.token,
+       CASE ({unpack}) {pred_case} END AS pred_tag,
+       h.gold_tag,
+       CAST((CASE ({unpack}) {pred_case} END) = h.gold_tag AS BIGINT)
+         AS correct
+FROM hm h JOIN fin f ON h.doc_id = f.doc_id CROSS JOIN cap
+WHERE cap.ok = 1
+"""
+
+
+QUERIES["ner_viterbi_spans2"] = q_ner_viterbi_spans2
+ORACLES["ner_viterbi_spans2"] = _viterbi2_oracle(_spans_labeled_tail())
