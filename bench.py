@@ -119,6 +119,7 @@ HEADLINE = [
     # streaming quality dashboard
     "ner_viterbi_spans2",
     "streaming_lang_quality_report",
+    "ner_viterbi_feats",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -286,12 +286,80 @@ def train_hmm(
     return trans, emis_wide, defaults
 
 
+def train_hmm_features(
+    labeled: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "idx",
+    token_col: str = "token",
+    tag_col: str = "tag",
+):
+    """CRF-style feature emissions for the HMM seam (the reference
+    loads a feature-rich Stanford CRF, src/EntityExtractor.groovy:
+    12-14): alongside ``train_hmm``'s exact-token emissions, train a
+    SUFFIX emission table under a naive-Bayes factorization —
+    P(suffix|tag) with add-one smoothing over the suffix alphabet,
+    score = floor(1e6 * ln((c(suf,tag)+1)/(n_tag + V_suf))).
+    Returns (trans, emis_wide, defaults, suf_wide, suf_defaults);
+    the first three are ``train_hmm``'s verbatim. The suffix table is
+    bounded by the distinct-suffix count (charset^SUFFIX_LEN at
+    worst) — broadcastable at any corpus size, trained by one more
+    map-side-combinable count over the same pass."""
+    trans, emis_wide, defaults = train_hmm(
+        labeled, doc_col, idx_col, token_col, tag_col
+    )
+    base = labeled.filter(F.col(token_col) != "").select(
+        F.expr(f"right({token_col}, {SUFFIX_LEN})").alias("suffix"),
+        F.col(tag_col).alias("tag"),
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col("tag") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c_{c}")
+        for t, c in zip(VIT_TAGS, VIT_CODES)
+    ]
+    scnt = base.groupBy("suffix").agg(*cnt_cols)
+    stats = base.agg(
+        F.countDistinct("suffix").cast("long").alias("v"),
+        *[
+            F.sum(F.when(F.col("tag") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{c}")
+            for t, c in zip(VIT_TAGS, VIT_CODES)
+        ],
+    )
+
+    def escore(num, den):
+        return (
+            F.floor(F.log(num.cast("double") / den.cast("double")) * 1000000.0)
+            .cast("long")
+        )
+
+    suf_wide = scnt.crossJoin(F.broadcast(stats)).select(
+        "suffix",
+        *[
+            escore(
+                F.col(f"c_{c}") + 1, F.col(f"n_{c}") + F.col("v")
+            ).alias(f"se_{c}")
+            for c in VIT_CODES
+        ],
+    )
+    suf_defaults = stats.select(
+        *[
+            escore(F.lit(1), F.col(f"n_{c}") + F.col("v")).alias(f"sd_{c}")
+            for c in VIT_CODES
+        ]
+    )
+    return trans, emis_wide, defaults, suf_wide, suf_defaults
+
+
 def apply_viterbi(
     tokens: DataFrame,
     trans_scores: dict,
     emis_wide: DataFrame,
     defaults: DataFrame,
     carry_cols: tuple = (),
+    suf_wide: DataFrame | None = None,
+    suf_defaults: DataFrame | None = None,
 ) -> DataFrame:
     """Decode (doc_id, idx, token [, carry...]) with the trained HMM:
     emission scores arrive via a vocab-bounded LEFT JOIN (unseen
@@ -301,7 +369,16 @@ def apply_viterbi(
     (numpy int64; np.argmax's first-max = the VIT_TAGS tie order).
     Adds ``pred_tag``; ``carry_cols`` pass through untouched. The
     token stream shuffles ONCE (the bucket exchange); per-bucket state
-    is that bucket's docs x K scores — flat, never a corpus sort."""
+    is that bucket's docs x K scores — flat, never a corpus sort.
+
+    ``suf_wide``/``suf_defaults`` (from ``train_hmm_features``) add a
+    CRF-style SUFFIX emission feature under a naive-Bayes
+    factorization: e(token) = log P(token|tag) + log P(suffix|tag),
+    both integer micro-nats, summed BEFORE the DP — the decoder and
+    its oracle are unchanged, only the per-token emission column
+    changes. The suffix table is bounded by the suffix alphabet
+    (broadcast at any corpus size); its value is on UNSEEN tokens,
+    which otherwise all share one flat default vector."""
     import numpy as np
     import pandas as pd
 
@@ -313,19 +390,37 @@ def apply_viterbi(
         [[trans_scores[(p, t)] for t in VIT_TAGS] for p in VIT_TAGS],
         dtype=np.int64,
     )
-    scored = (
-        tokens.join(F.broadcast(emis_wide), "token", "left")
-        .crossJoin(F.broadcast(defaults))
-        .select(
-            "doc_id",
-            "idx",
-            "token",
-            *carry_cols,
-            *[
-                F.coalesce(F.col(f"e_{c}"), F.col(f"d_{c}")).alias(f"e_{c}")
-                for c in VIT_CODES
-            ],
+    scored = tokens.join(F.broadcast(emis_wide), "token", "left").crossJoin(
+        F.broadcast(defaults)
+    )
+    if suf_wide is not None:
+        scored = (
+            scored.withColumn(
+                "__suf", F.expr(f"right(token, {SUFFIX_LEN})")
+            )
+            .join(
+                F.broadcast(
+                    suf_wide.withColumnRenamed("suffix", "__suf")
+                ),
+                "__suf",
+                "left",
+            )
+            .crossJoin(F.broadcast(suf_defaults))
         )
+        emis_expr = lambda c: (  # noqa: E731
+            F.coalesce(F.col(f"e_{c}"), F.col(f"d_{c}"))
+            + F.coalesce(F.col(f"se_{c}"), F.col(f"sd_{c}"))
+        )
+    else:
+        emis_expr = lambda c: F.coalesce(  # noqa: E731
+            F.col(f"e_{c}"), F.col(f"d_{c}")
+        )
+    scored = scored.select(
+        "doc_id",
+        "idx",
+        "token",
+        *carry_cols,
+        *[emis_expr(c).alias(f"e_{c}") for c in VIT_CODES],
     )
     ecols = [f"e_{c}" for c in VIT_CODES]
     # carry columns keep their INPUT types (a hardcoded 'string' here

