@@ -591,3 +591,43 @@ def test_training_shards_partition_pruning(spark, tmp_path):
     # and the filter really is partition-only: no pushed data filter
     # on those columns remains
     assert back.count() > 0
+
+
+def test_epub_msg_extract_roundtrip(spark):
+    """r11 Tika-long-tail pair: .epub (zip -> container.xml -> OPF
+    spine -> XHTML chapter) and .msg (CFB MAPI body property stream)
+    must round-trip through the registry front door, and each
+    extractor must return NULL (not garbage) on the wrong container."""
+    from vizlinc_ingester_spark.io.sources import (
+        _epub_bytes_of_text,
+        _epub_text_of_bytes,
+        _msg_bytes_of_text,
+        _msg_text_of_bytes,
+        extract_text_auto,
+    )
+
+    texts = ["An epub chapter & <escaped> run", "A msg body, exact"]
+    files = spark.createDataFrame(
+        [
+            ("mem://x/1.epub", _epub_bytes_of_text(texts[0])),
+            ("mem://x/2.msg", _msg_bytes_of_text(texts[1])),
+        ],
+        "path string, content binary",
+    )
+    out = {
+        r["name"]: r["text"]
+        for r in extract_text_auto(files).collect()
+    }
+    assert out == {"1.epub": texts[0], "2.msg": texts[1]}
+    # wrong-container NULLs
+    assert _epub_text_of_bytes(b"%PDF-1.4 not a zip") is None
+    assert _msg_text_of_bytes(b"PK\x03\x04 not cfb") is None
+    # epub fallback path: no OPF -> sorted xhtml entries still extract
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("b.xhtml", "<html><body><p>second</p></body></html>")
+        zf.writestr("a.xhtml", "<html><body><p>first</p></body></html>")
+    assert _epub_text_of_bytes(buf.getvalue()) == "first second"

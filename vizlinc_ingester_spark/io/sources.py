@@ -1131,6 +1131,178 @@ def pptx_extract(content: "F.Column") -> "F.Column":
     return _pptx_extract_udf(content)
 
 
+# --- .epub (EPUB 2/3: zip + OPF manifest/spine) -----------------------------
+#
+# Tika's "many other formats" long tail (reference doc,
+# src/TextExtractor.groovy:12-28): an EPUB is a zip whose
+# META-INF/container.xml names an OPF package file; the OPF manifest
+# maps ids to chapter hrefs and the spine gives the reading ORDER.
+# The extractor walks exactly that chain (falling back to sorted
+# *.xhtml entries when the package metadata is absent/broken) and
+# strips the XHTML down to text — stdlib zipfile + regex, the same
+# zero-dependency stance as the OOXML extractors.
+
+
+def _epub_text_of_bytes(b) -> str | None:
+    import io as _io
+    import re as _re
+    import zipfile
+
+    if b is None:
+        return None
+    try:
+        zf = zipfile.ZipFile(_io.BytesIO(bytes(b)))
+        names = zf.namelist()
+    except Exception:  # not a zip — not an epub
+        return None
+    chapters: list[str] = []
+    try:
+        container = zf.read("META-INF/container.xml").decode("utf-8", "replace")
+        opf_path = _re.search(r'full-path="([^"]+)"', container).group(1)
+        opf = zf.read(opf_path).decode("utf-8", "replace")
+        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        manifest = dict(
+            _re.findall(r'<item\b[^>]*?\bid="([^"]+)"[^>]*?\bhref="([^"]+)"', opf)
+        )
+        for href, iid in _re.findall(
+            r'<item\b[^>]*?\bhref="([^"]+)"[^>]*?\bid="([^"]+)"', opf
+        ):
+            manifest.setdefault(iid, href)
+        spine = _re.findall(r'<itemref\b[^>]*?\bidref="([^"]+)"', opf)
+        chapters = [base + manifest[i] for i in spine if i in manifest]
+    except Exception:
+        chapters = []
+    if not chapters:  # package metadata missing: Tika-style sniff
+        chapters = sorted(
+            n for n in names if n.endswith((".xhtml", ".html", ".htm"))
+        )
+    parts: list[str] = []
+    for name in chapters:
+        try:
+            xml = zf.read(name).decode("utf-8", "replace")
+        except Exception:
+            continue
+        xml = _re.sub(r"(?s)<(script|style)[^>]*>.*?</\1>", " ", xml)
+        body = _re.search(r"(?s)<body[^>]*>(.*?)</body>", xml)
+        t = body.group(1) if body else xml
+        t = _re.sub(r"<[^>]+>", " ", t)
+        for ent, ch in _XML_ENTITIES:
+            t = t.replace(ent, ch)
+        parts.append(t)
+    if not parts:
+        return None
+    return _re.sub(r"\s+", " ", " ".join(parts)).strip()
+
+
+def _epub_bytes_of_text(text: str) -> bytes:
+    """Render text as a minimal valid EPUB (stored mimetype first per
+    OCF, container.xml -> OPF -> one spine chapter). Fixture/
+    round-trip helper; fixed zip timestamps keep output deterministic."""
+    import io as _io
+    import zipfile
+
+    esc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    chapter = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        "<title>d</title></head><body><p>" + esc + "</p></body></html>"
+    )
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="2.0"'
+        ' unique-identifier="id"><metadata/>'
+        '<manifest><item id="c1" href="chapter1.xhtml"'
+        ' media-type="application/xhtml+xml"/></manifest>'
+        '<spine><itemref idref="c1"/></spine></package>'
+    )
+    container = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<container version="1.0"'
+        ' xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf"'
+        ' media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data, comp in (
+            ("mimetype", b"application/epub+zip", zipfile.ZIP_STORED),
+            ("META-INF/container.xml", container.encode(), zipfile.ZIP_DEFLATED),
+            ("OEBPS/content.opf", opf.encode(), zipfile.ZIP_DEFLATED),
+            ("OEBPS/chapter1.xhtml", chapter.encode(), zipfile.ZIP_DEFLATED),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data, compress_type=comp)
+    return buf.getvalue()
+
+
+@F.pandas_udf(T.StringType())
+def _epub_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_epub_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_epub(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _epub_bytes_of_text(t))
+
+
+def epub_extract(content: "F.Column") -> "F.Column":
+    return _epub_extract_udf(content)
+
+
+# --- .msg (Outlook item: CFB container with MAPI property streams) ----------
+#
+# An Outlook .msg is an OLE2/CFB compound file whose top-level
+# streams carry MAPI properties named __substg1.0_<tag><type>:
+# subject = tag 0037, body = tag 1000; type 001F is UTF-16LE, 001E
+# is the cp1252 variant ([MS-OXMSG]). The CFB walk is the SAME
+# from-scratch reader the .doc/.xls/.ppt extractors use.
+
+
+def _msg_text_of_bytes(b) -> str | None:
+    if b is None:
+        return None
+    streams = _cfb_streams(bytes(b))
+    if not streams:
+        return None
+
+    def prop(tag: str) -> str | None:
+        u = streams.get(f"__substg1.0_{tag}001F")
+        if u is not None:
+            return u.decode("utf-16-le", "replace")
+        a = streams.get(f"__substg1.0_{tag}001E")
+        if a is not None:
+            return a.decode("cp1252", "replace")
+        return None
+
+    subject, body = prop("0037"), prop("1000")
+    if subject is None and body is None:
+        return None
+    return "\n".join(x for x in (subject, body) if x is not None)
+
+
+def _msg_bytes_of_text(text: str) -> bytes:
+    """Render text as a minimal .msg (body property stream only, the
+    UTF-16LE 001F form). Fixture/round-trip helper; deterministic."""
+    return _cfb_bytes({"__substg1.0_1000001F": text.encode("utf-16-le")})
+
+
+@F.pandas_udf(T.StringType())
+def _msg_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_msg_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_msg(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _msg_bytes_of_text(t))
+
+
+def msg_extract(content: "F.Column") -> "F.Column":
+    return _msg_extract_udf(content)
+
+
 _EXTRACTORS: dict = {
     "html": html_extract,
     "pdf": pdf_extract,
@@ -1143,6 +1315,8 @@ _EXTRACTORS: dict = {
     "ppt": ppt_extract,
     "xlsx": xlsx_extract,
     "pptx": pptx_extract,
+    "epub": epub_extract,
+    "msg": msg_extract,
 }
 
 
@@ -1158,6 +1332,7 @@ _EXT_ROUTES: dict[str, str] = {
     "pdf": "pdf", "docx": "docx", "odt": "odt", "rtf": "rtf",
     "doc": "doc", "xls": "xls", "ppt": "ppt",
     "xlsx": "xlsx", "pptx": "pptx",
+    "epub": "epub", "msg": "msg",
 }
 
 
