@@ -594,11 +594,14 @@ def test_training_shards_partition_pruning(spark, tmp_path):
 
 
 def test_epub_msg_extract_roundtrip(spark):
-    """r11 Tika-long-tail pair: .epub (zip -> container.xml -> OPF
-    spine -> XHTML chapter) and .msg (CFB MAPI body property stream)
-    must round-trip through the registry front door, and each
-    extractor must return NULL (not garbage) on the wrong container."""
+    """r11 Tika-long-tail trio: .epub (zip -> container.xml -> OPF
+    spine -> XHTML chapter), .msg (CFB MAPI body property stream) and
+    .eml (single-part RFC-5322) must round-trip through the registry
+    front door, and each extractor must return NULL (not garbage) on
+    the wrong container."""
     from vizlinc_ingester_spark.io.sources import (
+        _eml_bytes_of_text,
+        _eml_text_of_bytes,
         _epub_bytes_of_text,
         _epub_text_of_bytes,
         _msg_bytes_of_text,
@@ -606,11 +609,13 @@ def test_epub_msg_extract_roundtrip(spark):
         extract_text_auto,
     )
 
-    texts = ["An epub chapter & <escaped> run", "A msg body, exact"]
+    texts = ["An epub chapter & <escaped> run", "A msg body, exact",
+             "an eml body line"]
     files = spark.createDataFrame(
         [
             ("mem://x/1.epub", _epub_bytes_of_text(texts[0])),
             ("mem://x/2.msg", _msg_bytes_of_text(texts[1])),
+            ("mem://x/3.eml", _eml_bytes_of_text(texts[2])),
         ],
         "path string, content binary",
     )
@@ -618,7 +623,12 @@ def test_epub_msg_extract_roundtrip(spark):
         r["name"]: r["text"]
         for r in extract_text_auto(files).collect()
     }
-    assert out == {"1.epub": texts[0], "2.msg": texts[1]}
+    assert out == {"1.epub": texts[0], "2.msg": texts[1],
+                   "3.eml": texts[2]}
+    # eml: folded Subject header joins the body; headerless is NULL
+    full = b"Subject: a folded\r\n subject\r\nFrom: x@y\r\n\r\nbody"
+    assert _eml_text_of_bytes(full) == "a folded subject\nbody"
+    assert _eml_text_of_bytes(b"no headers at all") is None
     # wrong-container NULLs
     assert _epub_text_of_bytes(b"%PDF-1.4 not a zip") is None
     assert _msg_text_of_bytes(b"PK\x03\x04 not cfb") is None

@@ -1303,6 +1303,69 @@ def msg_extract(content: "F.Column") -> "F.Column":
     return _msg_extract_udf(content)
 
 
+# --- .eml (RFC-5322 email message) ------------------------------------------
+
+
+def _eml_text_of_bytes(b) -> str | None:
+    """Subject + body of a plain RFC-5322 message. Documented subset:
+    single-part messages (no MIME multipart/transfer-encoding —
+    the renderer below emits exactly this subset; real-world MIME
+    mail would route through a fuller parser behind the same
+    registry seam). Header folding (continuation lines) handled."""
+    if b is None:
+        return None
+    raw = bytes(b)
+    sep = raw.find(b"\r\n\r\n")
+    seplen = 4
+    if sep < 0:
+        sep = raw.find(b"\n\n")
+        seplen = 2
+    if sep < 0:
+        return None
+    head = raw[:sep].decode("utf-8", "replace")
+    body = raw[sep + seplen :].decode("utf-8", "replace")
+    # unfold, then find Subject
+    lines: list[str] = []
+    for ln in head.splitlines():
+        if ln[:1] in (" ", "\t") and lines:
+            lines[-1] += " " + ln.strip()
+        else:
+            lines.append(ln)
+    if not any(":" in ln for ln in lines):
+        return None  # no header block — not an email
+    subject = None
+    for ln in lines:
+        if ln.lower().startswith("subject:"):
+            subject = ln[8:].strip()
+            break
+    return subject + "\n" + body if subject else body
+
+
+def _eml_bytes_of_text(text: str) -> bytes:
+    """Render text as a minimal single-part message (body only — no
+    Subject, so extract(render(t)) == t exactly). Deterministic."""
+    return (
+        b"From: fixtures@example.invalid\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+        + text.encode("utf-8")
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _eml_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_eml_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_eml(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _eml_bytes_of_text(t))
+
+
+def eml_extract(content: "F.Column") -> "F.Column":
+    return _eml_extract_udf(content)
+
+
 _EXTRACTORS: dict = {
     "html": html_extract,
     "pdf": pdf_extract,
@@ -1317,6 +1380,7 @@ _EXTRACTORS: dict = {
     "pptx": pptx_extract,
     "epub": epub_extract,
     "msg": msg_extract,
+    "eml": eml_extract,
 }
 
 
@@ -1332,7 +1396,7 @@ _EXT_ROUTES: dict[str, str] = {
     "pdf": "pdf", "docx": "docx", "odt": "odt", "rtf": "rtf",
     "doc": "doc", "xls": "xls", "ppt": "ppt",
     "xlsx": "xlsx", "pptx": "pptx",
-    "epub": "epub", "msg": "msg",
+    "epub": "epub", "msg": "msg", "eml": "eml",
 }
 
 

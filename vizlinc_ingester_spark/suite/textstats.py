@@ -116,7 +116,7 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 13 (plain UTF-8 bytes, an HTML
+    container format chosen by doc_id % 14 (plain UTF-8 bytes, an HTML
     page with head/style/comment chrome and escaped entities, a PDF —
     FlateDecode-compressed content stream for half the PDF docs,
     uncompressed for the other half — a real zipped .docx with
@@ -129,7 +129,8 @@ def q_extract_text_formats(spark, sf_dir):
     the r11 Tika-long-tail pair: .epub as a real zip with
     container.xml -> OPF manifest/spine -> an XHTML chapter, and
     Outlook .msg as a real CFB container with the UTF-16LE body
-    property stream), then
+    property stream, and .eml as a single-part RFC-5322 message),
+    then
     run the real ``extract_text`` path per format and union. The oracle is the identity (modulo whitespace collapse
     for the markup formats) — a hash match proves every
     encode->extract round-trip is exact, i.e. the extractors actually
@@ -137,9 +138,9 @@ def q_extract_text_formats(spark, sf_dir):
     src/TextExtractor.groovy:12-28: "Microsoft Office files, PDF,
     plaintext, XML and many other formats")."""
     from ..io.sources import (
-        extract_text, render_doc, render_docx, render_epub, render_msg,
-        render_odt, render_pdf, render_ppt, render_pptx, render_xls,
-        render_xlsx, rtf_render,
+        extract_text, render_doc, render_docx, render_eml, render_epub,
+        render_msg, render_odt, render_pdf, render_ppt, render_pptx,
+        render_xls, render_xlsx, rtf_render,
     )
     from ..session import ship_package
 
@@ -157,9 +158,9 @@ def q_extract_text_formats(spark, sf_dir):
             F.lit("txt"), F.lit("html"), F.lit("pdf"),
             F.lit("docx"), F.lit("odt"), F.lit("rtf"), F.lit("doc"),
             F.lit("xls"), F.lit("ppt"), F.lit("xlsx"), F.lit("pptx"),
-            F.lit("epub"), F.lit("msg"),
+            F.lit("epub"), F.lit("msg"), F.lit("eml"),
         ),
-        (F.col("doc_id") % 13 + 1).cast("int"),
+        (F.col("doc_id") % 14 + 1).cast("int"),
     )
     rendered = (
         F.when(fmt == "txt", F.col("text"))
@@ -188,11 +189,12 @@ def q_extract_text_formats(spark, sf_dir):
         .when(fmt == "pptx", render_pptx(F.col("text")))
         .when(fmt == "epub", render_epub(F.col("text")))
         .when(fmt == "msg", render_msg(F.col("text")))
+        .when(fmt == "eml", render_eml(F.col("text")))
         .when(
             fmt == "pdf",
-            # half the PDFs Flate-compressed (doc_id % 26 == 2), half
-            # uncompressed (== 15): one gate proves both branches
-            render_pdf(F.col("text"), F.col("doc_id") % 26 == 2),
+            # half the PDFs Flate-compressed (doc_id % 28 == 2), half
+            # uncompressed (== 16): one gate proves both branches
+            render_pdf(F.col("text"), F.col("doc_id") % 28 == 2),
         )
         .otherwise(F.encode(rendered, "UTF-8"))
         .alias("content"),
@@ -205,7 +207,7 @@ def q_extract_text_formats(spark, sf_dir):
             ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
             ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
             ("xlsx", "xlsx"), ("pptx", "pptx"),
-            ("epub", "epub"), ("msg", "msg"),
+            ("epub", "epub"), ("msg", "msg"), ("eml", "eml"),
         )
     ]
     out = parts[0]
@@ -216,9 +218,9 @@ def q_extract_text_formats(spark, sf_dir):
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt', 'xlsx', 'pptx', 'epub', 'msg'][CAST(doc_id % 13 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt', 'xlsx', 'pptx', 'epub', 'msg', 'eml'][CAST(doc_id % 14 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 13 IN (1, 3, 4, 5, 9, 10, 11)
+       CASE WHEN doc_id % 14 IN (1, 3, 4, 5, 9, 10, 11)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
