@@ -629,6 +629,10 @@ def test_epub_msg_extract_roundtrip(spark):
     full = b"Subject: a folded\r\n subject\r\nFrom: x@y\r\n\r\nbody"
     assert _eml_text_of_bytes(full) == "a folded subject\nbody"
     assert _eml_text_of_bytes(b"no headers at all") is None
+    # LF-framed headers with a CRLF blank line INSIDE the body must
+    # split at the earlier LF blank line (r11 review finding)
+    mixed = b"Subject: x\nFrom: y\n\nline1\r\n\r\nline2"
+    assert _eml_text_of_bytes(mixed) == "x\nline1\r\n\r\nline2"
     # wrong-container NULLs
     assert _epub_text_of_bytes(b"%PDF-1.4 not a zip") is None
     assert _msg_text_of_bytes(b"PK\x03\x04 not cfb") is None

@@ -68,3 +68,32 @@ def test_memo_false_invalidates_and_rebuilds(spark, sf_dir):
     a = _rows(dd.minhash_lsh_verified(d))
     b = _rows(dd.minhash_lsh_verified(d, memo=False))
     assert a == b
+
+
+def test_refresh_mode_registers_fresh_persists(spark, sf_dir):
+    """plan_memo(refresh=True) must evict the stale entry AND store
+    the fresh build (r11 review: a bypassed build whose value holds
+    persisted DataFrames would leak them outside the registry).
+    Exercised through the LSH membership path, whose memo=False
+    threading maps to refresh."""
+    import vizlinc_ingester_spark.operators.dedup as dd
+    from vizlinc_ingester_spark.suite.vizlinc import docs
+
+    d = docs(spark, sf_dir).limit(40)
+    sigs = dd.minhash_signatures(d)
+    # start from a clean membership slate: other tests may have left
+    # lsh_members entries for THEIR inputs in the shared registry
+    per = S._PLAN_MEMO.setdefault(spark, {})
+    for k in [k for k in per if "lsh_members" in str(k)]:
+        S._unpersist_quietly(per.pop(k))
+    base = sorted(map(tuple, dd.lsh_candidate_pairs(sigs).collect()))
+    keys_with_members = [k for k in per if "lsh_members" in str(k)]
+    assert len(keys_with_members) == 1, keys_with_members
+    # invalidation path: rebuild is STORED (same key, fresh value)
+    before = per[keys_with_members[0]]
+    out2 = sorted(
+        map(tuple, dd.lsh_candidate_pairs(sigs, memo=False).collect())
+    )
+    assert out2 == base
+    after = S._PLAN_MEMO.get(spark, {}).get(keys_with_members[0])
+    assert after is not None and after is not before

@@ -161,8 +161,10 @@ def probe_ann(spark, reps: int = 10) -> None:
     amplified = e.withColumn(
         "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
     )
-    # rep stride is a multiple of QUERY_MOD/CENTROID_MOD so the
-    # query/centroid fractions are scale-invariant
+    # r11: query/centroid sets are FIXED-SIZE prefixes (vec_id <
+    # N_QUERIES/N_CENTROIDS), so amplification grows the corpus while
+    # the index/query sets stay constant — the design point the probe
+    # now measures
     amplified = amplified.select(
         (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
         *[c for c in e.columns if c != "vec_id"],
@@ -203,12 +205,13 @@ def probe_ann(spark, reps: int = 10) -> None:
 
 
 def probe_kmeans(spark, reps: int = 10) -> None:
-    """10× embeddings through the exact gated k-means: vectors AND
-    seed-centroid count scale together (vec_id stride is a multiple
-    of KMEANS_MOD), so this measures the real joint growth — K x N
-    assignment pairs per round. Checks the 100 TB claims: assignment
-    stays a broadcast-nested-loop scan (no shuffle of the corpus),
-    update shuffle stays bounded by K x D groups."""
+    """10× embeddings through the exact gated k-means. r11: the seed
+    set is the FIXED-SIZE vec_id < KMEANS_K prefix, so amplification
+    grows N while K stays constant — assignment work is K x N (linear
+    in the corpus) and the driver-hosted centroid state is K x D at
+    any scale. Checks the 100 TB claims: assignment stays a
+    broadcast scan (no shuffle of the corpus), update shuffle stays
+    bounded by K x D groups."""
     import tempfile
 
     from vizlinc_ingester_spark.suite import similarity as sim
@@ -225,7 +228,7 @@ def probe_kmeans(spark, reps: int = 10) -> None:
         os.path.join(tmp, "embeddings.parquet")
     )
     n = spark.read.parquet(os.path.join(tmp, "embeddings.parquet")).count()
-    k = n // sim.KMEANS_MOD
+    k = sim.KMEANS_K
     _timed(
         f"kmeans_{reps}x", f"{n} vectors K~{k} {sim.KMEANS_ROUNDS} rounds",
         lambda: _noop(sim.q_kmeans_clusters(spark, tmp)),

@@ -1315,11 +1315,17 @@ def _eml_text_of_bytes(b) -> str | None:
     if b is None:
         return None
     raw = bytes(b)
-    sep = raw.find(b"\r\n\r\n")
-    seplen = 4
-    if sep < 0:
-        sep = raw.find(b"\n\n")
-        seplen = 2
+    # EARLIEST of the two blank-line forms wins: an LF-terminated
+    # header block followed by a body that itself contains CRLFCRLF
+    # must split at the LF blank line, not inside the body (r11
+    # review). CRLF headers can't contain "\n\n" before their own
+    # CRLFCRLF, so the min-position rule is safe for both framings.
+    i_crlf = raw.find(b"\r\n\r\n")
+    i_lf = raw.find(b"\n\n")
+    if i_lf >= 0 and (i_crlf < 0 or i_lf < i_crlf):
+        sep, seplen = i_lf, 2
+    else:
+        sep, seplen = i_crlf, 4
     if sep < 0:
         return None
     head = raw[:sep].decode("utf-8", "replace")

@@ -189,34 +189,42 @@ def lsh_candidate_pairs(sigs: DataFrame, memo: bool = True) -> DataFrame:
     but it is now spread across shuffle partitions instead of
     materialized in one row on one task.
 
-    Shape: one groupBy(signature) collapse, one slim persisted
-    (rep, doc_id) membership relation (memoized via session.plan_memo
-    so repeat calls and multi-branch consumption don't stack cache
-    entries; ``memo=False`` invalidates, threaded from
-    minhash_lsh_verified), one band-key shuffle over representatives,
-    then the member expansion joins."""
+    Shape: one groupBy(signature) collapse, then ONE registered memo
+    entry holding BOTH persisted relations — the slim (rep, doc_id)
+    membership map and the (signature, rep) representative table —
+    so neither the signature fold nor the collapse groupBy re-runs on
+    later actions over the returned pairs (the representative table
+    is one row per DISTINCT signature, 17 longs wide). ``memo=False``
+    (threaded from minhash_lsh_verified's file-rewrite hook) maps to
+    plan_memo's ``refresh`` mode: the stale entry is evicted and the
+    fresh build is STORED — a bypassed build would leave persisted
+    DataFrames registered nowhere, the exact leak the registry exists
+    to prevent. Then one band-key shuffle over representatives and
+    the member expansion joins."""
     from ..session import plan_key, plan_memo
 
     mh_cols = [f"mh{i}" for i in range(N_PERMS)]
-    reps = sigs.groupBy(*mh_cols).agg(F.min("doc_id").alias("doc_id"))
 
-    def build_members():
+    def build():
+        r = (
+            sigs.groupBy(*mh_cols)
+            .agg(F.min("doc_id").alias("doc_id"))
+            .persist()
+        )
         m = (
             sigs.join(
-                reps.select(
-                    *mh_cols, F.col("doc_id").alias("rep")
-                ),
+                r.select(*mh_cols, F.col("doc_id").alias("rep")),
                 mh_cols,
             )
             .select("rep", "doc_id")
             .persist()
         )
-        m.count()
-        return m
+        m.count()  # materializes r through the join as well
+        return m, r
 
-    members = plan_memo(
-        sigs.sparkSession, plan_key(sigs, "lsh_members"), build_members,
-        memo=memo,
+    members, reps = plan_memo(
+        sigs.sparkSession, plan_key(sigs, "lsh_members"), build,
+        refresh=not memo,
     )
 
     b = lsh_band_buckets(reps)
@@ -367,9 +375,11 @@ def _minhash_lsh_verified(
     # pass AND the three verify branches of ONE action; an
     # unmaterialized cache gets recomputed by each concurrently-
     # scheduled consumer stage (observed 16 s -> ~4 s). The signature
-    # relation itself is consumed exactly once since candidate
-    # generation became a groupBy (no self-join), so it needs no
-    # persist barrier anymore.
+    # relation is evaluated twice at candidate-build time (the
+    # collapse groupBy and the membership join) — both inside
+    # lsh_candidate_pairs' ONE registered build, whose persisted
+    # (members, reps) pair then serves every later action without
+    # touching the fold again.
     hs_docs.count()
     if vectorized:
         sigs = _signatures_vec_from_hashed(hs_docs)

@@ -248,7 +248,10 @@ def _unpersist_quietly(value) -> None:
             pass
 
 
-def plan_memo(spark: SparkSession, key, builder, memo: bool = True):
+def plan_memo(
+    spark: SparkSession, key, builder, memo: bool = True,
+    refresh: bool = False,
+):
     """Memoize a built DataFrame per (session, key), LRU-bounded.
 
     Operators that persist() an intermediate (sorted-neighborhood,
@@ -263,13 +266,23 @@ def plan_memo(spark: SparkSession, key, builder, memo: bool = True):
     ``memo=False`` bypasses the cache AND evicts any existing entry
     for ``key`` — the invalidation hook for callers that know the
     files behind an unchanged plan were rewritten in-session (plan
-    hashes see paths, not file contents). Eviction (LRU overflow or
+    hashes see paths, not file contents). ``refresh=True`` is the
+    REGISTERED variant of the same invalidation: evict the stale
+    entry, rebuild, and STORE the fresh value — for builders whose
+    value itself persists DataFrames (LSH membership), where a
+    bypassed build would leave an unregistered persist that nothing
+    ever unpersists (the r11 review leak). Eviction (LRU overflow or
     explicit) unpersists the evicted DataFrames best-effort; a caller
     still holding one just recomputes."""
     if key is None:
         return builder()
     per_session = _PLAN_MEMO.setdefault(spark, {})
-    if not memo:
+    if refresh:
+        old = per_session.pop(key, None)
+        if old is not None:
+            _unpersist_quietly(old)
+        # fall through: rebuild and store below
+    elif not memo:
         old = per_session.pop(key, None)
         if old is not None:
             _unpersist_quietly(old)
