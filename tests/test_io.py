@@ -645,3 +645,42 @@ def test_epub_msg_extract_roundtrip(spark):
         zf.writestr("b.xhtml", "<html><body><p>second</p></body></html>")
         zf.writestr("a.xhtml", "<html><body><p>first</p></body></html>")
     assert _epub_text_of_bytes(buf.getvalue()) == "first second"
+
+
+def test_new_extractor_roundtrip_property():
+    """Property: for ANY printable text (no newlines for msg/eml
+    framing neutrality), extract(render(t)) is exact for .msg/.eml
+    and whitespace-collapse-exact for .epub — the same contract the
+    gated extract_text_formats oracle encodes."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vizlinc_ingester_spark.io.sources import (
+        _eml_bytes_of_text,
+        _eml_text_of_bytes,
+        _epub_bytes_of_text,
+        _epub_text_of_bytes,
+        _msg_bytes_of_text,
+        _msg_text_of_bytes,
+    )
+
+    texts = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc")
+        ),
+        min_size=1,
+        max_size=200,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(t):
+        assert _msg_text_of_bytes(_msg_bytes_of_text(t)) == t
+        assert _eml_text_of_bytes(_eml_bytes_of_text(t)) == t
+        collapsed = re.sub(r"\s+", " ", t).strip()
+        got = _epub_text_of_bytes(_epub_bytes_of_text(t))
+        assert got == collapsed, (got, collapsed)
+
+    check()
