@@ -684,3 +684,33 @@ def test_new_extractor_roundtrip_property():
         assert got == collapsed, (got, collapsed)
 
     check()
+
+
+def test_cfb_reader_fail_soft_on_corruption():
+    """A messy corpus WILL contain bit-rotted Office files; a parser
+    exception inside the extractor UDF would abort the whole job.
+    Seeded fuzz: random corruptions of a valid container (magic kept
+    so parsing proceeds) must yield None or a dict — never raise
+    (r11 fuzz originally crashed 35/3000, e.g. via a flipped
+    sector-shift byte)."""
+    import random
+
+    from vizlinc_ingester_spark.io.sources import (
+        _CFB_MAGIC,
+        _cfb_bytes,
+        _cfb_streams,
+    )
+
+    rng = random.Random(7)
+    good = _cfb_bytes({"__substg1.0_1000001F": "x".encode("utf-16-le")})
+    for _ in range(600):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 30)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        b[:8] = _CFB_MAGIC
+        out = _cfb_streams(bytes(b))
+        assert out is None or isinstance(out, dict)
+    # truncations too
+    for cut in range(0, len(good), 83):
+        out = _cfb_streams(good[:cut])
+        assert out is None or isinstance(out, dict)

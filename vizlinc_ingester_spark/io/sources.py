@@ -483,15 +483,34 @@ _CFB_FATSEC = 0xFFFFFFFD
 
 def _cfb_streams(raw: bytes) -> dict[str, bytes] | None:
     """Parse a CFB container into {stream_name: bytes}. Returns None
-    if the magic is absent. Handles v3 (512 B) and v4 (4096 B)
-    sectors, extended DIFAT, and the mini stream for streams below
-    the 4096-byte cutoff."""
+    if the magic is absent OR the container is corrupt — a messy
+    corpus WILL contain truncated/bit-rotted Office files, and an
+    exception inside the extractor pandas UDF aborts the whole job
+    after retries (r11 fuzz: 35/3000 random corruptions crashed the
+    parser, e.g. a flipped sector-shift byte exploding the FAT format
+    string). Header fields are spec-validated ([MS-CFB]: SectorShift
+    in {9, 12}, MiniSectorShift 6) and any residual parse error maps
+    to None — the same fail-soft contract every extractor exposes
+    (NULL text for undecodable content, auditable by callers).
+    Handles v3 (512 B) and v4 (4096 B) sectors, extended DIFAT, and
+    the mini stream for streams below the 4096-byte cutoff."""
+    try:
+        return _cfb_streams_impl(raw)
+    except Exception:  # corrupt container — not a valid CFB
+        return None
+
+
+def _cfb_streams_impl(raw: bytes) -> dict[str, bytes] | None:
     import struct
 
     if len(raw) < 512 or raw[:8] != _CFB_MAGIC:
         return None
-    ssz = 1 << struct.unpack_from("<H", raw, 30)[0]
-    mssz = 1 << struct.unpack_from("<H", raw, 32)[0]
+    shift = struct.unpack_from("<H", raw, 30)[0]
+    mshift = struct.unpack_from("<H", raw, 32)[0]
+    if shift not in (9, 12) or mshift != 6:
+        return None  # outside the spec'd sector geometries
+    ssz = 1 << shift
+    mssz = 1 << mshift
     n_fat = struct.unpack_from("<I", raw, 44)[0]
     first_dir = struct.unpack_from("<I", raw, 48)[0]
     cutoff = struct.unpack_from("<I", raw, 56)[0]
