@@ -714,3 +714,40 @@ def test_cfb_reader_fail_soft_on_corruption():
     for cut in range(0, len(good), 83):
         out = _cfb_streams(good[:cut])
         assert out is None or isinstance(out, dict)
+
+
+def test_all_extractors_fail_soft_on_corruption():
+    """Every binary text parser must return None/str on ANY input —
+    never raise (a UDF exception aborts the extraction job; corrupt
+    files are a certainty in a large corpus). Seeded corruption +
+    truncation sweep across all twelve formats."""
+    import random
+
+    from vizlinc_ingester_spark.io import sources as S
+
+    rng = random.Random(13)
+    cases = [
+        (S._pdf_text_of_bytes, S._pdf_bytes_of_text("hello pdf", True)),
+        (S._pdf_text_of_bytes, S._pdf_bytes_of_text("hello pdf", False)),
+        (S._docx_text_of_bytes, S._docx_bytes_of_text("hello docx")),
+        (S._odt_text_of_bytes, S._odt_bytes_of_text("hello odt")),
+        (S._doc_text_of_bytes, S._doc_bytes_of_text("hello doc")),
+        (S._xls_text_of_bytes, S._xls_bytes_of_text("hello xls")),
+        (S._ppt_text_of_bytes, S._ppt_bytes_of_text("hello ppt")),
+        (S._xlsx_text_of_bytes, S._xlsx_bytes_of_text("hello xlsx")),
+        (S._pptx_text_of_bytes, S._pptx_bytes_of_text("hello pptx")),
+        (S._epub_text_of_bytes, S._epub_bytes_of_text("hello epub")),
+        (S._msg_text_of_bytes, S._msg_bytes_of_text("hello msg")),
+        (S._eml_text_of_bytes, S._eml_bytes_of_text("hello eml")),
+    ]
+    for fn, good in cases:
+        for _ in range(200):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 25)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = fn(bytes(b))
+            assert out is None or isinstance(out, str)
+        step = max(1, len(good) // 20)
+        for cut in range(0, len(good), step):
+            out = fn(good[:cut])
+            assert out is None or isinstance(out, str)
