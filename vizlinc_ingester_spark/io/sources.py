@@ -1169,45 +1169,84 @@ def _epub_text_of_bytes(b) -> str | None:
 
     if b is None:
         return None
-    try:
-        zf = zipfile.ZipFile(_io.BytesIO(bytes(b)))
-        names = zf.namelist()
-    except Exception:  # not a zip — not an epub
-        return None
-    chapters: list[str] = []
-    try:
-        container = zf.read("META-INF/container.xml").decode("utf-8", "replace")
-        opf_path = _re.search(r'full-path="([^"]+)"', container).group(1)
-        opf = zf.read(opf_path).decode("utf-8", "replace")
-        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
-        manifest = dict(
-            _re.findall(r'<item\b[^>]*?\bid="([^"]+)"[^>]*?\bhref="([^"]+)"', opf)
-        )
-        for href, iid in _re.findall(
-            r'<item\b[^>]*?\bhref="([^"]+)"[^>]*?\bid="([^"]+)"', opf
-        ):
-            manifest.setdefault(iid, href)
-        spine = _re.findall(r'<itemref\b[^>]*?\bidref="([^"]+)"', opf)
-        chapters = [base + manifest[i] for i in spine if i in manifest]
-    except Exception:
-        chapters = []
-    if not chapters:  # package metadata missing: Tika-style sniff
-        chapters = sorted(
-            n for n in names if n.endswith((".xhtml", ".html", ".htm"))
-        )
-    parts: list[str] = []
-    for name in chapters:
-        try:
-            xml = zf.read(name).decode("utf-8", "replace")
-        except Exception:
-            continue
+    from urllib.parse import unquote
+
+    def _strip(xml: str) -> str:
         xml = _re.sub(r"(?s)<(script|style)[^>]*>.*?</\1>", " ", xml)
         body = _re.search(r"(?s)<body[^>]*>(.*?)</body>", xml)
         t = body.group(1) if body else xml
         t = _re.sub(r"<[^>]+>", " ", t)
         for ent, ch in _XML_ENTITIES:
             t = t.replace(ent, ch)
-        parts.append(t)
+        return t
+
+    try:
+        with zipfile.ZipFile(_io.BytesIO(bytes(b))) as zf:
+            names = zf.namelist()
+            chapters: list[str] = []
+            try:
+                container = zf.read("META-INF/container.xml").decode(
+                    "utf-8", "replace"
+                )
+                opf_path = _re.search(
+                    r'full-path="([^"]+)"', container
+                ).group(1)
+                opf = zf.read(opf_path).decode("utf-8", "replace")
+                base = (
+                    opf_path.rsplit("/", 1)[0] + "/"
+                    if "/" in opf_path
+                    else ""
+                )
+                manifest = dict(
+                    _re.findall(
+                        r'<item\b[^>]*?\bid="([^"]+)"[^>]*?\bhref="([^"]+)"',
+                        opf,
+                    )
+                )
+                for href, iid in _re.findall(
+                    r'<item\b[^>]*?\bhref="([^"]+)"[^>]*?\bid="([^"]+)"',
+                    opf,
+                ):
+                    manifest.setdefault(iid, href)
+                spine = _re.findall(
+                    r'<itemref\b[^>]*?\bidref="([^"]+)"', opf
+                )
+                # hrefs are IRIs: %-encoded and XML-entity-escaped
+                # forms are legal and common — decode BEFORE matching
+                # archive entry names (r11 review)
+                def deref(h: str) -> str:
+                    for ent, ch in _XML_ENTITIES:
+                        h = h.replace(ent, ch)
+                    return unquote(h)
+
+                chapters = [
+                    base + deref(manifest[i]) for i in spine if i in manifest
+                ]
+            except Exception:
+                chapters = []
+            parts: list[str] = []
+            for name in chapters:
+                try:
+                    parts.append(
+                        _strip(zf.read(name).decode("utf-8", "replace"))
+                    )
+                except Exception:
+                    continue
+            if not parts:
+                # package metadata missing OR every spine read failed:
+                # Tika-style sniff over the archive's markup entries
+                for name in sorted(
+                    n for n in names
+                    if n.endswith((".xhtml", ".html", ".htm"))
+                ):
+                    try:
+                        parts.append(
+                            _strip(zf.read(name).decode("utf-8", "replace"))
+                        )
+                    except Exception:
+                        continue
+    except Exception:  # not a zip — not an epub
+        return None
     if not parts:
         return None
     return _re.sub(r"\s+", " ", " ".join(parts)).strip()

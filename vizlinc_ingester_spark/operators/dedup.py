@@ -349,17 +349,23 @@ def minhash_lsh_verified(
     bit-identical output (integer arithmetic), measurably faster once
     shingle counts grow.
 
-    ``memo=False`` opts out AND invalidates any cached entry for this
-    input plan — use when the files behind an unchanged path were
-    rewritten in-session (plan hashes see paths, not contents)."""
+    ``memo=False`` invalidates any cached entry for this input plan —
+    use when the files behind an unchanged path were rewritten
+    in-session (plan hashes see paths, not contents). It maps to
+    plan_memo's refresh mode (evict + rebuild + STORE): the builder's
+    persisted hashed-shingle relation is part of the registered memo
+    value, so eviction — LRU or explicit — unpersists it; a bypassed
+    build would orphan one persisted full-corpus relation per call
+    (r11 review)."""
     from ..session import plan_key, plan_memo
 
-    return plan_memo(
+    result, _hs = plan_memo(
         documents.sparkSession,
         plan_key(documents, "minhash_lsh_verified", text_col, vectorized),
         lambda: _minhash_lsh_verified(documents, text_col, vectorized, memo),
-        memo=memo,
+        refresh=not memo,
     )
+    return result
 
 
 def _minhash_lsh_verified(
@@ -390,7 +396,8 @@ def _minhash_lsh_verified(
             )
         )
     pairs = lsh_candidate_pairs(sigs, memo=memo)
-    return jaccard_verify_hashed(hs_docs, pairs)
+    # hs_docs rides along in the memo value so eviction unpersists it
+    return jaccard_verify_hashed(hs_docs, pairs), hs_docs
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -575,10 +575,7 @@ def q_pq_codes(spark, sf_dir):
     ANN index stores). Distributed assignment against the broadcast
     codebook; deterministic (distance, cid) tie-break."""
     comp, cents = _pq_train(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
-        "m int, cid int, dim int, c long",
-    )
+    cdf = _cdf_of(spark, cents)
     diff = F.col("q") - F.col("c")
     out = (
         comp.join(F.broadcast(cdf), ["m", "dim"])
@@ -663,46 +660,50 @@ ORACLES["pq_codebooks"] = ORACLE_PQ_CODEBOOKS
 ORACLES["pq_codes"] = ORACLE_PQ_CODES
 
 
-def _pq_codes_assigned(spark, sf_dir) -> DataFrame:
+def _pq_codes_assigned(spark, sf_dir, memo: bool = True) -> DataFrame:
     """(vec_id, m, cid): the PQ-ENCODED CORPUS — the index content a
     100 TB deployment actually persists (PQ_M small ints per vector).
     Build-once/probe-many artifact memoized + persisted through the
     one registry (the _ivf_assigned stance): ann_pq, IVFADC and the
     rerank/eval family all probe the same encoding; before this memo
     each call re-ran the encode groupBys over the full component
-    relation per bench rep."""
+    relation per bench rep. ``memo=False`` follows the _pq_train
+    contract (files under sf_dir rewritten in-session) via
+    plan_memo's refresh mode — evict, retrain-encode, STORE."""
     from ..session import plan_key, plan_memo
 
     e = _emb(spark, sf_dir)
 
     def build():
-        comp, cents = _pq_train(spark, sf_dir)
-        codes, _cdf = _codes_from(comp, cents)
+        comp, cents = _pq_train(spark, sf_dir, memo=memo)
+        codes = _codes_from(comp, cents)
         c = codes.persist()
         c.count()
         return c
 
     return plan_memo(
-        spark, plan_key(e, "pq_codes_assigned", PQ_M, PQ_K), build
+        spark, plan_key(e, "pq_codes_assigned", PQ_M, PQ_K), build,
+        refresh=not memo,
     )
 
 
-def _rpq_codes_assigned(spark, sf_dir) -> DataFrame:
+def _rpq_codes_assigned(spark, sf_dir, memo: bool = True) -> DataFrame:
     """Residual-PQ twin of ``_pq_codes_assigned`` (same artifact
-    stance, residual component relation)."""
+    stance, residual component relation, same refresh contract)."""
     from ..session import plan_key, plan_memo
 
     e = _emb(spark, sf_dir)
 
     def build():
-        comp, cents = _rpq_train(spark, sf_dir)
-        codes, _cdf = _codes_from(comp, cents)
+        comp, cents = _rpq_train(spark, sf_dir, memo=memo)
+        codes = _codes_from(comp, cents)
         c = codes.persist()
         c.count()
         return c
 
     return plan_memo(
-        spark, plan_key(e, "rpq_codes_assigned", PQ_M, PQ_K), build
+        spark, plan_key(e, "rpq_codes_assigned", PQ_M, PQ_K), build,
+        refresh=not memo,
     )
 
 
@@ -715,10 +716,7 @@ def q_ann_pq(spark, sf_dir):
     int64 distances, (distance, vec_id) deterministic ranking, top-K
     per query. Codebook + codes come from the gated training run."""
     comp, cents = _pq_train(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
-        "m int, cid int, dim int, c long",
-    )
+    cdf = _cdf_of(spark, cents)
     codes = _pq_codes_assigned(spark, sf_dir)
     # per-(query, m, cid) distance table — tiny, broadcast
     qcomp = comp.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1610,10 +1608,7 @@ def _ivf_pq_scored(spark, sf_dir):
         .select("query_id", "cand_id")
     )
     comp, cents = _pq_train(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
-        "m int, cid int, dim int, c long",
-    )
+    cdf = _cdf_of(spark, cents)
     codes = _pq_codes_assigned(spark, sf_dir)
     qcomp = comp.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "m", "dim", F.col("q").alias("qq")
@@ -1948,14 +1943,24 @@ def _rpq_train(spark: SparkSession, sf_dir: str, memo: bool = True):
     )
 
 
-def _codes_from(comp: DataFrame, cents: dict) -> DataFrame:
-    """(vec_id, m, cid): nearest-final-centroid code per subvector —
-    shared by the raw and residual pipelines."""
-    spark = comp.sparkSession
-    cdf = spark.createDataFrame(
+def _cdf_of(spark: SparkSession, cents: dict) -> DataFrame:
+    """The broadcastable codebook relation (m, cid, dim, c) from the
+    driver-hosted centroid dict — ONE construction site (six copies
+    of this 4-liner had drifted into the file; a schema or ordering
+    change must happen exactly here or Spark/oracle parity silently
+    diverges)."""
+    return spark.createDataFrame(
         [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
         "m int, cid int, dim int, c long",
     )
+
+
+def _codes_from(comp: DataFrame, cents: dict) -> DataFrame:
+    """(vec_id, m, cid): nearest-final-centroid code per subvector —
+    shared by the raw and residual pipelines (codebook relation via
+    ``_cdf_of``)."""
+    spark = comp.sparkSession
+    cdf = _cdf_of(spark, cents)
     diff = F.col("q") - F.col("c")
     return (
         comp.join(F.broadcast(cdf), ["m", "dim"])
@@ -1963,7 +1968,7 @@ def _codes_from(comp: DataFrame, cents: dict) -> DataFrame:
         .agg(F.sum(diff * diff).cast("long").alias("d2"))
         .groupBy("vec_id", "m")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    ), cdf
+    )
 
 
 def _ivf_rpq_scored(spark, sf_dir):
@@ -2002,10 +2007,7 @@ def _ivf_rpq_scored(spark, sf_dir):
         .select("query_id", "centroid_id", "cand_id")
     )
     comp, cents = _rpq_train(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [(m, c, d, v) for (m, c, d), v in sorted(cents.items())],
-        "m int, cid int, dim int, c long",
-    )
+    cdf = _cdf_of(spark, cents)
     codes = _rpq_codes_assigned(spark, sf_dir)
     # query residual components PER PROBED CENTROID
     vq = _vq_micro(spark, sf_dir)

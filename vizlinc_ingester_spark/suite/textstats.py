@@ -162,54 +162,53 @@ def q_extract_text_formats(spark, sf_dir):
         ),
         (F.col("doc_id") % 14 + 1).cast("int"),
     )
-    rendered = (
-        F.when(fmt == "txt", F.col("text"))
-        .when(
-            fmt == "html",
+    html_doc = F.concat(
+        F.lit('<html><head><style>p{x:1}</style><script>if(1>0){}'
+              '</script></head><body><!-- c --><p id="d">'),
+        esc_html,
+        F.lit("</p></body></html>"),
+    )
+    # Renders are built as per-format FILTERED SLICES, NOT a when-chain
+    # over the pandas-UDF renderers: Spark hoists each ArrowEvalPython
+    # node out of a conditional and evaluates it on EVERY row, so the
+    # when-chain form ran all ~11 container renderers over the full
+    # corpus and discarded 13/14 of the work (the same hazard
+    # extract_text_auto documents on the extract side; r11 review).
+    renders = {
+        "txt": F.encode(F.col("text"), "UTF-8"),
+        "html": F.encode(html_doc, "UTF-8"),
+        "rtf": F.encode(rtf_render(F.col("text")), "UTF-8"),
+        # half the PDFs Flate-compressed (doc_id % 28 == 2), half
+        # uncompressed (== 16): one gate proves both branches
+        "pdf": render_pdf(F.col("text"), F.col("doc_id") % 28 == 2),
+        "docx": render_docx(F.col("text")),
+        "odt": render_odt(F.col("text")),
+        "doc": render_doc(F.col("text")),
+        "xls": render_xls(F.col("text")),
+        "ppt": render_ppt(F.col("text")),
+        "xlsx": render_xlsx(F.col("text")),
+        "pptx": render_pptx(F.col("text")),
+        "epub": render_epub(F.col("text")),
+        "msg": render_msg(F.col("text")),
+        "eml": render_eml(F.col("text")),
+    }
+    tagged = d.withColumn("__fmt", fmt)
+    parts = []
+    for f, x in (
+        ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
+        ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
+        ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
+        ("xlsx", "xlsx"), ("pptx", "pptx"),
+        ("epub", "epub"), ("msg", "msg"), ("eml", "eml"),
+    ):
+        files = tagged.filter(F.col("__fmt") == f).select(
             F.concat(
-                F.lit('<html><head><style>p{x:1}</style><script>if(1>0){}'
-                      '</script></head><body><!-- c --><p id="d">'),
-                esc_html,
-                F.lit("</p></body></html>"),
-            ),
+                F.lit("mem://corpus/"), F.col("doc_id").cast("string"),
+                F.lit("."), F.col("__fmt"),
+            ).alias("path"),
+            renders[f].alias("content"),
         )
-        .otherwise(rtf_render(F.col("text")))
-    )
-    files = d.select(
-        F.concat(
-            F.lit("mem://corpus/"), F.col("doc_id").cast("string"),
-            F.lit("."), fmt,
-        ).alias("path"),
-        F.when(fmt == "docx", render_docx(F.col("text")))
-        .when(fmt == "odt", render_odt(F.col("text")))
-        .when(fmt == "doc", render_doc(F.col("text")))
-        .when(fmt == "xls", render_xls(F.col("text")))
-        .when(fmt == "ppt", render_ppt(F.col("text")))
-        .when(fmt == "xlsx", render_xlsx(F.col("text")))
-        .when(fmt == "pptx", render_pptx(F.col("text")))
-        .when(fmt == "epub", render_epub(F.col("text")))
-        .when(fmt == "msg", render_msg(F.col("text")))
-        .when(fmt == "eml", render_eml(F.col("text")))
-        .when(
-            fmt == "pdf",
-            # half the PDFs Flate-compressed (doc_id % 28 == 2), half
-            # uncompressed (== 16): one gate proves both branches
-            render_pdf(F.col("text"), F.col("doc_id") % 28 == 2),
-        )
-        .otherwise(F.encode(rendered, "UTF-8"))
-        .alias("content"),
-        fmt.alias("fmt"),
-    )
-    parts = [
-        extract_text(files.filter(F.col("fmt") == f), extractor=x)
-        for f, x in (
-            ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
-            ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
-            ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
-            ("xlsx", "xlsx"), ("pptx", "pptx"),
-            ("epub", "epub"), ("msg", "msg"), ("eml", "eml"),
-        )
-    ]
+        parts.append(extract_text(files, extractor=x))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
