@@ -224,3 +224,38 @@ def test_viterbi_oracle_capacity_covers_sweep_corpora():
             "raise VIT_ORACLE_CHUNKS in suite/ner.py (Spark side needs "
             "no change)"
         )
+
+
+def test_perceptron_weight_conservation(spark):
+    """Batch-perceptron updates are Phi(gold) - Phi(pred) sums over
+    the SAME token/transition events, so total weight mass is
+    conserved at zero: per-token emission weights sum to 0 across
+    tags, and the whole transition grid sums to 0. Holds for every
+    epoch (both gated variants) — a wrong pred-side count breaks it
+    immediately."""
+    from vizlinc_ingester_spark.suite.ner import (
+        _ctx_tokens,
+        _perc_weights,
+        _span_gold,
+    )
+    from vizlinc_ingester_spark.operators.tagger import VIT_CODES
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)
+    )
+    labeled = _span_gold(_ctx_tokens(docs)).select(
+        "doc_id", "idx", "token", "tag"
+    )
+    for epochs in (1, 2):
+        tmat, ew = _perc_weights(spark, labeled, epochs)
+        assert sum(tmat.values()) == 0, (epochs, sum(tmat.values()))
+        esum = ew.select(
+            sum([F.col(f"e_{c}") for c in VIT_CODES]).alias("s")
+        ).agg(
+            F.sum("s").alias("tot"),
+            F.sum(F.abs("s")).alias("abs_tot"),
+        ).collect()[0]
+        # zero per-row, not just in aggregate
+        assert esum["tot"] == 0 and esum["abs_tot"] == 0, (epochs, esum)
