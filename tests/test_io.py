@@ -751,3 +751,137 @@ def test_all_extractors_fail_soft_on_corruption():
         for cut in range(0, len(good), step):
             out = fn(good[:cut])
             assert out is None or isinstance(out, str)
+
+
+def test_ics_vcf_mbox_extract_roundtrip(spark):
+    """r11-continuation trio: .ics (RFC-5545 escaped+folded
+    DESCRIPTION), .vcf (RFC-6350 NOTE) and .mbox (RFC-4155, mboxrd
+    quoting) round-trip through the registry front door; each
+    extractor returns NULL on the wrong container; mbox concatenates
+    multi-message files and inverts From-quoting exactly."""
+    from vizlinc_ingester_spark.io.sources import (
+        _ics_bytes_of_text,
+        _ics_text_of_bytes,
+        _mbox_bytes_of_text,
+        _mbox_text_of_bytes,
+        _vcf_bytes_of_text,
+        _vcf_text_of_bytes,
+        extract_text_auto,
+    )
+
+    texts = [
+        "a; calendar, entry\\ with specials " + "x" * 200,  # forces folding
+        "vcard note; commas, and\nnewlines",
+        "mail one\nFrom the start\n>From quoted",
+    ]
+    files = spark.createDataFrame(
+        [
+            ("mem://x/1.ics", _ics_bytes_of_text(texts[0])),
+            ("mem://x/2.vcf", _vcf_bytes_of_text(texts[1])),
+            ("mem://x/3.mbox", _mbox_bytes_of_text(texts[2])),
+        ],
+        "path string, content binary",
+    )
+    out = {r["name"]: r["text"] for r in extract_text_auto(files).collect()}
+    assert out == {"1.ics": texts[0], "2.vcf": texts[1],
+                   "3.mbox": texts[2]}
+    # newline forms: CRLF and bare CR normalize to LF (no RFC escape
+    # for a bare CR; documented subset)
+    assert _ics_text_of_bytes(_ics_bytes_of_text("a\r\nb\rc")) == "a\nb\nc"
+    # folding never splits the escape pair semantics: a value of
+    # pure backslashes survives
+    bs = "\\" * 130
+    assert _ics_text_of_bytes(_ics_bytes_of_text(bs)) == bs
+    assert _vcf_text_of_bytes(_vcf_bytes_of_text(bs)) == bs
+    # multi-message mbox: bodies joined with a blank line
+    two = _mbox_bytes_of_text("first body") + _mbox_bytes_of_text(
+        "second\nFrom line"
+    )
+    assert _mbox_text_of_bytes(two) == "first body\n\nsecond\nFrom line"
+    # trailing-newline exactness: one trailing LF survives the
+    # one-LF-terminator framing
+    assert _mbox_text_of_bytes(_mbox_bytes_of_text("ends\n")) == "ends\n"
+    # wrong containers
+    assert _ics_text_of_bytes(b"BEGIN:VCARD\r\nEND:VCARD\r\n") is None
+    assert _vcf_text_of_bytes(b"BEGIN:VCALENDAR\r\nEND:VCALENDAR\r\n") is None
+    assert _mbox_text_of_bytes(b"Subject: x\n\nnot an mbox") is None
+
+
+def test_ical_mbox_roundtrip_property():
+    """Property: extract(render(t)) is exact for .mbox on ANY text
+    and exact for .ics/.vcf on CR-free text (CR normalizes to LF —
+    RFC 5545 TEXT has no bare-CR escape)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vizlinc_ingester_spark.io.sources import (
+        _ics_bytes_of_text,
+        _ics_text_of_bytes,
+        _mbox_bytes_of_text,
+        _mbox_text_of_bytes,
+        _vcf_bytes_of_text,
+        _vcf_text_of_bytes,
+    )
+
+    texts = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+        min_size=1,
+        max_size=300,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(t):
+        assert _ics_text_of_bytes(_ics_bytes_of_text(t)) == t
+        assert _vcf_text_of_bytes(_vcf_bytes_of_text(t)) == t
+        assert _mbox_text_of_bytes(_mbox_bytes_of_text(t)) == t
+
+    # multi-line (Cc-excluded strategies never emit \n; the framing
+    # paths need them)
+    lines = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs", "Cc")
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(lines)
+    def check_multiline(ls):
+        t = "\n".join(ls)
+        assert _ics_text_of_bytes(_ics_bytes_of_text(t)) == t
+        assert _vcf_text_of_bytes(_vcf_bytes_of_text(t)) == t
+        assert _mbox_text_of_bytes(_mbox_bytes_of_text(t)) == t
+
+    check()
+    check_multiline()
+
+
+def test_new_trio_fail_soft_on_corruption():
+    """ics/vcf/mbox extractors: None/str on ANY input, never raise
+    (same contract as test_all_extractors_fail_soft_on_corruption)."""
+    import random
+
+    from vizlinc_ingester_spark.io import sources as S
+
+    rng = random.Random(17)
+    cases = [
+        (S._ics_text_of_bytes, S._ics_bytes_of_text("hello ics")),
+        (S._vcf_text_of_bytes, S._vcf_bytes_of_text("hello vcf")),
+        (S._mbox_text_of_bytes, S._mbox_bytes_of_text("hello mbox")),
+    ]
+    for fn, good in cases:
+        for _ in range(200):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 25)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = fn(bytes(b))
+            assert out is None or isinstance(out, str)
+        step = max(1, len(good) // 20)
+        for cut in range(0, len(good), step):
+            out = fn(good[:cut])
+            assert out is None or isinstance(out, str)

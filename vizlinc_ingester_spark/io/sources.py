@@ -1430,6 +1430,235 @@ def eml_extract(content: "F.Column") -> "F.Column":
     return _eml_extract_udf(content)
 
 
+# --- .ics / .vcf (RFC 5545 iCalendar / RFC 6350 vCard) -----------------------
+#
+# Both formats share one line grammar: NAME[;PARAMS]:VALUE lines,
+# folded at an octet budget with CRLF + single-space continuations,
+# and TEXT values escaped as \\ \; \, \n. The round-trip is EXACT
+# (no whitespace collapse): escape -> fold on render, unfold ->
+# unescape on extract.
+
+_ICAL_FOLD = 60  # chars per physical line (RFC budget is 75 octets;
+#                  folding on characters keeps multi-byte runes whole
+#                  and is accepted by every parser of the subset)
+
+
+def _ical_escape(t: str) -> str:
+    # RFC 5545 TEXT has no escape for a bare CR: every newline form
+    # (CRLF, LF, CR) normalizes to \n — the round-trip is exact for
+    # CR-free text and newline-normalizing otherwise (documented
+    # subset; the fixture corpus and property tests are CR-free)
+    return (
+        t.replace("\\", "\\\\")
+        .replace(";", "\\;")
+        .replace(",", "\\,")
+        .replace("\r\n", "\\n")
+        .replace("\n", "\\n")
+        .replace("\r", "\\n")
+    )
+
+
+def _ical_unescape(v: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(v):
+        ch = v[i]
+        if ch == "\\" and i + 1 < len(v):
+            nxt = v[i + 1]
+            if nxt in ("n", "N"):
+                out.append("\n")
+            else:
+                out.append(nxt)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _ical_fold(line: str) -> str:
+    segs = [line[i : i + _ICAL_FOLD] for i in range(0, len(line), _ICAL_FOLD)]
+    return "\r\n ".join(segs) if segs else line
+
+
+def _ical_unfold(raw: str) -> list[str]:
+    lines: list[str] = []
+    for ln in raw.split("\r\n" if "\r\n" in raw else "\n"):
+        if ln[:1] in (" ", "\t") and lines:
+            lines[-1] += ln[1:]
+        else:
+            lines.append(ln)
+    return lines
+
+
+def _ical_prop_value(lines: list[str], name: str) -> str | None:
+    """First NAME[;params]:VALUE line's value, or None."""
+    pfx = name.upper()
+    for ln in lines:
+        head, sep, val = ln.partition(":")
+        if not sep:
+            continue
+        if head.split(";", 1)[0].upper() == pfx:
+            return val
+    return None
+
+
+def _ics_text_of_bytes(b) -> str | None:
+    """DESCRIPTION of the first VEVENT in an iCalendar stream.
+    Documented subset: one text-bearing property; fuller calendars
+    route through the same registry seam."""
+    if b is None:
+        return None
+    lines = _ical_unfold(bytes(b).decode("utf-8", "replace"))
+    if not lines or _ical_prop_value(lines, "BEGIN") != "VCALENDAR":
+        return None
+    v = _ical_prop_value(lines, "DESCRIPTION")
+    return None if v is None else _ical_unescape(v)
+
+
+def _ics_bytes_of_text(text: str) -> bytes:
+    body = "\r\n".join(
+        [
+            "BEGIN:VCALENDAR",
+            "VERSION:2.0",
+            "PRODID:-//fixtures//EN",
+            "BEGIN:VEVENT",
+            "UID:doc@fixtures.invalid",
+            "DTSTAMP:19700101T000000Z",
+            _ical_fold("DESCRIPTION:" + _ical_escape(text)),
+            "END:VEVENT",
+            "END:VCALENDAR",
+            "",
+        ]
+    )
+    return body.encode("utf-8")
+
+
+def _vcf_text_of_bytes(b) -> str | None:
+    """NOTE property of the first vCard in the stream."""
+    if b is None:
+        return None
+    lines = _ical_unfold(bytes(b).decode("utf-8", "replace"))
+    if not lines or _ical_prop_value(lines, "BEGIN") != "VCARD":
+        return None
+    v = _ical_prop_value(lines, "NOTE")
+    return None if v is None else _ical_unescape(v)
+
+
+def _vcf_bytes_of_text(text: str) -> bytes:
+    body = "\r\n".join(
+        [
+            "BEGIN:VCARD",
+            "VERSION:3.0",
+            "FN:Fixture Document",
+            _ical_fold("NOTE:" + _ical_escape(text)),
+            "END:VCARD",
+            "",
+        ]
+    )
+    return body.encode("utf-8")
+
+
+@F.pandas_udf(T.StringType())
+def _ics_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_ics_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_ics(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _ics_bytes_of_text(t))
+
+
+def ics_extract(content: "F.Column") -> "F.Column":
+    return _ics_extract_udf(content)
+
+
+@F.pandas_udf(T.StringType())
+def _vcf_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_vcf_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_vcf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _vcf_bytes_of_text(t))
+
+
+def vcf_extract(content: "F.Column") -> "F.Column":
+    return _vcf_extract_udf(content)
+
+
+# --- .mbox (RFC 4155 mailbox, mboxrd quoting) --------------------------------
+
+
+def _mbox_text_of_bytes(b) -> str | None:
+    """Concatenated bodies of every message in an mbox, joined with
+    a blank line. Messages are delimited by 'From ' postmark lines
+    (safe because bodies are mboxrd-quoted on write: any body line
+    matching /^>*From / gained one '>', which is stripped here).
+    Each message parses through the .eml subset."""
+    if b is None:
+        return None
+    raw = bytes(b)
+    if not raw.startswith(b"From "):
+        return None
+    texts: list[str] = []
+    # split on postmark lines: the file starts with one, and every
+    # subsequent boundary is "\nFrom " (unquoted by mboxrd rules)
+    chunks = raw.split(b"\nFrom ")
+    for i, chunk in enumerate(chunks):
+        msg = chunk if i == 0 else b"From " + chunk
+        # drop the postmark line itself
+        nl = msg.find(b"\n")
+        if nl < 0:
+            continue
+        body = _eml_text_of_bytes(msg[nl + 1 :])
+        if body is None:
+            continue
+        # the writer terminates each message with exactly one LF:
+        # strip exactly one (rstrip would eat newlines that belong
+        # to the original text)
+        if body.endswith("\n"):
+            body = body[:-1]
+        unq = [
+            ln[1:] if ln.lstrip(">").startswith("From ") and ln.startswith(">")
+            else ln
+            for ln in body.split("\n")
+        ]
+        texts.append("\n".join(unq))
+    return "\n\n".join(texts) if texts else None
+
+
+def _mbox_bytes_of_text(text: str) -> bytes:
+    """Render text as a one-message mboxrd file (the extractor
+    handles any message count)."""
+    quoted = "\n".join(
+        ">" + ln if ln.lstrip(">").startswith("From ") else ln
+        for ln in text.split("\n")
+    )
+    return (
+        b"From fixtures@example.invalid Thu Jan  1 00:00:00 1970\n"
+        b"From: fixtures@example.invalid\n"
+        b"MIME-Version: 1.0\n"
+        b"Content-Type: text/plain; charset=utf-8\n\n"
+        + quoted.encode("utf-8")
+        + b"\n"
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _mbox_extract_udf(content: pd.Series) -> pd.Series:
+    return content.map(_mbox_text_of_bytes)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_mbox(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: None if t is None else _mbox_bytes_of_text(t))
+
+
+def mbox_extract(content: "F.Column") -> "F.Column":
+    return _mbox_extract_udf(content)
+
+
 _EXTRACTORS: dict = {
     "html": html_extract,
     "pdf": pdf_extract,
@@ -1445,6 +1674,9 @@ _EXTRACTORS: dict = {
     "epub": epub_extract,
     "msg": msg_extract,
     "eml": eml_extract,
+    "ics": ics_extract,
+    "vcf": vcf_extract,
+    "mbox": mbox_extract,
 }
 
 
@@ -1461,6 +1693,7 @@ _EXT_ROUTES: dict[str, str] = {
     "doc": "doc", "xls": "xls", "ppt": "ppt",
     "xlsx": "xlsx", "pptx": "pptx",
     "epub": "epub", "msg": "msg", "eml": "eml",
+    "ics": "ics", "vcf": "vcf", "mbox": "mbox",
 }
 
 

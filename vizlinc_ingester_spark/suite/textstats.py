@@ -116,7 +116,7 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 
 def q_extract_text_formats(spark, sf_dir):
     """S2 under the hash gate: render each document's text into a
-    container format chosen by doc_id % 14 (plain UTF-8 bytes, an HTML
+    container format chosen by doc_id % 17 (plain UTF-8 bytes, an HTML
     page with head/style/comment chrome and escaped entities, a PDF —
     FlateDecode-compressed content stream for half the PDF docs,
     uncompressed for the other half — a real zipped .docx with
@@ -129,8 +129,12 @@ def q_extract_text_formats(spark, sf_dir):
     the r11 Tika-long-tail pair: .epub as a real zip with
     container.xml -> OPF manifest/spine -> an XHTML chapter, and
     Outlook .msg as a real CFB container with the UTF-16LE body
-    property stream, and .eml as a single-part RFC-5322 message),
-    then
+    property stream, and .eml as a single-part RFC-5322 message, and
+    the r11-continuation trio: .ics as an RFC-5545 VEVENT with an
+    escaped+folded DESCRIPTION, .vcf as an RFC-6350 vCard NOTE under
+    the same line grammar, and .mbox as an RFC-4155 mailbox with
+    mboxrd From-quoting — all three exact round-trips, no whitespace
+    collapse), then
     run the real ``extract_text`` path per format and union. The oracle is the identity (modulo whitespace collapse
     for the markup formats) — a hash match proves every
     encode->extract round-trip is exact, i.e. the extractors actually
@@ -139,8 +143,9 @@ def q_extract_text_formats(spark, sf_dir):
     plaintext, XML and many other formats")."""
     from ..io.sources import (
         extract_text, render_doc, render_docx, render_eml, render_epub,
-        render_msg, render_odt, render_pdf, render_ppt, render_pptx,
-        render_xls, render_xlsx, rtf_render,
+        render_ics, render_mbox, render_msg, render_odt, render_pdf,
+        render_ppt, render_pptx, render_vcf, render_xls, render_xlsx,
+        rtf_render,
     )
     from ..session import ship_package
 
@@ -159,8 +164,9 @@ def q_extract_text_formats(spark, sf_dir):
             F.lit("docx"), F.lit("odt"), F.lit("rtf"), F.lit("doc"),
             F.lit("xls"), F.lit("ppt"), F.lit("xlsx"), F.lit("pptx"),
             F.lit("epub"), F.lit("msg"), F.lit("eml"),
+            F.lit("ics"), F.lit("vcf"), F.lit("mbox"),
         ),
-        (F.col("doc_id") % 14 + 1).cast("int"),
+        (F.col("doc_id") % 17 + 1).cast("int"),
     )
     html_doc = F.concat(
         F.lit('<html><head><style>p{x:1}</style><script>if(1>0){}'
@@ -178,9 +184,9 @@ def q_extract_text_formats(spark, sf_dir):
         "txt": F.encode(F.col("text"), "UTF-8"),
         "html": F.encode(html_doc, "UTF-8"),
         "rtf": F.encode(rtf_render(F.col("text")), "UTF-8"),
-        # half the PDFs Flate-compressed (doc_id % 28 == 2), half
-        # uncompressed (== 16): one gate proves both branches
-        "pdf": render_pdf(F.col("text"), F.col("doc_id") % 28 == 2),
+        # half the PDFs Flate-compressed (doc_id % 34 == 2), half
+        # uncompressed (== 19): one gate proves both branches
+        "pdf": render_pdf(F.col("text"), F.col("doc_id") % 34 == 2),
         "docx": render_docx(F.col("text")),
         "odt": render_odt(F.col("text")),
         "doc": render_doc(F.col("text")),
@@ -191,6 +197,9 @@ def q_extract_text_formats(spark, sf_dir):
         "epub": render_epub(F.col("text")),
         "msg": render_msg(F.col("text")),
         "eml": render_eml(F.col("text")),
+        "ics": render_ics(F.col("text")),
+        "vcf": render_vcf(F.col("text")),
+        "mbox": render_mbox(F.col("text")),
     }
     tagged = d.withColumn("__fmt", fmt)
     parts = []
@@ -200,6 +209,7 @@ def q_extract_text_formats(spark, sf_dir):
         ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
         ("xlsx", "xlsx"), ("pptx", "pptx"),
         ("epub", "epub"), ("msg", "msg"), ("eml", "eml"),
+        ("ics", "ics"), ("vcf", "vcf"), ("mbox", "mbox"),
     ):
         files = tagged.filter(F.col("__fmt") == f).select(
             F.concat(
@@ -217,9 +227,9 @@ def q_extract_text_formats(spark, sf_dir):
 
 ORACLE_EXTRACT_TEXT = r"""
 SELECT CAST(doc_id AS VARCHAR)
-         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt', 'xlsx', 'pptx', 'epub', 'msg', 'eml'][CAST(doc_id % 14 + 1 AS INTEGER)]
+         || '.' || ['txt', 'html', 'pdf', 'docx', 'odt', 'rtf', 'doc', 'xls', 'ppt', 'xlsx', 'pptx', 'epub', 'msg', 'eml', 'ics', 'vcf', 'mbox'][CAST(doc_id % 17 + 1 AS INTEGER)]
          AS name,
-       CASE WHEN doc_id % 14 IN (1, 3, 4, 5, 9, 10, 11)
+       CASE WHEN doc_id % 17 IN (1, 3, 4, 5, 9, 10, 11)
             THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
             ELSE text END AS text
 FROM documents
@@ -719,6 +729,150 @@ GROUP BY doc_id
 
 QUERIES["lm_doc_scores"] = q_lm_doc_scores
 ORACLES["lm_doc_scores"] = ORACLE_LM_DOC_SCORES
+
+
+# --- Kneser-Ney smoothed LM scoring (round 11) ------------------------------
+
+def q_lm_doc_scores_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
+    actually ships (Heafield 2011; production corpus-quality
+    pipelines like CCNet score with KN-smoothed LMs, not add-one).
+    Absolute discount d = 3/4:
+
+        P(w2|w1) = max(c2 - d, 0)/c1  +  d*N1fw(w1)/c1 * Pcont(w2)
+        Pcont(w2) = N1bw(w2) / B
+
+    where c1 is w1's HISTORY count (sum of its bigram counts),
+    N1fw(w1) = distinct continuations of w1, N1bw(w2) = distinct
+    histories of w2, B = distinct bigram types. With d = 3/4 the
+    probability is the exact integer rational
+
+        [max(4*c2 - 3, 0)*B + 3*N1fw(w1)*N1bw(w2)] / (4*c1*B)
+
+    so the cross-engine discipline is ONE ln over a ratio of two
+    exact int64s (identical literal sequence both engines), floored
+    to micro-nats, then summed as int64 — order-independent and
+    hash-stable (the lm_doc_scores/tfidf discipline). The corpus
+    scores itself (train == score, same stance as lm_doc_scores), so
+    every scored bigram has c2 >= 1 and the numerator is >= B > 0.
+
+    Plan at 100 TB: bigram counts are one map-side-combinable rollup;
+    c1/N1fw and N1bw are two vocabulary-keyed rollups OF THE COUNTS
+    TABLE (not the corpus); B is a 1-row broadcast; scoring joins the
+    per-doc bigram stream to the model on the bigram key — shuffle on
+    (w1, w2), everything upstream scan-local. The int64 cross-product
+    max(4*c2-3,0)*B caps at ~4*T^2 (T = corpus bigram tokens): fine
+    to ~10^9 bigram types; past that the scale form evaluates the two
+    interpolation terms in double before the ln (documented loss of
+    the exact-rational guarantee, same answer to ~1 ulp)."""
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        )
+    )
+    big = toked.select("doc_id", bg.alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+    def build_model():
+        c2 = big.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c2")
+        )
+        h = c2.groupBy("w1").agg(
+            F.sum("c2").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("n1fw"),
+        )
+        cont = c2.groupBy("w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n1bw")
+        )
+        b_row = c2.agg(F.count(F.lit(1)).cast("long").alias("b"))
+        num = (
+            F.greatest(F.lit(0).cast("long"), 4 * F.col("c2") - 3)
+            * F.col("b")
+            + 3 * F.col("n1fw") * F.col("n1bw")
+        )
+        den = 4 * F.col("c1") * F.col("b")
+        m = (
+            c2.join(h, "w1")
+            .join(cont, "w2")
+            .crossJoin(F.broadcast(b_row))
+            .select(
+                "w1", "w2",
+                F.floor(
+                    F.log(num.cast("double") / den.cast("double"))
+                    * 1000000.0
+                ).cast("long").alias("term_micro"),
+            )
+            .persist()
+        )
+        m.count()
+        return m
+
+    from ..session import plan_key, plan_memo
+
+    model = plan_memo(spark, plan_key(toked, "bigram_lm_kn"), build_model)
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("term_micro")).cast("long").alias("nll_micro_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "nll_micro_sum",
+            F.expr("nll_micro_sum div n_bigrams").alias("avg_nll_micro"),
+        )
+    )
+
+
+ORACLE_LM_DOC_SCORES_KN = f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+  WHERE len({_SQL_TOKS}) >= 2
+),
+idx AS (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 2) FROM toked))) AS i),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toked JOIN idx ON i <= len(t) - 1
+),
+c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2),
+h AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1fw
+  FROM c2t GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c2t GROUP BY w2
+),
+bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2t),
+model AS (
+  SELECT c2t.w1, c2t.w2,
+         CAST(floor(ln(
+             CAST(greatest(CAST(0 AS BIGINT), 4 * c2 - 3) * b
+                  + 3 * n1fw * n1bw AS DOUBLE)
+             / CAST(4 * c1 * b AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS term_micro
+  FROM c2t JOIN h USING (w1) JOIN cont USING (w2) CROSS JOIN bt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(term_micro) AS BIGINT) AS nll_micro_sum,
+       CAST(-sum(term_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS avg_nll_micro
+FROM big JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+QUERIES["lm_doc_scores_kn"] = q_lm_doc_scores_kn
+ORACLES["lm_doc_scores_kn"] = ORACLE_LM_DOC_SCORES_KN
 
 
 # --- PMI collocation mining (round 8) ---------------------------------------
