@@ -68,18 +68,22 @@ def collect_suite() -> tuple[
 # 17 queries whose RESULTS changed under the fixed-size index caps
 # (item 1), dedup_minhash_lsh whose lineage changed under the
 # collapse-first guard (item 2, hash proven unchanged in-window), and
-# 3 new operators (items 6/7/8) — leaving 29 slots for 40 stale
-# rows. The 11 deferred rows are NAMED below with their carriers and head
-# the r12 queue; all are locally re-proven every session by
-# tests/test_oracle_parity.py.
+# 3 new operators (items 6/7/8) — and the r11 CONTINUATION session
+# adds 3 more new operators (batch-perceptron pair + Kneser-Ney LM),
+# leaving 26 slots for 40 stale rows. The 14 deferred rows are NAMED
+# below with their carriers and head the r12 queue; all are locally
+# re-proven every session by tests/test_oracle_parity.py.
 #
-# Group (a): the three r11 additions. Group (b): the 17 queries whose
+# Group (a): the six r11 additions (3 from the main session, 3 from
+# the continuation). Group (b): the 17 queries whose
 # results changed under vec_id<C caps — includes 4 rows that were
 # themselves r7-stale (ann_cosine_topk, ann_cosine_topk_vec, ann_ivf,
 # dedup_semantic). Group (c): dedup_minhash_lsh (changed lineage,
-# hash-unchanged proof). Group (d): 29 of the 40 r7-stale rows — all
+# hash-unchanged proof). Group (d): 26 of the 40 r7-stale rows — all
 # 9 of r10's displaced group-(d) picks are here, carrier-less rows
-# first.
+# first. (extract_text_formats stays in (d) with CHANGED results:
+# the continuation widened it to 17 formats, so its in-window slot
+# doubles as the changed-lineage re-proof.)
 #
 # Deferred to r12 (r7-proven, each with a named fresher carrier on
 # the same lineage): minhash_signatures (carrier: in-window
@@ -92,7 +96,13 @@ def collect_suite() -> tuple[
 # merge-law tests), pricing_summary + top_customers +
 # revenue_by_nation + order_priority_counts (carrier: promo_revenue +
 # nation_trade_volume r10, same integer-cents lineitem/orders
-# lineage). Also outside by
+# lineage), and the continuation's 3 displacements:
+# dedup_segments (carrier: in-window dedup_exact_substr +
+# dedup_exact, same window-hash span lineage),
+# events_cohort_retention (carrier: in-window events_funnel, same
+# _events lineage), union_mentions (carrier: in-window
+# normalize_mentions + mention_type_filter, same mention lineage).
+# Also outside by
 # choice: dedup_keep_best / dedup_clusters' sibling consumers of the
 # LSH rewrite are represented by dedup_minhash_lsh + in-window
 # dedup_clusters; hash-unchanged locally for all. Queries whose only
@@ -102,9 +112,10 @@ def collect_suite() -> tuple[
 # streaming_bpe_fertility, the eval family all carry r10/r11 window
 # slots anyway or sit in (b)).
 DRIVER_WINDOW = [
-    # (a) new in r11
+    # (a) new in r11 (main session + continuation)
     "ner_viterbi_spans2", "streaming_lang_quality_report",
     "ner_viterbi_feats",
+    "ner_perceptron", "ner_perceptron2", "lm_doc_scores_kn",
     # (b) results changed by the fixed-size index caps (judge item 1)
     "ann_cosine_topk", "ann_cosine_topk_vec", "ann_ivf", "ann_lsh",
     "ann_lsh_banded", "dedup_semantic", "kmeans_clusters",
@@ -116,15 +127,15 @@ DRIVER_WINDOW = [
     # item 2) — the in-window hash match against the UNCHANGED oracle
     # is the "hash unchanged" proof
     "dedup_minhash_lsh",
-    # (d) 29 of the 40 r7-stale rows (incl. all 9 r10-displaced picks)
+    # (d) 26 of the 40 r7-stale rows (incl. all 9 r10-displaced picks)
     "candidate_split_person", "corpus_mixing", "country_suffix_join",
     "dedup_clusters", "dedup_exact", "dedup_exact_substr",
-    "dedup_segments", "dict_ner", "dms_parse", "doc_fingerprint",
-    "doc_scan_filter", "dsir_selection", "events_cohort_retention",
+    "dict_ner", "dms_parse", "doc_fingerprint",
+    "doc_scan_filter", "dsir_selection",
     "events_funnel", "extract_text_formats", "mention_type_filter",
     "normalize_mentions",
     "orders_above_customer_avg", "orders_running_revenue",
     "prefix_merge_pairs", "ptb_tokens", "quality_classifier_nb",
     "sn_kcore", "tfidf_topk", "token_cms", "token_topk",
-    "top_mention_per_doc", "union_mentions", "value_percentiles",
+    "top_mention_per_doc", "value_percentiles",
 ]
