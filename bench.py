@@ -120,10 +120,12 @@ HEADLINE = [
     "ner_viterbi_spans2",
     "streaming_lang_quality_report",
     "ner_viterbi_feats",
-    # round-11 continuation: batch perceptron pair, Kneser-Ney LM
+    # round-11 continuation: batch perceptron pair, Kneser-Ney LM,
+    # streaming KN-model maintenance
     "ner_perceptron",
     "ner_perceptron2",
     "lm_doc_scores_kn",
+    "streaming_lm_kn",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

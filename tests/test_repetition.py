@@ -674,3 +674,27 @@ def test_streaming_bpe_fertility_matches_batch(spark, sf_dir):
         map(tuple, q_streaming_bpe_fertility(spark, sf_dir).collect())
     )
     assert batch == stream
+
+
+def test_streaming_lm_kn_matches_batch_model(spark, sf_dir):
+    """The streamed bigram-count store, finalized through
+    kn_model_from_counts, must equal the model the batch KN query
+    trains in one shot — the sufficient-statistic claim of the 12th
+    streaming execution, pinned engine-side (the oracle pins it
+    cross-engine)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vizlinc_ingester_spark.suite.streaming_q import q_streaming_lm_kn
+    from vizlinc_ingester_spark.suite.textstats import (
+        bigram_counts,
+        kn_model_from_counts,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    batch = sorted(
+        map(tuple, kn_model_from_counts(bigram_counts(docs)).collect())
+    )
+    stream = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
+    assert batch == stream

@@ -893,3 +893,73 @@ def _fertility_batch_oracle() -> str:
 
 
 ORACLES["streaming_bpe_fertility"] = _fertility_batch_oracle()
+
+
+def q_streaming_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest maintenance of the Kneser-Ney bigram LM — the 12th
+    true readStream execution and 6th mergeable-maintenance member
+    (KMV, Bloom, quality counters, fertility, per-lang quality). The
+    insight the query exists to prove: the additive bigram-count
+    store is the KN model's COMPLETE sufficient statistic — history
+    counts, forward/backward continuation counts and the bigram-type
+    total are all rollups of it — so streaming the MODEL needs no
+    second pass over any document. Documents stream in two
+    micro-batches (doc_id parity); each ``foreachBatch`` computes the
+    batch's (w1, w2, c2) counts (``textstats.bigram_counts``) and
+    folds them into the store by per-key summation; finalize derives
+    the exact-rational KN scores (``textstats.kn_model_from_counts``,
+    the SAME function the batch query uses). Output = the model
+    table itself, gated against the batch oracle's model CTE chain.
+    State: one row per bigram type (Heaps-bounded — the model's own
+    size, which any LM trainer must hold somewhere)."""
+    from .textstats import bigram_counts, kn_model_from_counts
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = tempfile.mkdtemp(prefix="vl_stream_kn_")
+    work = tempfile.mkdtemp(prefix="vl_stream_kn_work_")
+    raw.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    stores: list[str] = []
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        cnts = bigram_counts(batch)
+        if stores:
+            prev = spark.read.parquet(stores[-1])
+            cnts = (
+                cnts.unionByName(prev)
+                .groupBy("w1", "w2")
+                .agg(F.sum("c2").cast("long").alias("c2"))
+            )
+        path = os.path.join(work, f"counters_{batch_id}")
+        cnts.write.mode("overwrite").parquet(path)
+        stores.append(path)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 900)
+    return kn_model_from_counts(spark.read.parquet(stores[-1]))
+
+
+QUERIES["streaming_lm_kn"] = q_streaming_lm_kn
+
+
+def _kn_model_batch_oracle() -> str:
+    from .textstats import KN_MODEL_CTES
+
+    return f"WITH {KN_MODEL_CTES}\nSELECT w1, w2, term_micro FROM model"
+
+
+ORACLES["streaming_lm_kn"] = _kn_model_batch_oracle()

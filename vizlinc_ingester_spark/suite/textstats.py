@@ -733,6 +733,65 @@ ORACLES["lm_doc_scores"] = ORACLE_LM_DOC_SCORES
 
 # --- Kneser-Ney smoothed LM scoring (round 11) ------------------------------
 
+def bigram_counts(d: "DataFrame") -> "DataFrame":
+    """documents(text, ...) -> (w1, w2, c2) adjacent-bigram counts
+    under the shared tokenizer — the additive sufficient statistic of
+    the bigram LM family (disjoint doc sets fold by per-key sum)."""
+    toked = d.select(tx.tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        )
+    )
+    return (
+        toked.select(bg.alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+
+
+def kn_model_from_counts(c2: "DataFrame") -> "DataFrame":
+    """c2(w1, w2, c2) bigram counts -> the interpolated-KN model
+    (w1, w2, term_micro). The counts table is the model's COMPLETE
+    sufficient statistic: history counts, forward/backward
+    continuation counts and the bigram-type total are all rollups of
+    it — which is what makes the model streamable by maintaining the
+    additive counts store alone (q_streaming_lm_kn)."""
+    h = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fw"),
+    )
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1bw")
+    )
+    b_row = c2.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    num = (
+        F.greatest(F.lit(0).cast("long"), 4 * F.col("c2") - 3)
+        * F.col("b")
+        + 3 * F.col("n1fw") * F.col("n1bw")
+    )
+    den = 4 * F.col("c1") * F.col("b")
+    return (
+        c2.join(h, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(b_row))
+        .select(
+            "w1", "w2",
+            F.floor(
+                F.log(num.cast("double") / den.cast("double"))
+                * 1000000.0
+            ).cast("long").alias("term_micro"),
+        )
+    )
+
+
 def q_lm_doc_scores_kn(spark, sf_dir):
     """Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
     actually ships (Heafield 2011; production corpus-quality
@@ -786,33 +845,7 @@ def q_lm_doc_scores_kn(spark, sf_dir):
         c2 = big.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).cast("long").alias("c2")
         )
-        h = c2.groupBy("w1").agg(
-            F.sum("c2").cast("long").alias("c1"),
-            F.count(F.lit(1)).cast("long").alias("n1fw"),
-        )
-        cont = c2.groupBy("w2").agg(
-            F.count(F.lit(1)).cast("long").alias("n1bw")
-        )
-        b_row = c2.agg(F.count(F.lit(1)).cast("long").alias("b"))
-        num = (
-            F.greatest(F.lit(0).cast("long"), 4 * F.col("c2") - 3)
-            * F.col("b")
-            + 3 * F.col("n1fw") * F.col("n1bw")
-        )
-        den = 4 * F.col("c1") * F.col("b")
-        m = (
-            c2.join(h, "w1")
-            .join(cont, "w2")
-            .crossJoin(F.broadcast(b_row))
-            .select(
-                "w1", "w2",
-                F.floor(
-                    F.log(num.cast("double") / den.cast("double"))
-                    * 1000000.0
-                ).cast("long").alias("term_micro"),
-            )
-            .persist()
-        )
+        m = kn_model_from_counts(c2).persist()
         m.count()
         return m
 
@@ -833,8 +866,9 @@ def q_lm_doc_scores_kn(spark, sf_dir):
     )
 
 
-ORACLE_LM_DOC_SCORES_KN = f"""
-WITH toked AS (
+#: the KN model CTE chain (corpus -> bigram counts -> model), shared
+#: verbatim by the per-doc scoring oracle and the streaming-model gate
+KN_MODEL_CTES = f"""toked AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
   WHERE len({_SQL_TOKS}) >= 2
 ),
@@ -861,7 +895,10 @@ model AS (
              / CAST(4 * c1 * b AS DOUBLE)) * 1000000.0) AS BIGINT)
            AS term_micro
   FROM c2t JOIN h USING (w1) JOIN cont USING (w2) CROSS JOIN bt
-)
+)"""
+
+ORACLE_LM_DOC_SCORES_KN = f"""
+WITH {KN_MODEL_CTES}
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(-sum(term_micro) AS BIGINT) AS nll_micro_sum,
