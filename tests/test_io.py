@@ -805,6 +805,20 @@ def test_ics_vcf_mbox_extract_roundtrip(spark):
     assert _ics_text_of_bytes(b"BEGIN:VCARD\r\nEND:VCARD\r\n") is None
     assert _vcf_text_of_bytes(b"BEGIN:VCALENDAR\r\nEND:VCALENDAR\r\n") is None
     assert _mbox_text_of_bytes(b"Subject: x\n\nnot an mbox") is None
+    # r11-continuation review regressions:
+    # (1) quoted param values may contain ':' (RFC 5545 ALTREP) — the
+    # name/value separator is the first colon OUTSIDE quotes
+    altrep = (
+        b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\nBEGIN:VEVENT\r\n"
+        b'DESCRIPTION;ALTREP="cid:part1.x":hello\r\n'
+        b"END:VEVENT\r\nEND:VCALENDAR\r\n"
+    )
+    assert _ics_text_of_bytes(altrep) == "hello"
+    # (2) a NON-final message whose text ends with a newline: the
+    # "\nFrom " split already consumed the framing LF, so nothing
+    # more may be stripped
+    two_nl = _mbox_bytes_of_text("a\n") + _mbox_bytes_of_text("b")
+    assert _mbox_text_of_bytes(two_nl) == "a\n\n\nb"
 
 
 def test_ical_mbox_roundtrip_property():

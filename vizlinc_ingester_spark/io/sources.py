@@ -1492,14 +1492,24 @@ def _ical_unfold(raw: str) -> list[str]:
 
 
 def _ical_prop_value(lines: list[str], name: str) -> str | None:
-    """First NAME[;params]:VALUE line's value, or None."""
+    """First NAME[;params]:VALUE line's value, or None. The
+    name/value ':' separator is the first colon OUTSIDE double
+    quotes — quoted parameter values may legally contain ':' (RFC
+    5545 3.1/3.2; canonical case DESCRIPTION;ALTREP="cid:...":v)."""
     pfx = name.upper()
     for ln in lines:
-        head, sep, val = ln.partition(":")
-        if not sep:
+        sep = -1
+        in_q = False
+        for i, ch in enumerate(ln):
+            if ch == '"':
+                in_q = not in_q
+            elif ch == ":" and not in_q:
+                sep = i
+                break
+        if sep < 0:
             continue
-        if head.split(";", 1)[0].upper() == pfx:
-            return val
+        if ln[:sep].split(";", 1)[0].upper() == pfx:
+            return ln[sep + 1 :]
     return None
 
 
@@ -1614,10 +1624,13 @@ def _mbox_text_of_bytes(b) -> str | None:
         body = _eml_text_of_bytes(msg[nl + 1 :])
         if body is None:
             continue
-        # the writer terminates each message with exactly one LF:
-        # strip exactly one (rstrip would eat newlines that belong
-        # to the original text)
-        if body.endswith("\n"):
+        # the writer terminates each message with exactly one LF —
+        # but for NON-final messages that framing LF is the one the
+        # "\nFrom " split already consumed, so only the final chunk
+        # still carries it (stripping unconditionally ate a real
+        # body-final newline of every non-final message; rstrip
+        # would eat newlines that belong to the original text)
+        if i == len(chunks) - 1 and body.endswith("\n"):
             body = body[:-1]
         unq = [
             ln[1:] if ln.lstrip(">").startswith("From ") and ln.startswith(">")

@@ -43,42 +43,53 @@ from ..oracle import _sql_type_case
 VIT_ORACLE_CHUNKS = 4
 
 
-#: every non-recursive CTE name used by the Viterbi/perceptron oracle
-#: family (the dp* recursive CTEs must NOT appear here)
-_DP_ORACLE_CTES = (
-    "words", "seq", "ctx", "typed", "labeled",
-    # HMM weight chain
-    "tpairs", "tcnt", "ptot", "trans", "trow", "ecnt", "etot",
-    "emis", "edef", "scnt", "stot", "semis", "sedef",
-    # trigram weight chain
-    "t3pairs", "t3cnt", "t3tot", "trans3", "trow3",
-    "fin_multi", "len1", "fin_one",
-    # perceptron weight chains
-    "gpairs", "gtc", "tst", "trans1", "trow1", "gc", "ew1",
-    "p1", "ppairs", "ptc", "trans2", "trow2", "p1c", "ew2",
-    # scored streams / backtrace heads
-    "hm", "hm0", "hm1", "hm2", "fin", "fin0", "fin1", "fin2",
-)
-
-
 def _materialize_ctes(sql: str) -> str:
-    """Force one-shot materialization of every CTE the recursive DPs
-    consume: DuckDB 1.0 inlines non-MATERIALIZED CTEs, so each of the
-    ~124 recursion steps re-evaluated the whole upstream chain — for
-    the 2-epoch perceptron that includes the ENTIRE first DP.
-    Measured at sf0.001: perceptron e1 33 s -> 1.9 s, e2 >250 s ->
-    2.8 s, ner_viterbi_spans2 281 s -> (seconds), ner_viterbi_feats
-    93 s -> (seconds) — identical results, the hint only pins
-    evaluation order."""
+    """Force one-shot materialization of EVERY non-recursive CTE in a
+    DP oracle: DuckDB 1.0 inlines non-MATERIALIZED CTEs, so each of
+    the ~124 recursion steps re-evaluated the whole upstream chain —
+    for the 2-epoch perceptron that includes the ENTIRE first DP.
+    Measured at sf0.001: perceptron e1 33 s -> 0.9 s, e2 >250 s ->
+    1.8 s, ner_viterbi_spans2 281 s -> 3.0 s, ner_viterbi_feats
+    93 s -> 0.9 s — identical results, the hint only pins evaluation
+    order. Matches every `name AS (` definition EXCEPT the dp*
+    recursive CTEs (which cannot be materialized) — an allowlist of
+    names would silently regress to the quadratic form the moment a
+    generator grows a new CTE. (tgrid's column-list form
+    `tgrid(ptag, tag) AS (VALUES ...)` is structurally unmatched,
+    which is fine: a VALUES literal has nothing to re-evaluate.)"""
     import re
 
-    for name in _DP_ORACLE_CTES:
-        sql = re.sub(
-            rf"(^|\n){name} AS \(",
-            rf"\1{name} AS MATERIALIZED (",
-            sql,
+    return re.sub(
+        r"(^|\n)(?!dp)([a-z0-9_]+) AS \(",
+        r"\1\2 AS MATERIALIZED (",
+        sql,
+    )
+
+
+def _vit_best_case(cands: list, results: list) -> str:
+    """Ordered SQL argmax shared by every DP-oracle generator: first
+    candidate (state order) wins ties — the same first-max rule as
+    np.argmax in the Spark decoders. ONE definition: a tie-break fix
+    here reaches the first-order, trigram and perceptron oracles
+    together (they previously carried three identical copies)."""
+    branches = []
+    for i in range(len(cands) - 1):
+        cond = " AND ".join(
+            f"{cands[i]} >= {cands[j]}" for j in range(i + 1, len(cands))
         )
-    return sql
+        branches.append(f"WHEN {cond} THEN {results[i]}")
+    return "CASE " + " ".join(branches) + f" ELSE {results[-1]} END"
+
+
+def _vit_code_at(ci: int, j: int, idx_expr: str) -> str:
+    """Packed-path term shared by every DP-oracle generator: tag code
+    ``ci`` appended at step ``idx_expr`` lands in chunk idx//31 at
+    bit offset 2*(idx%31)."""
+    return (
+        f"CASE WHEN {idx_expr} // 31 = {j} "
+        f"THEN CAST({ci} AS BIGINT) << CAST(2 * ({idx_expr} % 31) AS INT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,25 +546,7 @@ def _viterbi_oracle(
     n_chunks = VIT_ORACLE_CHUNKS
     chunks = list(range(n_chunks))
 
-    def best_case(cands, results):
-        """Ordered argmax: first candidate (VIT_TAGS order) wins
-        ties; cands/results are parallel SQL expression lists."""
-        branches = []
-        for i in range(len(cands) - 1):
-            cond = " AND ".join(
-                f"{cands[i]} >= {cands[j]}" for j in range(i + 1, len(cands))
-            )
-            branches.append(f"WHEN {cond} THEN {results[i]}")
-        return "CASE " + " ".join(branches) + f" ELSE {results[-1]} END"
-
-    # appended 2-bit tag code at step `idx_expr`: lands in chunk
-    # idx//31 at bit offset 2*(idx%31)
-    def code_at(ci, j, idx_expr):
-        return (
-            f"CASE WHEN {idx_expr} // 31 = {j} "
-            f"THEN CAST({ci} AS BIGINT) << CAST(2 * ({idx_expr} % 31) AS INT) "
-            f"ELSE CAST(0 AS BIGINT) END"
-        )
+    best_case, code_at = _vit_best_case, _vit_code_at
 
     base_cols = ", ".join(
         [f"CAST(t_B_{c} + h.e_{c} AS BIGINT) AS s{c}" for c in codes]
@@ -954,21 +947,7 @@ def _viterbi2_oracle(labeled_tail: str) -> str:
         f"coalesce(e.e_{c}, d.d_{c}) AS e_{c}" for c in codes
     )
 
-    def best_case(cands, results):
-        branches = []
-        for i in range(len(cands) - 1):
-            cond = " AND ".join(
-                f"{cands[i]} >= {cands[j]}" for j in range(i + 1, len(cands))
-            )
-            branches.append(f"WHEN {cond} THEN {results[i]}")
-        return "CASE " + " ".join(branches) + f" ELSE {results[-1]} END"
-
-    def code_at(ci, j, idx_expr):
-        return (
-            f"CASE WHEN {idx_expr} // 31 = {j} "
-            f"THEN CAST({ci} AS BIGINT) << CAST(2 * ({idx_expr} % 31) AS INT) "
-            f"ELSE CAST(0 AS BIGINT) END"
-        )
+    best_case, code_at = _vit_best_case, _vit_code_at
 
     # state order everywhere: p1-major (a outer, c inner) — numpy ravel
     states = [(a, c) for a in codes for c in codes]
@@ -1429,29 +1408,19 @@ def _perceptron_oracle(epochs: int) -> str:
 
     tgrid = ", ".join(f"('{p}', '{t}')" for p in pnames for t in VIT_TAGS)
 
-    def trow_cols(trans):
-        return ", ".join(
+    def trow_cte(sfx, trans):
+        # emits the WHOLE CTE (pivot + FROM) so the weight table the
+        # pivot reads is bound by the one argument — a caller cannot
+        # pair trow2 with trans1 (r11-continuation review)
+        cols = ", ".join(
             f"max(CASE WHEN ptag = '{p}' AND tag = '{t}' THEN s END)"
             f" AS t_{pc}_{tc}"
             for p, pc in zip(pnames, pcodes)
             for t, tc in zip(VIT_TAGS, codes)
         )
+        return f"trow{sfx} AS (SELECT {cols} FROM {trans})"
 
-    def best_case(cands, results):
-        branches = []
-        for i in range(len(cands) - 1):
-            cond = " AND ".join(
-                f"{cands[i]} >= {cands[j]}" for j in range(i + 1, len(cands))
-            )
-            branches.append(f"WHEN {cond} THEN {results[i]}")
-        return "CASE " + " ".join(branches) + f" ELSE {results[-1]} END"
-
-    def code_at(ci, j, idx_expr):
-        return (
-            f"CASE WHEN {idx_expr} // 31 = {j} "
-            f"THEN CAST({ci} AS BIGINT) << CAST(2 * ({idx_expr} % 31) AS INT) "
-            f"ELSE CAST(0 AS BIGINT) END"
-        )
+    best_case, code_at = _vit_best_case, _vit_code_at
 
     def dp_ctes(sfx: str, hm: str, trow_sfx: str | None = None) -> str:
         """dp{sfx}/fin{sfx} over scored stream {hm}, weights
@@ -1552,7 +1521,7 @@ trans1 AS (
   LEFT JOIN gtc c ON g.ptag = c.ptag AND g.tag = c.tag
   CROSS JOIN tst t
 ),
-trow1 AS (SELECT {trow_cols('trans1')} FROM trans1),
+{trow_cte('1', 'trans1')},
 gc AS (
   SELECT token, {g_cols}, CAST(count(*) AS BIGINT) AS n
   FROM labeled WHERE doc_id % 2 = 0 GROUP BY token
@@ -1640,7 +1609,7 @@ trans2 AS (
   LEFT JOIN gtc gc2 ON g.ptag = gc2.ptag AND g.tag = gc2.tag
   LEFT JOIN ptc pc ON g.ptag = pc.ptag AND g.tag = pc.tag
 ),
-trow2 AS (SELECT {trow_cols('trans2')} FROM trans2),
+{trow_cte('2', 'trans2')},
 p1c AS (SELECT token, {p_cols} FROM p1 GROUP BY token),
 ew2 AS (
   SELECT g.token, {ew2_cols}

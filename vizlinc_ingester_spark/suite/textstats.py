@@ -615,6 +615,29 @@ ORACLES["bpe_fertility"] = _bpe_fertility_oracle()
 
 # --- bigram language-model scoring (LLM-track, round 5) -------------------
 
+def _doc_bigrams(d: "DataFrame") -> "DataFrame":
+    """documents(text, ...) -> (doc_id, w1, w2) adjacent-bigram
+    positions under the shared tokenizer — the ONE construction the
+    add-one LM, the KN LM, the streaming KN store and PMI all count
+    (it was four verbatim copies; a tokenizer/boundary change now has
+    a single home). Scan-stage array slices, zero shuffles."""
+    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bg = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"),
+                F.element_at("_t", i + 1).alias("w2"),
+            ),
+        )
+    )
+    return toked.select("doc_id", bg.alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+
+
 def q_lm_doc_scores(spark, sf_dir):
     """Count-based bigram language-model scoring — the KenLM-style
     quality signal of a pretraining pipeline (docs whose bigrams are
@@ -636,18 +659,7 @@ def q_lm_doc_scores(spark, sf_dir):
     toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
         F.size("_t") >= 2
     )
-    bg = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - 1),
-            lambda i: F.struct(
-                F.element_at("_t", i).alias("w1"),
-                F.element_at("_t", i + 1).alias("w2"),
-            ),
-        )
-    )
-    big = toked.select("doc_id", bg.alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    )
+    big = _doc_bigrams(d)
 
     def build_model():
         # the LM itself is a build-once artifact (train once, score
@@ -737,21 +749,8 @@ def bigram_counts(d: "DataFrame") -> "DataFrame":
     """documents(text, ...) -> (w1, w2, c2) adjacent-bigram counts
     under the shared tokenizer — the additive sufficient statistic of
     the bigram LM family (disjoint doc sets fold by per-key sum)."""
-    toked = d.select(tx.tokens(F.col("text")).alias("_t")).filter(
-        F.size("_t") >= 2
-    )
-    bg = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - 1),
-            lambda i: F.struct(
-                F.element_at("_t", i).alias("w1"),
-                F.element_at("_t", i + 1).alias("w2"),
-            ),
-        )
-    )
     return (
-        toked.select(bg.alias("b"))
-        .select("b.w1", "b.w2")
+        _doc_bigrams(d)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c2"))
     )
@@ -825,33 +824,16 @@ def q_lm_doc_scores_kn(spark, sf_dir):
     interpolation terms in double before the ln (documented loss of
     the exact-rational guarantee, same answer to ~1 ulp)."""
     d = _docs(spark, sf_dir)
-    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
-        F.size("_t") >= 2
-    )
-    bg = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - 1),
-            lambda i: F.struct(
-                F.element_at("_t", i).alias("w1"),
-                F.element_at("_t", i + 1).alias("w2"),
-            ),
-        )
-    )
-    big = toked.select("doc_id", bg.alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    )
+    big = _doc_bigrams(d)
 
     def build_model():
-        c2 = big.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("long").alias("c2")
-        )
-        m = kn_model_from_counts(c2).persist()
+        m = kn_model_from_counts(bigram_counts(d)).persist()
         m.count()
         return m
 
     from ..session import plan_key, plan_memo
 
-    model = plan_memo(spark, plan_key(toked, "bigram_lm_kn"), build_model)
+    model = plan_memo(spark, plan_key(big, "bigram_lm_kn"), build_model)
     return (
         big.join(model, ["w1", "w2"])
         .groupBy("doc_id")
@@ -941,16 +923,7 @@ def q_pmi_collocations(spark, sf_dir):
     toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
         F.size("_t") >= 2
     )
-    bg = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - 1),
-            lambda i: F.struct(
-                F.element_at("_t", i).alias("w1"),
-                F.element_at("_t", i + 1).alias("w2"),
-            ),
-        )
-    )
-    big = toked.select(bg.alias("b")).select("b.w1", "b.w2")
+    big = _doc_bigrams(d).select("w1", "w2")
     uni = toked.select(F.explode("_t").alias("w"))
     c12 = (
         big.groupBy("w1", "w2")
