@@ -963,3 +963,117 @@ def _kn_model_batch_oracle() -> str:
 
 
 ORACLES["streaming_lm_kn"] = _kn_model_batch_oracle()
+
+
+def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest IVF index maintenance — the 13th true readStream
+    execution: the production shape of a vector store (Milvus/
+    FAISS-IVF streaming insert), where the centroid table is a FIXED
+    offline-trained artifact (the streaming_bpe_fertility tokenizer
+    stance; here the capped ``vec_id < N_CENTROIDS`` prefix the whole
+    batch ANN family uses) and arriving vectors are assigned to their
+    max-cosine centroid as they land. Per-vector assignment is
+    independent, so the fold is APPEND-ONLY — the store IS the
+    inverted file, growing by exactly the batch's rows — and the
+    per-centroid posting-list sizes (the stats an nprobe planner
+    reads) are an additive rollup of it. Output = the assignment
+    table with each vector's list size, gated against the batch
+    assignment algebra (same CTE chain as ann_ivf's oracle).
+    Deterministic tie-break (cm desc, centroid_id asc) matches
+    ``similarity._ivf_assigned`` exactly."""
+    from pyspark.sql import Window
+
+    from .dedup import cos_micro
+    from .similarity import N_CENTROIDS
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    stage = tempfile.mkdtemp(prefix="vl_stream_ivf_")
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="vl_stream_ivf_store_"), "postings"
+    )
+    raw.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    raw.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    cent = raw.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        scored = (
+            batch.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "centroid_id",
+                cos_micro(F.col("embedding"), F.col("cent_emb")).alias("cm"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cm"), F.asc("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id")
+        )
+        assigned.write.mode("append").parquet(store)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(stage, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 900)
+    postings = spark.read.parquet(store)
+    n_list = postings.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_list")
+    )
+    return postings.join(n_list, "centroid_id").select(
+        "vec_id", "centroid_id", "n_list"
+    )
+
+
+QUERIES["streaming_ivf_insert"] = q_streaming_ivf_insert
+
+
+def _ivf_insert_batch_oracle() -> str:
+    from .dedup import sql_cos_micro
+    from .similarity import N_CENTROIDS
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {sql_cos_micro('e.embedding', 'c.cent_emb')} AS cm
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cm DESC, centroid_id ASC) AS rn
+    FROM scored
+  ) x WHERE rn = 1
+),
+nl AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_list
+  FROM assigned GROUP BY centroid_id
+)
+SELECT a.vec_id, a.centroid_id, nl.n_list
+FROM assigned a JOIN nl USING (centroid_id)
+"""
+
+
+ORACLES["streaming_ivf_insert"] = _ivf_insert_batch_oracle()
