@@ -445,3 +445,47 @@ def test_bpe_fertility_reconciles_with_encode(spark, sf_dir):
         # a trained merge actually fires somewhere: fertility < chars
         # per word (pure char-split would make n_tokens == n_chars)
         assert r["n_tokens"] < r["n_chars"]
+
+
+def test_kn_lm_plan_shape(spark, sf_dir):
+    """Scale guards for the KN family (r11 continuation): no plain
+    CartesianProduct anywhere (the model joins on the bigram key; the
+    only cross join is the broadcast 1-row B total), and the B total
+    must reach the model through a BroadcastExchange. A
+    SinglePartition exchange IS expected once — the global count(*)
+    for B collapses 32 map-side partial counts into one row, the
+    bounded global-agg pattern — so the guard pins that the ONLY
+    single-partition collapse feeds a partial_count aggregate, not an
+    order-statistics sort."""
+    from vizlinc_ingester_spark.suite.textstats import q_lm_doc_scores_kn
+
+    plan = (
+        q_lm_doc_scores_kn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:4000]
+    assert "BroadcastExchange" in plan, plan[:4000]
+    lines = plan.split("\n")
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            ctx = "\n".join(lines[i : i + 3])
+            assert "partial_count" in ctx or "partial" in ctx, ctx
+
+
+def test_perceptron_apply_plan_shape(spark, sf_dir):
+    """The perceptron decode must keep the apply_viterbi contract:
+    emission weights arrive via broadcast (vocab-bounded table), the
+    token stream shuffles ONLY on the decode bucket key — no
+    SinglePartition exchange anywhere."""
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["ner_perceptron"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:4000]
+    assert "BroadcastExchange" in plan, plan[:4000]
