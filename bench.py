@@ -127,6 +127,7 @@ HEADLINE = [
     "lm_doc_scores_kn",
     "streaming_lm_kn",
     "streaming_ivf_insert",
+    "lm_heldout_kn",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

@@ -656,6 +656,75 @@ def probe_cutemit(spark, n_docs: int = 20_000, n_islands: int = 40) -> None:
     joined.unpersist()
 
 
+
+
+def probe_knlm(spark, reps: int = 10) -> None:
+    """10x corpus: the KN model is bigram-TYPE bounded (Heaps), not
+    corpus bounded — amplification multiplies bigram POSITIONS 10x
+    while the type set (and therefore the model, the broadcastable
+    B total, and the streaming store) stays flat; train time scales
+    with positions (one rollup pass), not with the pair space."""
+    from vizlinc_ingester_spark.suite.textstats import (
+        bigram_counts,
+        kn_model_from_counts,
+    )
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    amp = d.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).repartition(64)
+    t1 = bigram_counts(d).count()
+    t10 = bigram_counts(amp).count()
+    print(f"PROBE knlm_types 0.0 1x={t1} {reps}x={t10} (flat = Heaps-bounded)",
+          flush=True)
+    _timed("knlm_train_1x", f"{t1} model rows",
+           lambda: _noop(kn_model_from_counts(bigram_counts(d))))
+    _timed(f"knlm_train_{reps}x", f"{t10} model rows",
+           lambda: _noop(kn_model_from_counts(bigram_counts(amp))))
+
+
+def probe_perceptron(spark, reps: int = 10) -> None:
+    """10x held-out corpus through the FIXED epoch-1 perceptron
+    weights: decode is one broadcast join + one bucketed
+    applyInPandas — time must scale with tokens, the weight state
+    (vocab x K table + 20 ints) is unchanged by amplification."""
+    from vizlinc_ingester_spark.operators.tagger import apply_viterbi
+    from vizlinc_ingester_spark.suite.ner import (
+        _ctx_tokens,
+        _models_perceptron,
+        _perc_zero_defaults,
+        _span_gold,
+    )
+
+    tmat, ew = _models_perceptron(spark, SF_DIR, 1)
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    amp = d.withColumn(
+        "rep", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+    ).repartition(64)
+    zeros = _perc_zero_defaults(spark)
+
+    def decode(docs):
+        toks = _span_gold(_ctx_tokens(docs)).withColumnRenamed(
+            "tag", "gold_tag"
+        )
+        return apply_viterbi(
+            toks.select("doc_id", "idx", "token", "gold_tag"),
+            tmat, ew, zeros, carry_cols=("gold_tag",),
+        )
+
+    _noop(decode(d))  # JIT/codegen warm-up — untimed
+    _timed("perceptron_decode_1x", "held half", lambda: _noop(decode(d)))
+    _timed(f"perceptron_decode_{reps}x", "amplified held half",
+           lambda: _noop(decode(amp)))
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -685,6 +754,10 @@ def main() -> None:
         probe_repetition(spark)
     if which in ("celebentity", "all"):
         probe_celebrity_entity(spark)
+    if which in ("knlm", "all"):
+        probe_knlm(spark)
+    if which in ("perceptron", "all"):
+        probe_perceptron(spark)
 
 
 

@@ -69,18 +69,19 @@ def collect_suite() -> tuple[
 # (item 1), dedup_minhash_lsh whose lineage changed under the
 # collapse-first guard (item 2, hash proven unchanged in-window), and
 # 3 new operators (items 6/7/8) — and the r11 CONTINUATION session
-# adds 5 more new operators (batch-perceptron pair, Kneser-Ney LM,
-# streaming KN-model maintenance, streaming IVF insert), leaving 24
-# slots for 40 stale rows. The 16 deferred rows are NAMED
+# adds 6 more new operators (batch-perceptron pair, Kneser-Ney LM +
+# held-out KN scoring, streaming KN-model maintenance, streaming IVF
+# insert), leaving 23 slots for 40 stale rows. The 17 deferred rows
+# are NAMED
 # below with their carriers and head the r12 queue; all are locally
 # re-proven every session by tests/test_oracle_parity.py.
 #
-# Group (a): the eight r11 additions (3 from the main session, 5 from
+# Group (a): the nine r11 additions (3 from the main session, 6 from
 # the continuation). Group (b): the 17 queries whose
 # results changed under vec_id<C caps — includes 4 rows that were
 # themselves r7-stale (ann_cosine_topk, ann_cosine_topk_vec, ann_ivf,
 # dedup_semantic). Group (c): dedup_minhash_lsh (changed lineage,
-# hash-unchanged proof). Group (d): 24 of the 40 r7-stale rows — all
+# hash-unchanged proof). Group (d): 23 of the 40 r7-stale rows — all
 # 9 of r10's displaced group-(d) picks are here, carrier-less rows
 # first. (extract_text_formats stays in (d) with CHANGED results:
 # the continuation widened it to 17 formats, so its in-window slot
@@ -97,7 +98,7 @@ def collect_suite() -> tuple[
 # merge-law tests), pricing_summary + top_customers +
 # revenue_by_nation + order_priority_counts (carrier: promo_revenue +
 # nation_trade_volume r10, same integer-cents lineitem/orders
-# lineage), and the continuation's 5 displacements:
+# lineage), and the continuation's 6 displacements:
 # dedup_segments (carrier: in-window dedup_exact_substr +
 # dedup_exact, same window-hash span lineage),
 # events_cohort_retention (carrier: in-window events_funnel, same
@@ -106,7 +107,10 @@ def collect_suite() -> tuple[
 # token_cms (carrier: in-window token_topk, same token-count rollup
 # lineage; CMS merge laws pinned in tests/test_sketches.py),
 # prefix_merge_pairs (carrier: within_doc_entities_person_merged,
-# r10 driver-proven, the W2 lineage's direct consumer).
+# r10 driver-proven, the W2 lineage's direct consumer),
+# corpus_mixing (carrier: corpus_budget_allocation +
+# curriculum_interleave_lang, both r10 driver-proven, same
+# deterministic-mixing lineage).
 # Also outside by
 # choice: dedup_keep_best / dedup_clusters' sibling consumers of the
 # LSH rewrite are represented by dedup_minhash_lsh + in-window
@@ -121,7 +125,7 @@ DRIVER_WINDOW = [
     "ner_viterbi_spans2", "streaming_lang_quality_report",
     "ner_viterbi_feats",
     "ner_perceptron", "ner_perceptron2", "lm_doc_scores_kn",
-    "streaming_lm_kn", "streaming_ivf_insert",
+    "streaming_lm_kn", "streaming_ivf_insert", "lm_heldout_kn",
     # (b) results changed by the fixed-size index caps (judge item 1)
     "ann_cosine_topk", "ann_cosine_topk_vec", "ann_ivf", "ann_lsh",
     "ann_lsh_banded", "dedup_semantic", "kmeans_clusters",
@@ -133,8 +137,8 @@ DRIVER_WINDOW = [
     # item 2) — the in-window hash match against the UNCHANGED oracle
     # is the "hash unchanged" proof
     "dedup_minhash_lsh",
-    # (d) 24 of the 40 r7-stale rows (incl. all 9 r10-displaced picks)
-    "candidate_split_person", "corpus_mixing", "country_suffix_join",
+    # (d) 23 of the 40 r7-stale rows (incl. all 9 r10-displaced picks)
+    "candidate_split_person", "country_suffix_join",
     "dedup_clusters", "dedup_exact", "dedup_exact_substr",
     "dict_ner", "dms_parse", "doc_fingerprint",
     "doc_scan_filter", "dsir_selection",

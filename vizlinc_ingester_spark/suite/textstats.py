@@ -894,6 +894,150 @@ QUERIES["lm_doc_scores_kn"] = q_lm_doc_scores_kn
 ORACLES["lm_doc_scores_kn"] = ORACLE_LM_DOC_SCORES_KN
 
 
+# --- held-out KN scoring (r11 continuation) ---------------------------------
+
+def q_lm_heldout_kn(spark, sf_dir):
+    """Held-out Kneser-Ney scoring — the PRODUCTION shape of LM
+    quality filtering (CCNet trains the LM on a reference corpus and
+    scores NEW documents): train on the even-doc half, score every
+    bigram position of the odd-doc half, including positions the
+    train model never saw — the case KN smoothing exists for. To
+    keep unseen events scoreable AND exactly rational, the
+    continuation distribution takes add-one smoothing over the train
+    vocabulary (V = distinct train continuations... the bigram-type
+    axis): with d = 3/4,
+
+      seen history:  P = [max(4*c2-3,0)*(B+V) + 3*N1fw(w1)*(N1bw(w2)+1)]
+                         / (4*c1*(B+V))
+      unseen w1:     P = (N1bw(w2)+1) / (B+V)
+
+    — both exact int64 ratios (one ln per term, micro-floored,
+    order-free int64 sum; N1bw defaults to 0 for unseen w2, so every
+    held-out position scores). Plan: model tables are rollups of the
+    train bigram counts (vocab-bounded); scoring LEFT-joins the
+    held-out bigram stream on w1 then (w1, w2) — two vocabulary-keyed
+    joins, corpus never re-read."""
+    d = _docs(spark, sf_dir)
+    held_big = _doc_bigrams(d.filter(F.col("doc_id") % 2 == 1))
+
+    def build_model():
+        c2 = bigram_counts(d.filter(F.col("doc_id") % 2 == 0))
+        h = c2.groupBy("w1").agg(
+            F.sum("c2").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("n1fw"),
+        )
+        cont = c2.groupBy("w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n1bw")
+        )
+        stats = c2.agg(
+            F.count(F.lit(1)).cast("long").alias("b"),
+            F.countDistinct("w2").cast("long").alias("v"),
+        )
+        for t in (c2, h, cont, stats):
+            t.persist()
+            t.count()
+        return c2, h, cont, stats
+
+    from ..session import plan_key, plan_memo
+
+    c2, h, cont, stats = plan_memo(
+        spark, plan_key(held_big, "kn_heldout_model"), build_model
+    )
+    j = (
+        held_big.join(c2, ["w1", "w2"], "left")
+        .join(h, "w1", "left")
+        .join(cont.withColumnRenamed("w2", "__w2c"),
+              F.col("w2") == F.col("__w2c"), "left")
+        .drop("__w2c")
+        .crossJoin(F.broadcast(stats))
+    )
+    n1bw = F.coalesce(F.col("n1bw"), F.lit(0).cast("long"))
+    bv = F.col("b") + F.col("v")
+    seen_num = (
+        F.greatest(F.lit(0).cast("long"), 4 * F.coalesce(F.col("c2"), F.lit(0).cast("long")) - 3) * bv
+        + 3 * F.col("n1fw") * (n1bw + 1)
+    )
+    seen_den = 4 * F.col("c1") * bv
+    uns_num = n1bw + 1
+    uns_den = bv
+    num = F.when(F.col("c1").isNotNull(), seen_num).otherwise(uns_num)
+    den = F.when(F.col("c1").isNotNull(), seen_den).otherwise(uns_den)
+    term = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * 1000000.0
+    ).cast("long")
+    return (
+        j.select("doc_id", term.alias("term_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (-F.sum("term_micro")).cast("long").alias("nll_micro_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "nll_micro_sum",
+            F.expr("nll_micro_sum div n_bigrams").alias("avg_nll_micro"),
+        )
+    )
+
+
+ORACLE_LM_HELDOUT_KN = f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+  WHERE len({_SQL_TOKS}) >= 2
+),
+idx AS (SELECT unnest(range(1, (SELECT coalesce(max(len(t)), 2) FROM toked))) AS i),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toked JOIN idx ON i <= len(t) - 1
+),
+c2t AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2
+),
+h AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1fw
+  FROM c2t GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c2t GROUP BY w2
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS b,
+         CAST(count(DISTINCT w2) AS BIGINT) AS v
+  FROM c2t
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(floor(ln(
+           CAST(CASE WHEN h.c1 IS NOT NULL
+                THEN greatest(CAST(0 AS BIGINT),
+                              4 * coalesce(c2t.c2, 0) - 3) * (b + v)
+                     + 3 * h.n1fw * (coalesce(cont.n1bw, 0) + 1)
+                ELSE coalesce(cont.n1bw, 0) + 1 END AS DOUBLE)
+           / CAST(CASE WHEN h.c1 IS NOT NULL
+                  THEN 4 * h.c1 * (b + v)
+                  ELSE b + v END AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS term_micro
+  FROM big g
+  LEFT JOIN c2t ON g.w1 = c2t.w1 AND g.w2 = c2t.w2
+  LEFT JOIN h ON g.w1 = h.w1
+  LEFT JOIN cont ON g.w2 = cont.w2
+  CROSS JOIN stats
+  WHERE g.doc_id % 2 = 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(term_micro) AS BIGINT) AS nll_micro_sum,
+       CAST(-sum(term_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS avg_nll_micro
+FROM scored
+GROUP BY doc_id
+"""
+
+QUERIES["lm_heldout_kn"] = q_lm_heldout_kn
+ORACLES["lm_heldout_kn"] = ORACLE_LM_HELDOUT_KN
+
+
 # --- PMI collocation mining (round 8) ---------------------------------------
 
 PMI_MIN_COUNT = 10  # bigrams below this corpus count are PMI noise
