@@ -678,8 +678,15 @@ def probe_knlm(spark, reps: int = 10) -> None:
     ).repartition(64)
     t1 = bigram_counts(d).count()
     t10 = bigram_counts(amp).count()
-    print(f"PROBE knlm_types 0.0 1x={t1} {reps}x={t10} (flat = Heaps-bounded)",
-          flush=True)
+    # NOTE: rep-duplication cannot create new bigram TYPES, so 1x ==
+    # 10x here is by construction — the line documents that model/
+    # store size tracks the TYPE count (which on real data grows
+    # Heaps-sublinearly), not the position count; the probe's
+    # MEASUREMENT is the timing pair below (position-linear train
+    # cost against a flat model).
+    print(f"PROBE knlm_types 0.0 1x={t1} {reps}x={t10} "
+          "(model size = type count by construction; timings are the "
+          "measurement)", flush=True)
     _timed("knlm_train_1x", f"{t1} model rows",
            lambda: _noop(kn_model_from_counts(bigram_counts(d))))
     _timed(f"knlm_train_{reps}x", f"{t10} model rows",

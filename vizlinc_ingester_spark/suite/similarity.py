@@ -279,6 +279,49 @@ FROM (
 VEC_SCALE = 1 << 20  # quantization scale for the vectorized path
 
 
+def vec_quantize(arr):
+    """float embeddings -> (Q, norms): floor(x * VEC_SCALE + 0.5) as
+    integer-valued float64 (exact dots at dim 64, |x| < 1: products
+    < 2^40, partial sums < 2^53). ONE home for the exactness-critical
+    quantize step — q_ann_cosine_topk_vec and the streaming IVF
+    insert share it (two hand-kept copies is how cross-engine parity
+    drifts)."""
+    import numpy as np
+
+    Q = np.floor(np.asarray(arr, dtype=np.float64) * VEC_SCALE + 0.5)
+    return Q, np.sqrt((Q * Q).sum(axis=1))
+
+
+def vec_scores_micro(Q, qn, C, cn):
+    """floor(1e6 * (Q @ C.T) / (|q| |c|)) as int64 — the same IEEE op
+    sequence as ``sql_quant_cos_micro``."""
+    import numpy as np
+
+    return np.floor(
+        (1e6 * (Q @ C.T)) / (qn[:, None] * cn[None, :])
+    ).astype(np.int64)
+
+
+def sql_quant_cos_micro(a: str, b: str) -> str:
+    """DuckDB twin of ``vec_scores_micro`` over ``sql_quant_iv``
+    vectors."""
+    return (
+        f"CAST(floor(1000000.0 * list_dot_product({a}, {b}) /\n"
+        f"              (sqrt(list_dot_product({a}, {a})) *\n"
+        f"               sqrt(list_dot_product({b}, {b})))) AS BIGINT)"
+    )
+
+
+def sql_quant_iv() -> str:
+    """The quantized-embedding CTE shared by every vec-twin oracle."""
+    return f"""iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {VEC_SCALE} + 0.5)) AS v
+  FROM embeddings
+)"""
+
+
 def q_ann_cosine_topk_vec(spark, sf_dir):
     """Brute-force top-k, VECTORIZED: per-partition numpy matmul via
     ``mapInPandas`` with a broadcast query matrix, emitting each
@@ -305,11 +348,7 @@ def q_ann_cosine_topk_vec(spark, sf_dir):
         .collect()
     )
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
-    Q = np.floor(
-        np.array([r.embedding for r in q_rows], dtype=np.float64) * VEC_SCALE
-        + 0.5
-    )
-    qn = np.sqrt((Q * Q).sum(axis=1))
+    Q, qn = vec_quantize([r.embedding for r in q_rows])
     bc = spark.sparkContext.broadcast((qids, Q, qn))
 
     def score(batches):
@@ -320,16 +359,8 @@ def q_ann_cosine_topk_vec(spark, sf_dir):
             if pdf.empty:
                 continue
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            C = np.floor(
-                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                * VEC_SCALE
-                + 0.5
-            )
-            cn = np.sqrt((C * C).sum(axis=1))
-            dots = bQ @ C.T
-            scores = np.floor(
-                (1e6 * dots) / (bqn[:, None] * cn[None, :])
-            ).astype(np.int64)
+            C, cn = vec_quantize(np.stack(pdf["embedding"].to_numpy()))
+            scores = vec_scores_micro(bQ, bqn, C, cn)
             out_q, out_c, out_s = [], [], []
             k = TOPK
             for qi in range(len(bqids)):
@@ -359,17 +390,10 @@ def q_ann_cosine_topk_vec(spark, sf_dir):
 
 
 ORACLE_ANN_TOPK_VEC = f"""
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> floor(CAST(x AS DOUBLE) * {VEC_SCALE} + 0.5)) AS v
-  FROM embeddings
-),
+WITH {sql_quant_iv()},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         CAST(floor(1000000.0 * list_dot_product(q.v, c.v) /
-              (sqrt(list_dot_product(q.v, q.v)) *
-               sqrt(list_dot_product(c.v, c.v)))) AS BIGINT) AS cos_micro
+         {sql_quant_cos_micro('q.v', 'c.v')} AS cos_micro
   FROM iv q JOIN iv c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),

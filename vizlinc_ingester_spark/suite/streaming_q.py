@@ -978,12 +978,20 @@ def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-centroid posting-list sizes (the stats an nprobe planner
     reads) are an additive rollup of it. Output = the assignment
     table with each vector's list size, gated against the batch
-    assignment algebra (same CTE chain as ann_ivf's oracle).
-    Deterministic tie-break (cm desc, centroid_id asc) matches
-    ``similarity._ivf_assigned`` exactly."""
+    assignment algebra in the QUANTIZED ``ann_cosine_topk_vec``
+    arithmetic — query and oracle share the exact-float64 integer-dot
+    score (the vec-twin discipline), and the tie-break (cm desc,
+    centroid_id asc) is the sorted-centroid np.argmax first-max rule.
+    NOTE: this store is the quantized-score sibling of
+    ``similarity._ivf_assigned`` (which scores RAW embeddings with
+    the interpreted fold) — on data where the raw and quantized
+    micro-cosines floor differently near a centroid tie, the two
+    indexes may assign a vector differently; they are parallel gated
+    forms (the kmeans_clusters / kmeans_clusters_vec stance), not
+    interchangeable stores."""
     import numpy as np
 
-    from .similarity import N_CENTROIDS, VEC_SCALE
+    from .similarity import N_CENTROIDS, vec_quantize, vec_scores_micro
 
     raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     stage = tempfile.mkdtemp(prefix="vl_stream_ivf_")
@@ -1018,12 +1026,7 @@ def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r.vec_id,
     )
     cids = np.array([r.vec_id for r in c_rows], dtype=np.int64)
-    C = np.floor(
-        np.array([r.embedding for r in c_rows], dtype=np.float64)
-        * VEC_SCALE
-        + 0.5
-    )
-    cn = np.sqrt((C * C).sum(axis=1))
+    C, cn = vec_quantize([r.embedding for r in c_rows])
     bc = spark.sparkContext.broadcast((cids, C, cn))
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1034,15 +1037,8 @@ def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                V = np.floor(
-                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                    * VEC_SCALE
-                    + 0.5
-                )
-                vn = np.sqrt((V * V).sum(axis=1))
-                scores = np.floor(
-                    (1e6 * (V @ bC.T)) / (vn[:, None] * bcn[None, :])
-                ).astype(np.int64)
+                V, vn = vec_quantize(np.stack(pdf["embedding"].to_numpy()))
+                scores = vec_scores_micro(V, vn, bC, bcn)
                 best = scores.argmax(axis=1)  # first max = lowest cid
                 yield pd.DataFrame(
                     {
@@ -1063,6 +1059,10 @@ def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_done(q, 900)
+    # the centroid broadcast is only read inside the drained stream;
+    # destroy it so repeated invocations (sweep/bench sessions) don't
+    # accumulate block-manager entries (the plan_memo leak lesson)
+    bc.destroy()
     postings = spark.read.parquet(store)
     n_list = postings.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_list")
@@ -1076,24 +1076,17 @@ QUERIES["streaming_ivf_insert"] = q_streaming_ivf_insert
 
 
 def _ivf_insert_batch_oracle() -> str:
-    from .similarity import N_CENTROIDS, VEC_SCALE
+    from .similarity import N_CENTROIDS, sql_quant_cos_micro, sql_quant_iv
 
     return f"""
-WITH iv AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> floor(CAST(x AS DOUBLE) * {VEC_SCALE} + 0.5)) AS v
-  FROM embeddings
-),
+WITH {sql_quant_iv()},
 cent AS (
   SELECT vec_id AS centroid_id, v AS cv
   FROM iv WHERE vec_id < {N_CENTROIDS}
 ),
 scored AS (
   SELECT e.vec_id, c.centroid_id,
-         CAST(floor(1000000.0 * list_dot_product(e.v, c.cv) /
-              (sqrt(list_dot_product(e.v, e.v)) *
-               sqrt(list_dot_product(c.cv, c.cv)))) AS BIGINT) AS cm
+         {sql_quant_cos_micro('e.v', 'c.cv')} AS cm
   FROM iv e CROSS JOIN cent c
 ),
 assigned AS (

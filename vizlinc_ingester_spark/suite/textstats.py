@@ -756,13 +756,13 @@ def bigram_counts(d: "DataFrame") -> "DataFrame":
     )
 
 
-def kn_model_from_counts(c2: "DataFrame") -> "DataFrame":
-    """c2(w1, w2, c2) bigram counts -> the interpolated-KN model
-    (w1, w2, term_micro). The counts table is the model's COMPLETE
-    sufficient statistic: history counts, forward/backward
-    continuation counts and the bigram-type total are all rollups of
-    it — which is what makes the model streamable by maintaining the
-    additive counts store alone (q_streaming_lm_kn)."""
+def kn_rollups(c2: "DataFrame"):
+    """c2(w1, w2, c2) -> (h, cont): the KN sufficient-statistic
+    rollups — h(w1, c1, n1fw) history totals + distinct
+    continuations, cont(w2, n1bw) distinct histories. ONE home for
+    the count definitions shared by the self-scoring model
+    (kn_model_from_counts) and the held-out model
+    (q_lm_heldout_kn)."""
     h = c2.groupBy("w1").agg(
         F.sum("c2").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1fw"),
@@ -770,6 +770,17 @@ def kn_model_from_counts(c2: "DataFrame") -> "DataFrame":
     cont = c2.groupBy("w2").agg(
         F.count(F.lit(1)).cast("long").alias("n1bw")
     )
+    return h, cont
+
+
+def kn_model_from_counts(c2: "DataFrame") -> "DataFrame":
+    """c2(w1, w2, c2) bigram counts -> the interpolated-KN model
+    (w1, w2, term_micro). The counts table is the model's COMPLETE
+    sufficient statistic: history counts, forward/backward
+    continuation counts and the bigram-type total are all rollups of
+    it — which is what makes the model streamable by maintaining the
+    additive counts store alone (q_streaming_lm_kn)."""
+    h, cont = kn_rollups(c2)
     b_row = c2.agg(F.count(F.lit(1)).cast("long").alias("b"))
     num = (
         F.greatest(F.lit(0).cast("long"), 4 * F.col("c2") - 3)
@@ -922,13 +933,7 @@ def q_lm_heldout_kn(spark, sf_dir):
 
     def build_model():
         c2 = bigram_counts(d.filter(F.col("doc_id") % 2 == 0))
-        h = c2.groupBy("w1").agg(
-            F.sum("c2").cast("long").alias("c1"),
-            F.count(F.lit(1)).cast("long").alias("n1fw"),
-        )
-        cont = c2.groupBy("w2").agg(
-            F.count(F.lit(1)).cast("long").alias("n1bw")
-        )
+        h, cont = kn_rollups(c2)
         stats = c2.agg(
             F.count(F.lit(1)).cast("long").alias("b"),
             F.countDistinct("w2").cast("long").alias("v"),
