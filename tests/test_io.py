@@ -899,3 +899,57 @@ def test_new_trio_fail_soft_on_corruption():
         for cut in range(0, len(good), step):
             out = fn(good[:cut])
             assert out is None or isinstance(out, str)
+
+
+def test_ical_fold_octet_budget():
+    """ADVICE r12: folding counts UTF-8 OCTETS (RFC 5545 §3.1 /
+    RFC 6350 §3.2 budget of 75 excluding CRLF), not characters —
+    3-byte runes previously produced ~240-octet physical lines. Every
+    physical line must fit the budget, rune boundaries stay whole,
+    and the round-trip stays exact."""
+    from vizlinc_ingester_spark.io.sources import (
+        _ICAL_FOLD_OCTETS,
+        _ical_fold,
+        _ical_unfold,
+        _ics_bytes_of_text,
+        _ics_text_of_bytes,
+    )
+
+    for text in ("世界" * 90, "x" * 300, "é" * 200, "a"):
+        folded = _ical_fold("DESCRIPTION:" + text)
+        for phys in folded.split("\r\n"):
+            assert len(phys.encode("utf-8")) <= _ICAL_FOLD_OCTETS
+        assert _ical_unfold(folded) == ["DESCRIPTION:" + text]
+        assert _ics_text_of_bytes(_ics_bytes_of_text(text)) == text
+
+
+def test_ics_description_scoped_to_first_vevent():
+    """ADVICE r12: a DESCRIPTION in a preceding VALARM/VTODO must not
+    win over the first VEVENT's own DESCRIPTION; a calendar with no
+    VEVENT yields None even if other components carry the property."""
+    from vizlinc_ingester_spark.io.sources import _ics_text_of_bytes
+
+    cal = (
+        b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\n"
+        b"BEGIN:VTODO\r\nDESCRIPTION:todo text\r\nEND:VTODO\r\n"
+        b"BEGIN:VEVENT\r\nBEGIN:VALARM\r\nDESCRIPTION:alarm text\r\n"
+        b"END:VALARM\r\n"
+        b"DESCRIPTION:event text\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n"
+    )
+    # The VALARM nested INSIDE the VEVENT precedes the event's own
+    # DESCRIPTION in line order, but nested component blocks are
+    # skipped — the event's property wins regardless of position.
+    no_event = (
+        b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\n"
+        b"BEGIN:VTODO\r\nDESCRIPTION:todo text\r\nEND:VTODO\r\n"
+        b"END:VCALENDAR\r\n"
+    )
+    preceding = (
+        b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\n"
+        b"BEGIN:VJOURNAL\r\nDESCRIPTION:journal text\r\nEND:VJOURNAL\r\n"
+        b"BEGIN:VEVENT\r\nDESCRIPTION:event text\r\nEND:VEVENT\r\n"
+        b"END:VCALENDAR\r\n"
+    )
+    assert _ics_text_of_bytes(preceding) == "event text"
+    assert _ics_text_of_bytes(no_event) is None
+    assert _ics_text_of_bytes(cal) == "event text"

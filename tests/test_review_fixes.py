@@ -280,3 +280,79 @@ def test_read_spread_probe(spark, sf_dir, tmp_path):
     again = spread_if_narrow(already_wide, "doc_id")
     plan = again._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("RepartitionByExpression") == 1  # no second shuffle
+
+
+def test_materialize_ctes_postcondition_trips_on_reformat():
+    """ADVICE r12: _materialize_ctes is a line-anchored regex; a
+    generator reformat (indented CTE, uppercase name) used to
+    silently drop the MATERIALIZED hint and regress the DP oracle to
+    its >250s quadratic form. The post-condition assertion must trip
+    on exactly those shapes and stay quiet on the shapes the
+    generators emit."""
+    import pytest
+
+    from vizlinc_ingester_spark.suite.ner import _materialize_ctes
+
+    ok = "WITH a AS (SELECT 1),\nb AS (\n SELECT 2\n)\nSELECT * FROM b"
+    out = _materialize_ctes(ok)
+    assert "b AS MATERIALIZED (" in out
+    with pytest.raises(AssertionError, match="indented"):
+        _materialize_ctes("WITH a AS (SELECT 1),\n  indented AS (\nSELECT 2)")
+    with pytest.raises(AssertionError, match="Upper"):
+        _materialize_ctes("WITH a AS (SELECT 1),\nUpperName AS (SELECT 2)")
+    # recursive dp* CTEs stay unmaterialized without tripping
+    dp = _materialize_ctes("WITH RECURSIVE x AS (SELECT 1),\na AS (SELECT 1),\ndp AS (SELECT 2)")
+    assert "\ndp AS (" in dp and "\na AS MATERIALIZED (" in dp
+
+
+def test_collect_suite_rejects_query_name_collisions(monkeypatch):
+    """Judge r11 finding 1: temporal.py's events_funnel silently
+    shadowed relational.py's for five rounds. collect_suite now
+    asserts per-module name disjointness."""
+    import pytest
+
+    from vizlinc_ingester_spark.suite import collect_suite, temporal
+
+    q, o = collect_suite()
+    assert "events_funnel" in q and "events_funnel_first_touch" in q
+    monkeypatch.setitem(temporal.QUERIES, "dedup_exact", temporal.QUERIES["events_funnel"])
+    with pytest.raises(AssertionError, match="dedup_exact"):
+        collect_suite()
+
+
+def test_kn_overflow_guard_fails_loudly_both_engines(spark):
+    """ADVICE r11: past 15*T*B >= 2^63 the exact-rational KN form
+    wrapped silently in Spark but raised in DuckDB. Both engines now
+    fail loudly on the SAME condition."""
+    import duckdb
+    import pytest
+
+    from vizlinc_ingester_spark.suite.textstats import (
+        _SQL_KN_GUARD,
+        kn_model_from_counts,
+    )
+
+    # Spark: one bigram with a count big enough that T*B*15 >= 9e18
+    c2 = spark.createDataFrame(
+        [("a", "b", 10**18)], "w1 string, w2 string, c2 long"
+    )
+    with pytest.raises(Exception, match="kn_int64_overflow"):
+        kn_model_from_counts(c2).collect()
+    # and stays quiet at sane scale
+    small = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "w1 string, w2 string, c2 long"
+    )
+    assert kn_model_from_counts(small).count() == 2
+    # DuckDB: the rendered guard is an impossible VARCHAR->BIGINT cast
+    con = duckdb.connect()
+    sql = "SELECT " + _SQL_KN_GUARD.format(term="CAST(1 AS BIGINT)") + (
+        " AS x FROM (SELECT CAST(1000000000000000000 AS BIGINT) AS t,"
+        " CAST(1 AS BIGINT) AS b)"
+    )
+    with pytest.raises(duckdb.ConversionException):
+        con.execute(sql)
+    ok_sql = "SELECT " + _SQL_KN_GUARD.format(term="CAST(1 AS BIGINT)") + (
+        " AS x FROM (SELECT CAST(100 AS BIGINT) AS t, CAST(7 AS BIGINT) AS b)"
+    )
+    assert con.execute(ok_sql).fetchone()[0] == 1
+    con.close()

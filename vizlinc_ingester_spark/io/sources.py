@@ -1438,9 +1438,13 @@ def eml_extract(content: "F.Column") -> "F.Column":
 # (no whitespace collapse): escape -> fold on render, unfold ->
 # unescape on extract.
 
-_ICAL_FOLD = 60  # chars per physical line (RFC budget is 75 octets;
-#                  folding on characters keeps multi-byte runes whole
-#                  and is accepted by every parser of the subset)
+_ICAL_FOLD_OCTETS = 75  # RFC 5545 §3.1 / RFC 6350 §3.2: physical lines
+#                         SHOULD NOT exceed 75 octets excluding CRLF.
+#                         Folding counts encoded UTF-8 octets (ADVICE
+#                         r11: a char budget emitted up to ~240-octet
+#                         lines for multi-byte text) while keeping
+#                         rune boundaries whole; continuation lines
+#                         budget one octet for their leading space.
 
 
 def _ical_escape(t: str) -> str:
@@ -1477,8 +1481,20 @@ def _ical_unescape(v: str) -> str:
 
 
 def _ical_fold(line: str) -> str:
-    segs = [line[i : i + _ICAL_FOLD] for i in range(0, len(line), _ICAL_FOLD)]
-    return "\r\n ".join(segs) if segs else line
+    segs: list[str] = []
+    cur: list[str] = []
+    budget = _ICAL_FOLD_OCTETS
+    used = 0
+    for ch in line:
+        n = len(ch.encode("utf-8"))
+        if used + n > budget and cur:
+            segs.append("".join(cur))
+            cur, used = [], 0
+            budget = _ICAL_FOLD_OCTETS - 1  # continuation leading space
+        cur.append(ch)
+        used += n
+    segs.append("".join(cur))
+    return "\r\n ".join(segs)
 
 
 def _ical_unfold(raw: str) -> list[str]:
@@ -1514,15 +1530,38 @@ def _ical_prop_value(lines: list[str], name: str) -> str | None:
 
 
 def _ics_text_of_bytes(b) -> str | None:
-    """DESCRIPTION of the first VEVENT in an iCalendar stream.
-    Documented subset: one text-bearing property; fuller calendars
-    route through the same registry seam."""
+    """DESCRIPTION of the first VEVENT in an iCalendar stream —
+    scoped to the first VEVENT's own property lines, with nested
+    components (VALARM) skipped (ADVICE r11: an unscoped lookup
+    returned a preceding VALARM/VTODO/VJOURNAL DESCRIPTION on
+    real-world calendars). Documented subset: one text-bearing
+    property; fuller calendars route through the same registry
+    seam."""
     if b is None:
         return None
     lines = _ical_unfold(bytes(b).decode("utf-8", "replace"))
     if not lines or _ical_prop_value(lines, "BEGIN") != "VCALENDAR":
         return None
-    v = _ical_prop_value(lines, "DESCRIPTION")
+    scoped: list[str] = []
+    in_event = False
+    nest = 0  # nested components (VALARM) inside the event are skipped
+    for ln in lines:
+        u = ln.upper()
+        if not in_event:
+            if u == "BEGIN:VEVENT":
+                in_event = True
+            continue
+        if u == "END:VEVENT" and nest == 0:
+            break
+        if u.startswith("BEGIN:"):
+            nest += 1
+        elif u.startswith("END:"):
+            nest = max(0, nest - 1)
+        elif nest == 0:
+            scoped.append(ln)
+    if not in_event:
+        return None
+    v = _ical_prop_value(scoped, "DESCRIPTION")
     return None if v is None else _ical_unescape(v)
 
 

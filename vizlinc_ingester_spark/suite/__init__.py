@@ -42,6 +42,14 @@ def collect_suite() -> tuple[
         multimodal, streaming_q, temporal, reshape, graph_q, search_q,
         curation, ner, sketches, repetition,
     ):
+        # Name collisions would make a later module's query silently
+        # shadow an earlier one (judge-r11 finding 1: temporal.py's
+        # events_funnel masked relational.py's first-touch funnel for
+        # five rounds) — fail loudly instead.
+        clash = set(mod.QUERIES) & set(queries)
+        assert not clash, (
+            f"query name collision from {mod.__name__}: {sorted(clash)}"
+        )
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 
@@ -54,9 +62,37 @@ def collect_suite() -> tuple[
     # across rounds.
     missing = [n for n in DRIVER_WINDOW if n not in queries]
     assert not missing, f"DRIVER_WINDOW names unknown: {missing}"
-    ordered = {n: queries[n] for n in DRIVER_WINDOW}
-    ordered.update({n: q for n, q in queries.items() if n not in ordered})
+    ordered = {n: _shipped(queries[n]) for n in DRIVER_WINDOW}
+    ordered.update(
+        {n: _shipped(q) for n, q in queries.items() if n not in ordered}
+    )
     return ordered, oracles
+
+
+def _shipped(q):
+    """Wrap a query so the package is importable on executor Python
+    workers BEFORE any mapInPandas/applyInPandas closure runs.
+
+    Closures that reference package-level functions are pickled BY
+    REFERENCE; a driver process whose cwd is not the repo (the verify
+    recipe runs from /tmp) then fails with ModuleNotFoundError inside
+    the worker — observed r12 on the two r11 vec queries
+    (ann_cosine_topk_vec, streaming_ivf_insert), which missed the
+    per-operator ship_package call the minhash-vec path had. Shipping
+    here kills the bug CLASS for every current and future suite
+    entry; ship_package is idempotent (local-property flag, same-name
+    addPyFile is a no-op)."""
+
+    def wrapped(spark, sf_dir):
+        from ..session import ship_package
+
+        ship_package(spark)
+        return q(spark, sf_dir)
+
+    wrapped.__name__ = getattr(q, "__name__", "query")
+    wrapped.__doc__ = q.__doc__
+    wrapped.__wrapped__ = q
+    return wrapped
 
 
 # Round-11 rotation (50 = the driver's observed correctness-record

