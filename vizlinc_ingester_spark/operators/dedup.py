@@ -575,8 +575,12 @@ def simhash_near_dups(
         .filter((F.col("doc_a") < F.col("doc_b")) & first_shared)
         .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
-    return pairs.select(
+    out = pairs.select(
         "doc_a",
         "doc_b",
         hamming16(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+    # the persisted (doc_id, simhash) relation is not in the returned
+    # plan's memo value; mark it owned so registry eviction releases it
+    out._vl_owned = [sh]
+    return out

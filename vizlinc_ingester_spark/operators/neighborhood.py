@@ -234,4 +234,9 @@ def _sorted_neighborhood_clusters(
         cluster = F.coalesce(F.element_at(res_map, gid), gid)
     else:
         cluster = gid
-    return assigned.select(*cols, cluster.cast("long").alias("cluster_id"))
+    out = assigned.select(*cols, cluster.cast("long").alias("cluster_id"))
+    # the persisted sort is not part of the returned plan's memo value;
+    # mark it owned so registry eviction unpersists it (see
+    # session._unpersist_quietly)
+    out._vl_owned = [assigned]
+    return out
