@@ -46,3 +46,44 @@ def test_incremental_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # no pair emitted twice across batches
     assert got_df.select("doc_a", "doc_b").distinct().count() == got_df.count()
+
+
+def test_streaming_lsh_insert_equals_batch_banding(spark, sf_dir):
+    """The incrementally-maintained banded store (collapse-first
+    per-batch fold, additive posting sizes), finalized to the
+    per-document index, must equal the one-shot batch banding algebra
+    over all-corpus signatures — the sufficient-statistic claim of
+    the 14th streaming execution, pinned engine-side (the oracle pins
+    it cross-engine)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import vizlinc_ingester_spark.operators.dedup as dd
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_lsh_insert,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    hs = dd.hashed_shingle_docs(docs)
+    sigs = dd._sig_to_cols(
+        hs.select(
+            "doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig")
+        )
+    )
+    bands = dd.lsh_band_buckets(sigs)
+    sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bucket")
+    )
+    batch = sorted(
+        map(
+            tuple,
+            bands.join(sizes, "band_key")
+            .select("doc_id", "band_key", "n_bucket")
+            .collect(),
+        )
+    )
+    stream = sorted(map(tuple, q_streaming_lsh_insert(spark, sf_dir).collect()))
+    assert batch == stream
