@@ -128,6 +128,15 @@ HEADLINE = [
     "streaming_lm_kn",
     "streaming_ivf_insert",
     "lm_heldout_kn",
+    # round-12 operators: averaged (integer-summed) batch perceptron,
+    # streaming MinHash-LSH index maintenance, the de-shadowed
+    # first-touch funnel. ner_perceptron_avg's 5 train decodes are a
+    # memoized build — run 1 pays it, the min-of-3 reports the warm
+    # apply path (the trained-model convention used by every other
+    # learned artifact here).
+    "ner_perceptron_avg",
+    "streaming_lsh_insert",
+    "events_funnel_first_touch",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

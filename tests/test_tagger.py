@@ -259,3 +259,60 @@ def test_perceptron_weight_conservation(spark):
         ).collect()[0]
         # zero per-row, not just in aggregate
         assert esum["tot"] == 0 and esum["abs_tot"] == 0, (epochs, esum)
+
+
+def test_averaged_perceptron_weight_conservation(spark):
+    """The averaged (integer-summed) weights are a sum of per-epoch
+    tables that each conserve total mass at zero (Phi(gold)-Phi(pred)
+    over the same events), so the summed tables must too — for the
+    transitions AND per-token emissions."""
+    from tests.conftest import SF_SMALL
+    from vizlinc_ingester_spark.operators.tagger import VIT_CODES
+    from vizlinc_ingester_spark.suite.ner import (
+        _ctx_tokens,
+        _perc_weights_avg,
+        _span_gold,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)
+    )
+    labeled = _span_gold(_ctx_tokens(docs)).select(
+        "doc_id", "idx", "token", "tag"
+    )
+    tmat, ew, owned = _perc_weights_avg(spark, labeled, 4)
+    try:
+        assert sum(tmat.values()) == 0, sum(tmat.values())
+        esum = ew.select(
+            sum([F.col(f"e_{c}") for c in VIT_CODES]).alias("s")
+        ).agg(
+            F.sum("s").alias("tot"), F.sum(F.abs("s")).alias("abs_tot")
+        ).collect()[0]
+        assert esum["tot"] == 0 and esum["abs_tot"] == 0, esum
+    finally:
+        for df in owned:
+            df.unpersist()
+
+
+def test_averaged_perceptron_beats_unaveraged(spark, sf_dir):
+    """The point of averaging (judge-r11 item 5): the r11 ladder
+    showed unaveraged batch-perceptron epochs oscillating (e2 BELOW
+    e1) while averaged weights climb monotonically. Pin the A/B on
+    held-out accuracy over the identical span gold: averaged-e6 must
+    beat both gated unaveraged epochs. (Context, measured: HMM
+    ner_viterbi_spans 0.9335 at sf0.01 — the generative baseline
+    still wins; averaged-e6 is 0.6084 at sf0.001 / 0.5412 at sf0.01
+    vs e1 0.47/e2 0.39 — the integer count-space scale imbalance is
+    attributed in the PLANS.md ladder entry.)"""
+    from vizlinc_ingester_spark.suite.ner import QUERIES
+
+    def acc(name):
+        df = QUERIES[name](spark, sf_dir).agg(
+            (F.sum("correct") / F.count(F.lit(1))).alias("a")
+        )
+        return df.collect()[0]["a"]
+
+    a_avg = acc("ner_perceptron_avg")
+    a_e1 = acc("ner_perceptron")
+    a_e2 = acc("ner_perceptron2")
+    assert a_avg > a_e1 and a_avg > a_e2, (a_avg, a_e1, a_e2)

@@ -1582,6 +1582,98 @@ ctx AS (
   FROM labeled
 )"""
 
+    if averaged:
+        assert epochs >= 2
+        sum_rng = range(1, epochs + 1)
+        p_cols_a = ", ".join(
+            f"CAST(sum(CASE WHEN ptag1 = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS p_{c}"
+            for t, c in zip(VIT_TAGS, codes)
+        )
+        parts = [prefix]
+        for kk in range(1, epochs):
+            # decode the TRAIN half with the epoch-kk unaveraged
+            # weights, fold gold-minus-predicted deltas into epoch
+            # kk+1's tables — table for table the Spark loop in
+            # _perc_weights_avg
+            parts.append(hm_cte(f"hmt{kk}", f"ew{kk}", 0))
+            parts.append(dp_ctes(f"t{kk}", f"hmt{kk}", trow_sfx=str(kk)))
+            parts.append(f"""pt{kk} AS (
+  SELECT h.doc_id, h.idx, h.token,
+         CASE ({unpack}) {pred_case} END AS ptag1
+  FROM hmt{kk} h JOIN fint{kk} f ON h.doc_id = f.doc_id
+)""")
+            parts.append(f"""ppairs{kk} AS (
+  SELECT lag(ptag1, 1, '{VIT_BOS}') OVER (
+             PARTITION BY doc_id ORDER BY idx) AS ptag,
+         ptag1 AS tag
+  FROM pt{kk}
+),
+ptc{kk} AS (SELECT ptag, tag, CAST(count(*) AS BIGINT) AS c
+        FROM ppairs{kk} GROUP BY 1, 2)""")
+            parts.append(f"""trans{kk + 1} AS (
+  SELECT g.ptag, g.tag,
+         CAST(t.s + coalesce(gc2.c, 0) - coalesce(pc.c, 0) AS BIGINT) AS s
+  FROM tgrid g
+  JOIN trans{kk} t ON g.ptag = t.ptag AND g.tag = t.tag
+  LEFT JOIN gtc gc2 ON g.ptag = gc2.ptag AND g.tag = gc2.tag
+  LEFT JOIN ptc{kk} pc ON g.ptag = pc.ptag AND g.tag = pc.tag
+)""")
+            parts.append(trow_cte(str(kk + 1), f"trans{kk + 1}"))
+            parts.append(
+                f"pt{kk}c AS (SELECT token, {p_cols_a} FROM pt{kk}"
+                " GROUP BY token)"
+            )
+            ew_next = ", ".join(
+                f"CAST(e.e_{c} + g.g_{c} - coalesce(p.p_{c}, 0) AS BIGINT)"
+                f" AS e_{c}"
+                for c in codes
+            )
+            parts.append(f"""ew{kk + 1} AS (
+  SELECT e.token, {ew_next}
+  FROM ew{kk} e JOIN gc g USING (token)
+  LEFT JOIN pt{kk}c p USING (token)
+)""")
+        # integer-summed (averaged-equivalent) decode tables
+        trans_joins = " ".join(
+            f"JOIN trans{kk} t{kk} ON t1.ptag = t{kk}.ptag"
+            f" AND t1.tag = t{kk}.tag"
+            for kk in sum_rng if kk > 1
+        )
+        parts.append(f"""transa AS (
+  SELECT t1.ptag, t1.tag,
+         CAST({' + '.join(f't{kk}.s' for kk in sum_rng)} AS BIGINT) AS s
+  FROM trans1 t1 {trans_joins}
+)""")
+        parts.append(trow_cte("a", "transa"))
+        ewa_cols = ", ".join(
+            "CAST("
+            + " + ".join(f"w{kk}.e_{c}" for kk in sum_rng)
+            + f" AS BIGINT) AS e_{c}"
+            for c in codes
+        )
+        ew_joins = " ".join(
+            f"JOIN ew{kk} w{kk} USING (token)" for kk in sum_rng if kk > 1
+        )
+        parts.append(f"""ewa AS (
+  SELECT w1.token, {ewa_cols}
+  FROM ew1 w1 {ew_joins}
+)""")
+        parts.append(hm_cte("hma", "ewa", 1))
+        parts.append(dp_ctes("a", "hma"))
+        parts.append(cap)
+        body = ",\n".join(parts)
+        return f"""
+{body}
+SELECT h.doc_id, h.idx, h.token,
+       CASE ({unpack}) {pred_case} END AS pred_tag,
+       h.gold_tag,
+       CAST((CASE ({unpack}) {pred_case} END) = h.gold_tag AS BIGINT)
+         AS correct
+FROM hma h JOIN fina f ON h.doc_id = f.doc_id CROSS JOIN cap
+WHERE cap.ok = 1
+"""
+
     if epochs == 1:
         return f"""
 {prefix},
@@ -1678,15 +1770,37 @@ PERC_AVG_EPOCHS = 6
 
 
 def _perc_weights_avg(spark: SparkSession, labeled: DataFrame, epochs: int):
-    """(tmat_sum, ew_sum) = sum of the per-epoch weight tables
-    w_1..w_epochs — the averaged-perceptron decode weights, exact
-    int64. Mirrors ``_perc_weights``'s epoch chain (epoch 0 = the
-    all-ties constant ``PERC_T0`` path, making w_1 closed-form; each
-    later epoch re-decodes the train half with the CURRENT unaveraged
-    weights through the production ``apply_viterbi`` and folds
-    gold-minus-predicted deltas in as aggregates)."""
+    """(tmat_sum, ew_sum, owned) — tmat_sum/ew_sum are the SUM of the
+    per-epoch weight tables w_1..w_epochs, the averaged-perceptron
+    decode weights, exact int64. Mirrors ``_perc_weights``'s epoch
+    chain (epoch 0 = the all-ties constant ``PERC_T0`` path, making
+    w_1 closed-form; each later epoch re-decodes the train half with
+    the CURRENT unaveraged weights through the production
+    ``apply_viterbi`` and folds gold-minus-predicted deltas in as
+    aggregates).
+
+    Weight tables use the FLAT closed form of the prefix-sum fold —
+    w_k = k*g - p_0 - sum_{j<k} p_j and
+    sum_k w_k = (E(E+1)/2)*g - E*p_0 - sum_j (E-j)*p_j, where g is
+    the gold token-tag count table, p_0 the constant epoch-0 path's
+    counts and p_j the epoch-j decode's counts — so every emission
+    table is ONE select over gc left-joined to the (persisted)
+    per-epoch prediction counts, not a k-deep join chain (measured:
+    the chained form spent 14 s just materializing ew_sum at sf0.01).
+    The DuckDB oracle keeps the recursive chain form; both are exact
+    integer algebra, so they agree bit for bit.
+
+    ``owned``: the labeled input and the gold count table, persisted
+    for the duration of the build; the caller releases them once
+    ew_sum is materialized. Per-epoch decodes are localCheckpointed
+    instead (lineage truncation — see the loop comment), so their
+    blocks free themselves when the last weight-table reference
+    drops."""
     from pyspark.sql import Window
 
+    owned: list = []
+    labeled = labeled.persist()
+    owned.append(labeled)
     w = Window.partitionBy("doc_id").orderBy("idx")
     pairs = labeled.select(
         F.coalesce(F.lag("tag").over(w), F.lit(VIT_BOS)).alias("ptag"),
@@ -1706,37 +1820,77 @@ def _perc_weights_avg(spark: SparkSession, labeled: DataFrame, epochs: int):
         (VIT_BOS, PERC_T0): st["n_doc"],
         (PERC_T0, PERC_T0): st["n_tok"] - st["n_doc"],
     }
-    tmat = {
-        (p, t): gtc.get((p, t), 0) - pred0.get((p, t), 0)
-        for p in (VIT_BOS,) + VIT_TAGS
-        for t in VIT_TAGS
-    }
+    grid = [(p, t) for p in (VIT_BOS,) + VIT_TAGS for t in VIT_TAGS]
     gc = labeled.groupBy("token").agg(
         *[
             F.sum((F.col("tag") == t).cast("long")).cast("long").alias(f"g_{c}")
             for t, c in zip(VIT_TAGS, VIT_CODES)
         ],
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    ew = gc.select(
-        "token",
-        *[
-            (
-                F.col(f"g_{c}")
-                - (F.col("n") if t == PERC_T0 else F.lit(0).cast("long"))
-            ).cast("long").alias(f"e_{c}")
-            for t, c in zip(VIT_TAGS, VIT_CODES)
-        ],
-    )
+    ).persist()
+    owned.append(gc)
+    pkcs: list[DataFrame] = []  # epoch-j decode's per-token counts
+
+    def ew_of(coefs: list[int], total: int, p0_coef: int) -> DataFrame:
+        """sum of weighted deltas: total*g - p0_coef*p_0
+        - sum_j coefs[j]*p_{j+1} as ONE select over gc + pkcs."""
+        out = gc
+        for j, pk in enumerate(pkcs):
+            out = out.join(
+                pk.select(
+                    "token",
+                    *[F.col(f"p_{c}").alias(f"p{j}_{c}") for c in VIT_CODES],
+                ),
+                "token",
+                "left",
+            )
+        return out.select(
+            "token",
+            *[
+                (
+                    F.lit(total) * F.col(f"g_{c}")
+                    - (
+                        F.lit(p0_coef) * F.col("n")
+                        if t == PERC_T0
+                        else F.lit(0).cast("long")
+                    )
+                    - sum(
+                        (
+                            F.lit(coefs[j])
+                            * F.coalesce(
+                                F.col(f"p{j}_{c}"), F.lit(0).cast("long")
+                            )
+                            for j in range(len(pkcs))
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                ).cast("long").alias(f"e_{c}")
+                for t, c in zip(VIT_TAGS, VIT_CODES)
+            ],
+        )
+
+    tmat = {
+        k: gtc.get(k, 0) - pred0.get(k, 0) for k in grid
+    }  # w_1
     tmat_sum = dict(tmat)
-    ew_sum = ew
-    for _k in range(2, epochs + 1):
+    for k in range(2, epochs + 1):
+        # w_{k-1}'s emission table, flat: (k-1)*g - p_0 - sum_{j<k-1} p_j
+        ew_k = ew_of([1] * len(pkcs), k - 1, 1)
+        # localCheckpoint (the graph.py pointer-doubling stance):
+        # persist() alone shortcuts EXECUTION but not PLAN SIZE — each
+        # epoch's decode plan embeds every earlier epoch's weight
+        # table, whose plan embeds the earlier decode... exponential
+        # in E, measured as a driver heap OOM building plan strings
+        # under a 1g driver. Truncating lineage keeps every later
+        # plan shallow; the blocks live on executor storage for the
+        # build's duration (a lost executor fails the build, which
+        # simply re-runs — the trade graph.py documents).
         pred = apply_viterbi(
             labeled.select("doc_id", "idx", "token"),
             tmat,
-            ew,
+            ew_k,
             _perc_zero_defaults(spark),
-        )
+        ).localCheckpoint()
         ppairs = pred.select(
             F.coalesce(F.lag("pred_tag").over(w), F.lit(VIT_BOS)).alias(
                 "ptag"
@@ -1749,7 +1903,7 @@ def _perc_weights_avg(spark: SparkSession, labeled: DataFrame, epochs: int):
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .collect()
         }
-        tmat = {k: tmat[k] + gtc.get(k, 0) - ptc.get(k, 0) for k in tmat}
+        tmat = {k2: tmat[k2] + gtc.get(k2, 0) - ptc.get(k2, 0) for k2 in grid}
         pkc = pred.groupBy("token").agg(
             *[
                 F.sum((F.col("pred_tag") == t).cast("long"))
@@ -1758,36 +1912,15 @@ def _perc_weights_avg(spark: SparkSession, labeled: DataFrame, epochs: int):
                 for t, c in zip(VIT_TAGS, VIT_CODES)
             ]
         )
-        ew = (
-            ew.join(gc, "token")
-            .join(pkc, "token", "left")
-            .select(
-                "token",
-                *[
-                    (
-                        F.col(f"e_{c}")
-                        + F.col(f"g_{c}")
-                        - F.coalesce(F.col(f"p_{c}"), F.lit(0).cast("long"))
-                    ).cast("long").alias(f"e_{c}")
-                    for c in VIT_CODES
-                ],
-            )
-        )
-        tmat_sum = {k: tmat_sum[k] + tmat[k] for k in tmat_sum}
-        ew_sum = ew_sum.join(
-            ew.select(
-                "token",
-                *[F.col(f"e_{c}").alias(f"w_{c}") for c in VIT_CODES],
-            ),
-            "token",
-        ).select(
-            "token",
-            *[
-                (F.col(f"e_{c}") + F.col(f"w_{c}")).cast("long").alias(f"e_{c}")
-                for c in VIT_CODES
-            ],
-        )
-    return tmat_sum, ew_sum
+        pkcs.append(pkc)
+        tmat_sum = {k2: tmat_sum[k2] + tmat[k2] for k2 in grid}
+    # sum_k w_k: coefficient of p_j (j = 1..E-1) is E - j
+    ew_sum = ew_of(
+        [epochs - j for j in range(1, epochs)],
+        epochs * (epochs + 1) // 2,
+        epochs,
+    )
+    return tmat_sum, ew_sum, owned
 
 
 def _models_perceptron_avg(spark: SparkSession, sf_dir: str, epochs: int):
@@ -1799,9 +1932,14 @@ def _models_perceptron_avg(spark: SparkSession, sf_dir: str, epochs: int):
         labeled = _span_gold(_ctx_tokens(train_docs)).select(
             "doc_id", "idx", "token", "tag"
         )
-        tmat, ew = _perc_weights_avg(spark, labeled, epochs)
+        tmat, ew, owned = _perc_weights_avg(spark, labeled, epochs)
         ew = ew.persist()
         ew.count()
+        # the per-epoch decodes only feed the now-materialized weight
+        # table; release them so a 6-epoch build doesn't hold 6 train
+        # decodes in the block manager for the rest of the session
+        for df in owned:
+            df.unpersist()
         return tmat, ew
 
     return plan_memo(
@@ -1839,3 +1977,6 @@ def q_ner_perceptron_avg(spark, sf_dir):
 
 
 QUERIES["ner_perceptron_avg"] = q_ner_perceptron_avg
+ORACLES["ner_perceptron_avg"] = _materialize_ctes(
+    _perceptron_oracle(PERC_AVG_EPOCHS, averaged=True)
+)
