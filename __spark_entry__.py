@@ -29,6 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: top co-mentioned person pairs (scan -> extract ->
     coref -> self-join -> agg -> sort in one lazy plan)."""
     from vizlinc_ingester_spark.operators import coref, mentions, social
+    from vizlinc_ingester_spark.session import ship_package
+
+    # executor workers must be able to import the package even when
+    # the calling process's cwd is not the repo (same stance as the
+    # suite-wide wrap in collect_suite)
+    ship_package(spark)
 
     m = mentions.derive_mentions(
         spark.read.parquet(os.path.join(SF0001, "documents.parquet"))

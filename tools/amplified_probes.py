@@ -732,6 +732,46 @@ def probe_perceptron(spark, reps: int = 10) -> None:
            lambda: _noop(decode(amp)))
 
 
+def probe_perceptron_avg(spark) -> None:
+    """Averaged-perceptron build cost must be EPOCH-LINEAR with a
+    fixed weight-table size: each epoch adds ONE localCheckpointed
+    train decode + one vocab-keyed count join; the summed decode
+    table has the same shape at any E (vocab x K), so apply cost is
+    E-independent. (The pre-fix chained form grew the PLAN
+    exponentially in E — OOMed a 1g driver at E=6; lineage truncation
+    is what makes this linear.)"""
+    from vizlinc_ingester_spark.suite.ner import (
+        _ctx_tokens,
+        _perc_weights_avg,
+        _span_gold,
+    )
+
+    train = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).filter(F.col("doc_id") % 2 == 0)
+    labeled = _span_gold(_ctx_tokens(train)).select(
+        "doc_id", "idx", "token", "tag"
+    )
+
+    def build(epochs):
+        tmat, ew, owned = _perc_weights_avg(spark, labeled, epochs)
+        n = ew.count()
+        for df in owned:
+            df.unpersist()
+        return n
+
+    build(2)  # JIT/codegen warm-up — untimed
+    t2 = _timed("perceptron_avg_e2", "2-epoch build", lambda: build(2))
+    t6 = _timed("perceptron_avg_e6", "6-epoch build", lambda: build(6))
+    # 5 decodes vs 1: epoch-linear means roughly 5x the decode cost,
+    # NOT exponential; the weight table row count is identical
+    print(
+        f"PROBE perceptron_avg_ratio {t6 / max(t2, 1e-9):.1f} "
+        "e6/e2 build-cost ratio (epoch-linear ~3-5, exponential >>)",
+        flush=True,
+    )
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -765,6 +805,8 @@ def main() -> None:
         probe_knlm(spark)
     if which in ("perceptron", "all"):
         probe_perceptron(spark)
+    if which in ("perceptronavg", "all"):
+        probe_perceptron_avg(spark)
 
 
 
