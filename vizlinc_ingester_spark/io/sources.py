@@ -1481,6 +1481,17 @@ def _ical_unescape(v: str) -> str:
 
 
 def _ical_fold(line: str) -> str:
+    if line.isascii():
+        # fast path: octets == chars, so plain slicing meets the
+        # budget exactly (the per-char encode loop below tripled the
+        # extract_text_formats render cost on the ASCII-heavy corpus)
+        b = _ICAL_FOLD_OCTETS
+        if len(line) <= b:
+            return line
+        segs = [line[:b]] + [
+            line[i : i + b - 1] for i in range(b, len(line), b - 1)
+        ]
+        return "\r\n ".join(segs)
     segs: list[str] = []
     cur: list[str] = []
     budget = _ICAL_FOLD_OCTETS
