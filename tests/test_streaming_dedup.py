@@ -87,3 +87,16 @@ def test_streaming_lsh_insert_equals_batch_banding(spark, sf_dir):
     )
     stream = sorted(map(tuple, q_streaming_lsh_insert(spark, sf_dir).collect()))
     assert batch == stream
+
+
+def test_staged_halves_reuse_fresh_checkpoint(spark, sf_dir):
+    """r12: streaming queries share a MEMOIZED staging dir but must
+    take a FRESH checkpoint per invocation — a reused checkpoint
+    replays no files and would finalize an empty store. Pin by
+    invoking one staged streaming gate twice in one session: both
+    runs must produce the full (identical) result."""
+    from vizlinc_ingester_spark.suite.streaming_q import q_streaming_lm_kn
+
+    a = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
+    assert a and a == b
