@@ -1955,7 +1955,13 @@ def q_ner_perceptron_avg(spark, sf_dir):
     /root/reference/src/EntityExtractor.groovy:12-14). Accuracy =
     sum(correct)/count over the gated rows, A/B against the
     unaveraged e1/e2 pair and ner_viterbi_spans' generative HMM on
-    the identical gold (measured in tests/test_tagger.py)."""
+    the identical gold (measured in tests/test_tagger.py). The
+    extended ladder (PLANS.md): the averaged series climbs
+    monotonically and PLATEAUS at ~0.82 by E=16 — the residual gap to
+    the HMM's 0.9335 is the count-space scale imbalance, which more
+    epochs do not recover; the gated variant stays at E=6 because
+    each extra epoch is one more full train decode in the driver's
+    sweep for accuracy the ladder already documents."""
     tmat, ew = _models_perceptron_avg(spark, sf_dir, PERC_AVG_EPOCHS)
     held = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
     toks = _span_gold(_ctx_tokens(held)).withColumnRenamed("tag", "gold_tag")
