@@ -100,3 +100,55 @@ def test_staged_halves_reuse_fresh_checkpoint(spark, sf_dir):
     a = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
     b = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
     assert a and a == b
+
+
+def test_streaming_lsh_compact_equals_batch_store(spark, sf_dir):
+    """Compacting the per-batch append-only store must erase every
+    trace of the batch boundaries: the compacted (doc_id, rep,
+    band_key, n_members) index equals the ONE-SHOT batch index built
+    with global signature collapse — min-doc_id rep chosen globally,
+    member counts summed across batches, postings merged (the 15th
+    streaming execution's engine-side pin; the oracle pins the same
+    equality cross-engine)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import vizlinc_ingester_spark.operators.dedup as dd
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_lsh_compact,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    hs = dd.hashed_shingle_docs(docs)
+    sigs = dd._sig_to_cols(
+        hs.select(
+            "doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig")
+        )
+    )
+    mh_cols = [f"mh{i}" for i in range(dd.N_PERMS)]
+    reps = sigs.groupBy(*mh_cols).agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    rbands = dd.lsh_band_buckets(
+        reps.select(F.col("rep").alias("doc_id"), *mh_cols)
+    ).withColumnRenamed("doc_id", "rep")
+    assign = sigs.join(reps.select(*mh_cols, "rep"), mh_cols).select(
+        "doc_id", "rep"
+    )
+    batch = sorted(
+        map(
+            tuple,
+            assign.join(rbands, "rep")
+            .join(reps.select("rep", "n_members"), "rep")
+            .select("doc_id", "rep", "band_key", "n_members")
+            .collect(),
+        )
+    )
+    compacted = sorted(
+        map(tuple, q_streaming_lsh_compact(spark, sf_dir).collect())
+    )
+    assert batch and batch == compacted

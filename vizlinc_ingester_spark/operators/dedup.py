@@ -581,6 +581,8 @@ def simhash_near_dups(
         hamming16(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
     # the persisted (doc_id, simhash) relation is not in the returned
-    # plan's memo value; mark it owned so registry eviction releases it
-    out._vl_owned = [sh]
-    return out
+    # plan's memo value; mark it owned (on the FINAL returned value —
+    # own_aux contract) so registry eviction releases it
+    from ..session import own_aux
+
+    return own_aux(out, sh)

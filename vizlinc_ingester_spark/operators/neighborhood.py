@@ -236,7 +236,8 @@ def _sorted_neighborhood_clusters(
         cluster = gid
     out = assigned.select(*cols, cluster.cast("long").alias("cluster_id"))
     # the persisted sort is not part of the returned plan's memo value;
-    # mark it owned so registry eviction unpersists it (see
-    # session._unpersist_quietly)
-    out._vl_owned = [assigned]
-    return out
+    # mark it owned (on the FINAL returned value — own_aux contract)
+    # so registry eviction unpersists it
+    from ..session import own_aux
+
+    return own_aux(out, assigned)

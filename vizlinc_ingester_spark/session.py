@@ -238,6 +238,22 @@ def plan_key(df, *extra):
     return (h, df.schema.simpleString(), *extra)
 
 
+def own_aux(df, *aux):
+    """Attach auxiliary persisted DataFrames to ``df`` so registry
+    eviction releases them with it (the ``_vl_owned`` rider).
+
+    CONTRACT (driver ADVICE r12): the rider is a plain attribute, so
+    it does NOT survive DataFrame transformations — ``own_aux(x,
+    a).select(...)`` silently drops ``a``. Builders must therefore
+    call this on the FINAL value they return into ``plan_memo``,
+    after every select/filter/alias. Merging is supported: calling
+    own_aux on a value that already carries a rider extends it."""
+    owned = list(getattr(df, "_vl_owned", ()))
+    owned.extend(aux)
+    df._vl_owned = owned
+    return df
+
+
 def _unpersist_quietly(value) -> None:
     items = value if isinstance(value, (tuple, list)) else (value,)
     for v in items:
@@ -283,7 +299,15 @@ def plan_memo(
     bypassed build would leave an unregistered persist that nothing
     ever unpersists (the r11 review leak). Eviction (LRU overflow or
     explicit) unpersists the evicted DataFrames best-effort; a caller
-    still holding one just recomputes."""
+    still holding one just recomputes.
+
+    Builder contract for auxiliary persists (driver ADVICE r12): a
+    builder that persists an intermediate NOT reachable from the
+    returned plan must attach it with ``own_aux`` to the FINAL value
+    it returns (the rider is a plain attribute and does not survive
+    select/filter wrapping); non-DataFrame values that hold releasable
+    resources (staging dirs) must expose an ``unpersist()`` method —
+    eviction calls it on whatever is stored here."""
     if key is None:
         return builder()
     per_session = _PLAN_MEMO.setdefault(spark, {})

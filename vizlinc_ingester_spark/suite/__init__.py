@@ -45,11 +45,25 @@ def collect_suite() -> tuple[
         # Name collisions would make a later module's query silently
         # shadow an earlier one (judge-r11 finding 1: temporal.py's
         # events_funnel masked relational.py's first-touch funnel for
-        # five rounds) — fail loudly instead.
+        # five rounds). Checked on BOTH dicts — ORACLES can shadow
+        # independently of QUERIES (driver ADVICE r12) — and raised
+        # as RuntimeError so ``python -O`` can't strip the guard.
         clash = set(mod.QUERIES) & set(queries)
-        assert not clash, (
-            f"query name collision from {mod.__name__}: {sorted(clash)}"
-        )
+        if clash:
+            raise RuntimeError(
+                f"query name collision from {mod.__name__}: {sorted(clash)}"
+            )
+        oclash = set(mod.ORACLES) & set(oracles)
+        if oclash:
+            raise RuntimeError(
+                f"oracle name collision from {mod.__name__}: {sorted(oclash)}"
+            )
+        orphans = set(mod.ORACLES) - set(mod.QUERIES)
+        if orphans:
+            raise RuntimeError(
+                f"oracles without a matching query in {mod.__name__}: "
+                f"{sorted(orphans)}"
+            )
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
 
@@ -61,7 +75,8 @@ def collect_suite() -> tuple[
     # ALL entries); queries past the window rotate into the front
     # across rounds.
     missing = [n for n in DRIVER_WINDOW if n not in queries]
-    assert not missing, f"DRIVER_WINDOW names unknown: {missing}"
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names unknown: {missing}")
     ordered = {n: _shipped(queries[n]) for n in DRIVER_WINDOW}
     ordered.update(
         {n: _shipped(q) for n, q in queries.items() if n not in ordered}

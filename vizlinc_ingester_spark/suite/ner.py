@@ -58,12 +58,17 @@ def _materialize_ctes(sql: str) -> str:
     `tgrid(ptag, tag) AS (VALUES ...)` is structurally unmatched,
     which is fine: a VALUES literal has nothing to re-evaluate.)
 
-    Post-condition (driver ADVICE r11): the rewrite is a line-anchored
-    textual regex, so a generator that ever indents a CTE definition
-    or renames one outside [a-z0-9_] would silently lose the hint and
-    regress the oracle to the >250 s quadratic form. Assert that no
-    line-start ``name AS (`` other than dp* survives unmaterialized —
-    a reformat now fails loudly at generation time instead."""
+    Post-condition (driver ADVICE r11/r12): the rewrite is a
+    line-anchored textual regex, so a generator that ever indents a
+    CTE definition or renames one outside [a-z0-9_] would silently
+    lose the hint and regress the oracle to the >250 s quadratic
+    form. Raise ValueError (not assert — ``python -O`` strips
+    asserts) if any line-start ``name AS (`` other than dp* survives
+    unmaterialized. Stated exemption: a first CTE written on the SAME
+    line as WITH / WITH RECURSIVE (``WITH words AS (``) is outside
+    both the rewrite and this check by design — the generators here
+    always put each CTE on its own line; one that stops doing so
+    forfeits the hint for that CTE without detection."""
     import re
 
     out = re.sub(
@@ -76,10 +81,12 @@ def _materialize_ctes(sql: str) -> str:
         for m in re.finditer(r"(^|\n)\s*([A-Za-z0-9_]+) AS \(", out)
         if not m.group(2).startswith("dp")
     ]
-    assert not left_behind, (
-        "_materialize_ctes missed CTE definitions (generator reformat "
-        f"would silently regress the DP oracle to quadratic): {left_behind}"
-    )
+    if left_behind:
+        raise ValueError(
+            "_materialize_ctes missed CTE definitions (generator "
+            "reformat would silently regress the DP oracle to "
+            f"quadratic): {left_behind}"
+        )
     return out
 
 
