@@ -146,9 +146,12 @@ HEADLINE = [
     # round-13 operators: LSH store compaction (run 1 pays the
     # memoized streamed-store build — the trained-artifact
     # convention; min-of-N reports the warm compaction path), the
-    # newly hash-gated sketch acceptance profile
+    # newly hash-gated sketch acceptance profile, the HMM-initialized
+    # normalized discriminative tagger (memoized 4-epoch build on run
+    # 1, warm apply path thereafter)
     "streaming_lsh_compact",
     "events_approx_profile",
+    "ner_perceptron_ft",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first
