@@ -466,25 +466,34 @@ def q_events_approx_profile(spark, sf_dir):
     Sketch REGISTERS aren't cross-engine comparable (DuckDB's
     approx_distinct uses a different estimator), so raw estimates
     can't sit under the hash gate. Gated form (judge-r12 item 3):
-    emit integer 0/1 ACCEPTANCE columns — each sketch estimate checked
-    in-query against the exact value computed on the SAME lineage
-    (same loader, grouping, measures as `events_exact_profile`),
-    with the bounds `tests/test_approx.py` pinned (5-sigma of
-    rsd=0.02 → 10% relative for HLL; 100 / 500 cents around the
-    interpolated exact percentile for accuracy-10000 t-digest). The
-    DuckDB oracle states the acceptance contract (all 1) plus the
-    exact n_events — a sketch drifting out of bound hash-mismatches.
-    All comparisons are integer (cross-multiplied relative bound,
-    floored micro-cents), per the repo float discipline.
+    emit integer 0/1 ACCEPTANCE columns checking each sketch estimate
+    against its PUBLISHED guarantee on the same lineage, so the
+    DuckDB oracle can state the contract (all 1) plus the exact
+    n_events — a sketch drifting out of bound hash-mismatches.
 
-    Plan shape: the sketch measures and the exact twin measures run
-    as TWO separate aggregations joined on the 5-row group key, not
-    one combined agg — mixing two countDistincts with sketch
-    aggregates triggers Catalyst's Expand rewrite (every input row
-    tripled through the hash aggregate carrying the t-digest state),
-    measured 3.7 s vs 1.05 + 0.61 s for the split form at sf0.01.
-    Both passes stay map-side combinable; the join is a broadcast of
-    a |event_type|-row relation."""
+    - HLL++ (rsd=0.02): |estimate − exact| within 10% relative
+      (5 sigma), integer cross-multiplied — the tests/test_approx.py
+      bound, scale-free.
+    - percentile_approx (accuracy=10000): the guarantee is RANK error
+      <= n/accuracy, so acceptance is rank-based, NOT value-based:
+      count how many of the group's values fall strictly below /
+      at-or-below the estimate and require the target rank ceil(p*n)
+      inside [lt − slack, le + slack], slack = n/accuracy + 2 (the +2
+      absorbs the floor/ceil definitional boundary). A value bound
+      (first attempt) is NOT scale-free — at sf0.001's ~200-row
+      groups the interpolated exact p99 sits between two tail values
+      hundreds of cents apart and the parity gate correctly rejected
+      it; rank acceptance is exactly what the sketch promises, at any
+      n and any distribution, in pure integer arithmetic.
+
+    Plan shape: three map-side-combinable passes over the projected
+    events scan (sketch agg; distinct-counts agg; rank-count agg
+    against the broadcast 5-row estimate table) joined on the 5-row
+    group key — no Expand through t-digest state (a single combined
+    agg tripled every row through the hash aggregate: measured 3.7 s
+    vs 1.7 s split at sf0.01), and no per-group full-sort exact
+    percentile at all (the interpolated twin lives in
+    `value_percentiles`/`events_exact_profile`)."""
     ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
     approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -496,18 +505,51 @@ def q_events_approx_profile(spark, sf_dir):
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("cents").alias("n_values"),
-        F.expr("percentile(cents, array(0.5, 0.99))").alias("p"),
     )
-    prof = approx.join(F.broadcast(exact), "event_type")
-    p50_micro = F.floor(F.col("p")[0] * 1_000_000).cast("long")
-    p99_micro = F.floor(F.col("p")[1] * 1_000_000).cast("long")
+    est = approx.select("event_type", "ap50_cents", "ap99_cents")
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("cents") < F.col("ap50_cents")).cast("long"))
+            .alias("lt50"),
+            F.sum((F.col("cents") <= F.col("ap50_cents")).cast("long"))
+            .alias("le50"),
+            F.sum((F.col("cents") < F.col("ap99_cents")).cast("long"))
+            .alias("lt99"),
+            F.sum((F.col("cents") <= F.col("ap99_cents")).cast("long"))
+            .alias("le99"),
+        )
+    )
+    prof = approx.join(F.broadcast(exact), "event_type").join(
+        F.broadcast(ranks), "event_type"
+    )
+    n = F.col("n_events")
 
     def ok(cond):
         return cond.cast("long")
 
+    def rank_ok(p_num, p_den, lt, le):
+        # target rank p*(n+1) within [lt − slack, le + slack],
+        # slack = n/10000 + 2, cross-multiplied by 10000*p_den so the
+        # whole check is int64 (no float division): max magnitude
+        # 10^6 * n stays < 2^63 for any per-group n < 9*10^12
+        t = F.lit(10000 * p_num) * (n + 1)
+        lo = (
+            F.lit(10000 * p_den) * F.col(lt)
+            - F.lit(p_den) * n
+            - F.lit(20000 * p_den)
+        )
+        hi = (
+            F.lit(10000 * p_den) * F.col(le)
+            + F.lit(p_den) * n
+            + F.lit(20000 * p_den)
+        )
+        return ok((t >= lo) & (t <= hi))
+
     return prof.select(
         "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
+        n.cast("long").alias("n_events"),
         ok(
             10 * F.abs(F.col("approx_users") - F.col("n_users"))
             <= F.col("n_users")
@@ -516,14 +558,8 @@ def q_events_approx_profile(spark, sf_dir):
             10 * F.abs(F.col("approx_values") - F.col("n_values"))
             <= F.greatest(F.col("n_values"), F.lit(1))
         ).alias("values_ok"),
-        ok(
-            F.abs(F.col("ap50_cents").cast("long") * 1_000_000 - p50_micro)
-            <= F.lit(100_000_000)
-        ).alias("p50_ok"),
-        ok(
-            F.abs(F.col("ap99_cents").cast("long") * 1_000_000 - p99_micro)
-            <= F.lit(500_000_000)
-        ).alias("p99_ok"),
+        rank_ok(1, 2, "lt50", "le50").alias("p50_ok"),
+        rank_ok(99, 100, "lt99", "le99").alias("p99_ok"),
     ).orderBy("event_type")
 
 
