@@ -296,9 +296,11 @@ def test_materialize_ctes_postcondition_trips_on_reformat():
     ok = "WITH a AS (SELECT 1),\nb AS (\n SELECT 2\n)\nSELECT * FROM b"
     out = _materialize_ctes(ok)
     assert "b AS MATERIALIZED (" in out
-    with pytest.raises(AssertionError, match="indented"):
+    # ValueError, not AssertionError, since ADVICE r12: a bare assert
+    # vanishes under `python -O`, silently re-opening the regression
+    with pytest.raises(ValueError, match="indented"):
         _materialize_ctes("WITH a AS (SELECT 1),\n  indented AS (\nSELECT 2)")
-    with pytest.raises(AssertionError, match="Upper"):
+    with pytest.raises(ValueError, match="Upper"):
         _materialize_ctes("WITH a AS (SELECT 1),\nUpperName AS (SELECT 2)")
     # recursive dp* CTEs stay unmaterialized without tripping
     dp = _materialize_ctes("WITH RECURSIVE x AS (SELECT 1),\na AS (SELECT 1),\ndp AS (SELECT 2)")
@@ -315,8 +317,15 @@ def test_collect_suite_rejects_query_name_collisions(monkeypatch):
 
     q, o = collect_suite()
     assert "events_funnel" in q and "events_funnel_first_touch" in q
+    # RuntimeError, not AssertionError, since ADVICE r12 (python -O
+    # strips bare asserts); the guard now also covers ORACLES and
+    # orphan oracles
     monkeypatch.setitem(temporal.QUERIES, "dedup_exact", temporal.QUERIES["events_funnel"])
-    with pytest.raises(AssertionError, match="dedup_exact"):
+    with pytest.raises(RuntimeError, match="dedup_exact"):
+        collect_suite()
+    monkeypatch.delitem(temporal.QUERIES, "dedup_exact")
+    monkeypatch.setitem(temporal.ORACLES, "dedup_exact", "SELECT 1")
+    with pytest.raises(RuntimeError, match="dedup_exact"):
         collect_suite()
 
 
