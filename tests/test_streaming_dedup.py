@@ -152,3 +152,30 @@ def test_streaming_lsh_compact_equals_batch_store(spark, sf_dir):
         map(tuple, q_streaming_lsh_compact(spark, sf_dir).collect())
     )
     assert batch and batch == compacted
+
+
+def test_streaming_lsh_compact_reads_store_not_corpus(spark, sf_dir):
+    """The property that makes periodic compaction affordable at
+    100 TB: it re-collapses representatives purely ON THE STORE (a
+    rep's ordered band-key list IS its signature), so once the
+    streamed store exists, the compaction plan must scan ONLY the
+    store parquet — no documents scan, no re-shingling (no Arrow
+    crossing at all: the whole compaction is JVM-side relational
+    algebra)."""
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_lsh_compact,
+    )
+
+    # first call builds (and memoizes) the streamed store
+    q_streaming_lsh_compact(spark, sf_dir).count()
+    # second call must plan against the store alone
+    plan = (
+        q_streaming_lsh_compact(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "vl_stream_lsh_store_" in plan
+    assert "documents.parquet" not in plan, plan[:4000]
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
