@@ -179,3 +179,80 @@ def test_streaming_lsh_compact_reads_store_not_corpus(spark, sf_dir):
     assert "documents.parquet" not in plan, plan[:4000]
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_compact_lsh_store_is_batch_count_agnostic(spark, sf_dir):
+    """The compaction algebra must hold for ANY batch count, not just
+    the 2-batch staging harness: fold the corpus as FOUR per-batch
+    stores (doc_id % 4 slices, each collapsed independently — a
+    signature spanning k batches carries k reps), compact, and
+    require equality with the one-shot global-collapse index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import vizlinc_ingester_spark.operators.dedup as dd
+    from vizlinc_ingester_spark.suite.streaming_q import compact_lsh_store
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    mh_cols = [f"mh{i}" for i in range(dd.N_PERMS)]
+
+    def sigs_of(d):
+        hs = dd.hashed_shingle_docs(d)
+        return dd._sig_to_cols(
+            hs.select(
+                "doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig")
+            )
+        )
+
+    bands_parts, members_parts = [], []
+    for b in range(4):
+        sigs = sigs_of(docs.filter(F.col("doc_id") % 4 == b))
+        reps = sigs.groupBy(*mh_cols).agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        bands_parts.append(
+            dd.lsh_band_buckets(
+                reps.select(F.col("rep").alias("doc_id"), *mh_cols)
+            )
+            .withColumnRenamed("doc_id", "rep")
+            .join(reps.select("rep", "n_members"), "rep")
+        )
+        members_parts.append(
+            sigs.join(reps.select(*mh_cols, "rep"), mh_cols).select(
+                "rep", "doc_id"
+            )
+        )
+    bands = bands_parts[0]
+    members = members_parts[0]
+    for bp, mp in zip(bands_parts[1:], members_parts[1:]):
+        bands = bands.unionByName(bp)
+        members = members.unionByName(mp)
+    compacted = sorted(
+        map(tuple, compact_lsh_store(bands, members).collect())
+    )
+
+    sigs_all = sigs_of(docs)
+    reps_all = sigs_all.groupBy(*mh_cols).agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    rbands = dd.lsh_band_buckets(
+        reps_all.select(F.col("rep").alias("doc_id"), *mh_cols)
+    ).withColumnRenamed("doc_id", "rep")
+    assign = sigs_all.join(reps_all.select(*mh_cols, "rep"), mh_cols).select(
+        "doc_id", "rep"
+    )
+    one_shot = sorted(
+        map(
+            tuple,
+            assign.join(rbands, "rep")
+            .join(reps_all.select("rep", "n_members"), "rep")
+            .select("doc_id", "rep", "band_key", "n_members")
+            .collect(),
+        )
+    )
+    assert one_shot and compacted == one_shot

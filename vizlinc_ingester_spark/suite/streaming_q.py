@@ -1254,7 +1254,20 @@ def q_streaming_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         wd = plan_memo(spark, key, build, refresh=True)
     bands = spark.read.parquet(os.path.join(wd.path, "bands"))
     members = spark.read.parquet(os.path.join(wd.path, "members"))
+    return compact_lsh_store(bands, members)
 
+
+def compact_lsh_store(bands: DataFrame, members: DataFrame) -> DataFrame:
+    """Compact an append-only banded LSH store: ``bands`` (rep,
+    band_key, n_members — one rep per distinct signature PER BATCH,
+    any number of batches) + ``members`` (rep, doc_id) -> the
+    compacted per-document index (doc_id, rep, band_key, n_members)
+    with representatives re-collapsed ACROSS batches. Pure relational
+    algebra over the store relations (see q_streaming_lsh_compact for
+    the plan-shape and gating story); batch-count agnostic —
+    tests/test_streaming_dedup.py proves a 4-batch store compacts to
+    the same index as the 2-batch streamed one and the one-shot
+    build."""
     # signature fingerprint per per-batch rep, from its own postings
     per_rep = bands.groupBy("rep").agg(
         F.concat_ws(
