@@ -25,8 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-STEPS = [200, 500, 1_000, 2_000]
-MAX_EPOCHS = 4
+STEPS = [100, 200]
+MAX_EPOCHS = 8
 
 
 def main() -> None:
