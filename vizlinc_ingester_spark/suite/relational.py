@@ -490,9 +490,10 @@ def q_events_approx_profile(spark, sf_dir):
     events scan (sketch agg; distinct-counts agg; rank-count agg
     against the broadcast 5-row estimate table) joined on the 5-row
     group key — no Expand through t-digest state (a single combined
-    agg tripled every row through the hash aggregate: measured 3.7 s
-    vs 1.7 s split at sf0.01), and no per-group full-sort exact
-    percentile at all (the interpolated twin lives in
+    agg triples every row through the hash aggregate: idle-box
+    best-of-4 at sf0.01 is 2.9 s combined vs 2.0 s for all three
+    split passes), and no per-group full-sort exact percentile at
+    all (the interpolated twin lives in
     `value_percentiles`/`events_exact_profile`)."""
     ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
     approx = ev.groupBy("event_type").agg(
