@@ -99,7 +99,6 @@ def main() -> None:
     for step in STEPS:
         tmat = dict(tmat0)
         pkcs = []  # per-epoch prediction count tables
-        tmat_sum = dict(tmat0)
         for k in range(1, MAX_EPOCHS + 1):
             # current emission table, flat: ew0 + step*((k-1)*g - sum p_j)
             ew_k = gc
@@ -166,7 +165,6 @@ def main() -> None:
                 ]
             )
             pkcs.append(pkc)
-            tmat_sum = {k2: tmat_sum[k2] + tmat[k2] for k2 in grid}
             # final (unaveraged) weights after k updates
             ew_fin = ew0.join(
                 _joined_preds(gc, pkcs, VIT_CODES), "token"

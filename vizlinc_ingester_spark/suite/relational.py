@@ -487,22 +487,26 @@ def q_events_approx_profile(spark, sf_dir):
       n and any distribution, in pure integer arithmetic.
 
     Plan shape: three map-side-combinable passes over the projected
-    events scan (sketch agg; distinct-counts agg; rank-count agg
-    against the broadcast 5-row estimate table) joined on the 5-row
-    group key — no Expand through t-digest state (a single combined
-    agg triples every row through the hash aggregate: idle-box
-    best-of-4 at sf0.01 is 2.9 s combined vs 2.0 s for all three
-    split passes), and no per-group full-sort exact percentile at
-    all (the interpolated twin lives in
+    events scan — the sketch agg (collected once: |event_type| rows,
+    the bounded-driver-crossing stance, because leaving it lazy made
+    Catalyst plan its subtree TWICE, once column-pruned for the rank
+    join and once for the profile — a fourth full corpus scan), the
+    distinct-counts agg, and the rank-count agg against the broadcast
+    estimate literal — joined on the |event_type|-row key. No Expand
+    through t-digest state (a single combined agg triples every row
+    through the hash aggregate: idle-box best-of-4 at sf0.01 is 2.9 s
+    combined vs 2.0 s split), and no per-group full-sort exact
+    percentile at all (the interpolated twin lives in
     `value_percentiles`/`events_exact_profile`)."""
     ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
-    approx = ev.groupBy("event_type").agg(
+    approx_agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_count_distinct("cents", 0.02).alias("approx_values"),
         F.percentile_approx("cents", 0.5, 10000).alias("ap50_cents"),
         F.percentile_approx("cents", 0.99, 10000).alias("ap99_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    approx = spark.createDataFrame(approx_agg.collect(), approx_agg.schema)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("cents").alias("n_values"),

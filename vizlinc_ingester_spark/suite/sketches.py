@@ -664,8 +664,9 @@ def q_value_histogram(spark, sf_dir):
     along — the mergeable-quantiles structure (t-digest's gateable
     cousin: given shared bounds, histograms merge by cell-wise add,
     so profile jobs run per-partition and combine; the
-    ``events_approx_profile`` t-digest stays rows-only because its
-    cluster state is engine-defined, while THIS sketch is exact).
+    ``events_approx_profile`` t-digest's cluster state is
+    engine-defined, so it gates integer ACCEPTANCE columns against
+    its published rank-error bound, while THIS sketch is exact).
 
     Algebra (both engines, all int64): cents = round(value*100);
     per-type bounds lo/hi are exact min/max; bucket =
