@@ -256,3 +256,27 @@ def test_compact_lsh_store_is_batch_count_agnostic(spark, sf_dir):
         )
     )
     assert one_shot and compacted == one_shot
+
+
+def test_staged_halves_restages_after_reaper(spark, sf_dir):
+    """ADVICE r12: if a tmp reaper removes a memoized staging dir
+    mid-session, the memo must re-stage instead of serving the dead
+    path (which failed every staged streaming query until restart).
+    Pin by deleting the staging dir between two invocations of a
+    staged streaming gate: the second run must still produce the full
+    result, from a freshly staged dir."""
+    import os
+    import shutil
+
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        _staged_halves,
+        q_streaming_lm_kn,
+    )
+
+    a = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
+    # reach the same memoized staging path the query used and kill it
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = _staged_halves(spark, raw, "kn", "doc_id")
+    shutil.rmtree(stage)
+    b = sorted(map(tuple, q_streaming_lm_kn(spark, sf_dir).collect()))
+    assert a and a == b
