@@ -301,6 +301,20 @@ def plan_memo(
     explicit) unpersists the evicted DataFrames best-effort; a caller
     still holding one just recomputes.
 
+    EXCEPTION to "a caller still holding one just recomputes" (driver
+    ADVICE r13): values whose ``unpersist()`` DELETES a backing
+    directory (``streaming_q._StagedDir`` — staged corpora and
+    streamed store dirs) take their files with them on eviction, so a
+    still-unexecuted lazy DataFrame that READS under the evicted path
+    fails with file-not-found instead of recomputing — the stream
+    that produced the files cannot be replayed by Catalyst. Queries
+    returning plans over a memoized store (``streaming_lsh_compact``,
+    ``streaming_ivf_compact``) therefore re-check ``os.path.isdir``
+    at construction and refresh a dead memo, but a result held across
+    96+ intervening distinct-key memoizations must be executed (or
+    written out) before that; don't hand such plans to arbitrarily
+    delayed consumers.
+
     Builder contract for auxiliary persists (driver ADVICE r12): a
     builder that persists an intermediate NOT reachable from the
     returned plan must attach it with ``own_aux`` to the FINAL value

@@ -498,6 +498,8 @@ def q_events_approx_profile(spark, sf_dir):
     combined vs 2.0 s split), and no per-group full-sort exact
     percentile at all (the interpolated twin lives in
     `value_percentiles`/`events_exact_profile`)."""
+    from ..session import plan_key, plan_memo
+
     ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
     approx_agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -506,7 +508,17 @@ def q_events_approx_profile(spark, sf_dir):
         F.percentile_approx("cents", 0.99, 10000).alias("ap99_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    approx = spark.createDataFrame(approx_agg.collect(), approx_agg.schema)
+    # The collect is a construction-time Spark job (the only one in
+    # the suite) — memoized per (session, events plan) so explain/
+    # plan-shape passes and repeat invocations pay the corpus scan
+    # once, not per construction (driver ADVICE r13). The |event_type|
+    # rows are a trained-artifact analogue: the sketch estimates ARE
+    # the profile being gated; re-collecting them is pure recompute.
+    approx = plan_memo(
+        spark,
+        plan_key(approx_agg, "approx_profile_estimates"),
+        lambda: spark.createDataFrame(approx_agg.collect(), approx_agg.schema),
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("cents").alias("n_values"),
