@@ -30,6 +30,7 @@ import pytest
 HEAVY_QUERIES = [
     "streaming_lsh_insert",
     "streaming_lsh_compact",
+    "streaming_ivf_compact",
     "streaming_lang_quality_report",
     "events_approx_profile",
     "decontaminate_fuzzy",
