@@ -163,8 +163,14 @@ HEADLINE = [
     "ner_perceptron_ft",
     # round-14: IVF store compaction (same trained-artifact memo
     # convention as its LSH sibling — run 1 pays the streamed-store
-    # build, min-of-N reports the warm store-only compaction)
+    # build, min-of-N reports the warm store-only compaction), plus
+    # the text-postings store family: insert re-runs its ingest
+    # stream per invocation (the at-ingest fold IS the operator — the
+    # streaming_lsh_insert stance), compact follows the memoized
+    # trained-artifact convention
     "streaming_ivf_compact",
+    "streaming_postings_insert",
+    "streaming_postings_compact",
     # bm25_search_indexed is timed specially below (build vs probe);
     # sn_kcore stays out of the headline set like the rest of the
     # sn_* graph family (degrees/triangles/pagerank): their first

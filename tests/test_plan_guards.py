@@ -31,6 +31,7 @@ HEAVY_QUERIES = [
     "streaming_lsh_insert",
     "streaming_lsh_compact",
     "streaming_ivf_compact",
+    "streaming_postings_compact",
     "streaming_lang_quality_report",
     "events_approx_profile",
     "decontaminate_fuzzy",

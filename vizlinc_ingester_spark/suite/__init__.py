@@ -116,41 +116,49 @@ def _shipped(q):
 # hash-green round from the CORRECTNESS_r*.json records and writes
 # STALENESS.json; standing policy is *floor >= round - 4*. The r13
 # ledger: r9:7, r10:44, r11:46, r12:49, r13:50. Slot arithmetic this
-# round: 1 new operator (streaming_ivf_compact — the 16th streaming
-# execution, the IVF sibling of r13's LSH store compaction) + 1
-# changed-lineage re-proof (streaming_ivf_insert's ingest fold moved
-# into the shared _run_ivf_ingest_stream helper, mirroring the r13
+# round: 3 new operators (streaming_ivf_compact — the 16th streaming
+# execution, the IVF sibling of r13's LSH store compaction — plus
+# streaming_postings_insert / streaming_postings_compact, the
+# text-index store family, 17th/18th executions) + 1 changed-lineage
+# re-proof (streaming_ivf_insert's ingest fold moved into the shared
+# _run_ivf_ingest_stream helper, mirroring the r13
 # _run_lsh_ingest_stream lift) + ALL 7 r9 deferrals (judge item 1 —
 # bm25_search, revenue_by_nation_salted, minhash_signatures_vec,
 # events_tumbling_window, sn_triangles, audio_chunks,
-# curriculum_interleave) + 41 of the 44 r10 rows = 50. After r14 the
-# floor is r10 with exactly 3 deferrals — within the round-4 policy
+# curriculum_interleave) + 39 of the 44 r10 rows = 50. After r14 the
+# floor is r10 with exactly 5 deferrals — within the round-4 policy
 # (r10 >= 14 - 4).
 #
-# The 3 r10 rows deferred to r15 (each with an in-window same-lineage
-# carrier this round): across_doc_entities_person_simple and
-# within_doc_entities_person_simple (carriers: the in-window
+# The 5 r10 rows deferred to r15 (each with an in-window or fresher
+# same-lineage carrier this round): across_doc_entities_person_simple
+# and within_doc_entities_person_simple (carriers: the in-window
 # non-simple twins — the Simple variants differ only in the distance
 # predicate over the SAME sorted-neighborhood/cluster lineage),
 # sn_triangles_degree (carrier: in-window sn_triangles, the same
-# triangle core, plus in-window sn_degrees for the degree join). All
-# are locally re-proven every session by tests/test_oracle_parity.py.
+# triangle core, plus in-window sn_degrees for the degree join),
+# across_doc_entities_person_scalable (carrier: in-window
+# across_doc_entities_person — same pipeline, the scalable variant
+# differs only in the range-sort + boundary-stitch physical plan),
+# events_pivot_hourly (carrier: in-window events_unpivot_roundtrip,
+# which runs the SAME pivot lineage and then inverts it). All are
+# locally re-proven every session by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # (a) new in r14
     "streaming_ivf_compact",
+    "streaming_postings_compact", "streaming_postings_insert",
     # (b) changed lineage in r14 (shared IVF ingest-stream helper)
     "streaming_ivf_insert",
     # (c) the 7 r9 deferrals (freshness floor to r10)
     "audio_chunks", "bm25_search", "curriculum_interleave",
     "events_tumbling_window", "minhash_signatures_vec",
     "revenue_by_nation_salted", "sn_triangles",
-    # (d) 41 of the 44 r10 rows
+    # (d) 39 of the 44 r10 rows
     "across_doc_entities_location", "across_doc_entities_org",
-    "across_doc_entities_person", "across_doc_entities_person_scalable",
+    "across_doc_entities_person",
     "bpe_fertility", "corpus_budget_allocation", "created_by_filter",
     "curriculum_interleave_lang", "customer_order_histogram",
     "customer_value_quartiles_scalable", "decontaminate_ngrams",
-    "document_entity_counts", "events_cube", "events_pivot_hourly",
+    "document_entity_counts", "events_cube",
     "events_sliding_window", "events_unpivot_roundtrip",
     "global_id_clusters", "idle_rich_customers", "lm_doc_scores",
     "min_docs_filter", "nation_trade_volume", "ner_learned_viterbi",

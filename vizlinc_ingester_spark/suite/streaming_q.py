@@ -1535,3 +1535,305 @@ FROM bands b JOIN sizes s USING (band_key)
 
 
 ORACLES["streaming_lsh_insert"] = _lsh_insert_batch_oracle()
+
+
+# --- streaming text-postings store: at-ingest insert + segment merge -------
+#
+# The third store family (after the banded-LSH and IVF stores): the
+# inverted TEXT index behind the S9 search surface
+# (/root/reference/src/IngesterCLI.groovy:61-66 runs Lucene indexing
+# as an ingest stage; suite/search_q.py::build_text_index is the
+# batch twin). Lucene's actual production model is exactly this
+# pair: documents are folded into per-commit SEGMENTS at ingest, and
+# a background merge policy periodically rewrites segments into one
+# clustered generation — re-expressed here as two gated Spark
+# executions over an append-only parquet postings store.
+
+
+def _postings_segment(batch: DataFrame) -> DataFrame:
+    """The per-batch postings fold shared by the ingest stream and
+    the batch-count-agnosticism tests: tokenize (same single-space
+    split + 0-based slot positions as ``search_q.build_text_index``
+    — empty tokens hold their slot but emit no posting) and reduce
+    to one row per (doc_id, word) with its term frequency and
+    ordered position list. A document lives wholly in one batch, so
+    segment rows are FINAL the moment they are written — the fold is
+    append-only with no cross-batch reconciliation (the property the
+    LSH store lacks: its signature collapse spans batches), and the
+    whole store equals the one-shot global tokenize regardless of
+    how the corpus was sliced into batches.
+
+    ``positions`` is kept as the real array<long> (what phrase
+    adjacency seeks through); gated outputs render it as the
+    canonical comma-joined fingerprint so both engines hash a stable
+    scalar."""
+    toks = batch.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    return toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "positions"
+        ),
+    )
+
+
+def _run_postings_ingest_stream(spark: SparkSession, raw: DataFrame,
+                                stage: str) -> str:
+    """The at-ingest postings maintenance stream shared by
+    ``streaming_postings_insert`` (which finalizes the live store)
+    and ``streaming_postings_compact`` (which compacts it): consume
+    the staged corpus as a 2-micro-batch file stream and append each
+    batch's postings segment to the store. Returns the store dir —
+    one parquet SEGMENT per batch, rows (doc_id, word, tf,
+    positions). Per-batch work is one tokenize + one map-side-
+    combinable groupBy — the linear ingest path; nothing global is
+    touched until compaction."""
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="vl_stream_post_store_"), "postings"
+    )
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        _postings_segment(batch).write.mode("append").parquet(store)
+
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", _fresh_ck("s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_done(q, 900)
+    return store
+
+
+def q_streaming_postings_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-ingest inverted-index maintenance — the 17th true
+    readStream execution: the production shape of a search engine's
+    ingest path (the Lucene per-commit segment write the reference
+    drives at /root/reference/src/IngesterCLI.groovy:61-66), where
+    arriving documents are tokenized once and their postings appended
+    as an immutable segment. Output = the live store joined with its
+    per-term document-frequency rollup (the stats a query planner's
+    idf needs), gated against the one-shot global tokenize in DuckDB
+    — legal precisely because documents never span batches, so the
+    per-batch fold IS the global algebra (see _postings_segment).
+    Re-executes the full ingest stream per invocation: the at-ingest
+    fold is the operator under the gate (the streaming_lsh_insert
+    stance); the store-reusing form is streaming_postings_compact."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = _staged_halves(spark, raw, "post", "doc_id")
+    store = _run_postings_ingest_stream(spark, raw, stage)
+    postings = spark.read.parquet(store)
+    dfreq = postings.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return postings.join(dfreq, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.concat_ws(",", "positions").alias("positions_fp"),
+        "df",
+    )
+
+
+QUERIES["streaming_postings_insert"] = q_streaming_postings_insert
+
+
+def q_streaming_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment merge of the at-ingest postings store — the 18th true
+    readStream execution, the text-index sibling of
+    ``streaming_lsh_compact`` / ``streaming_ivf_compact`` and the
+    Spark rendering of Lucene's background merge policy: the
+    append-only store grows one segment per micro-batch, so a term
+    probe must touch every segment to assemble its posting list, and
+    foreachBatch's at-least-once contract means a recovered batch can
+    append its rows TWICE. Compaction erases re-delivered duplicates
+    and rewrites the store CLUSTERED by term, each posting list one
+    contiguous doc_id-sorted run with its addresses.
+
+    Works purely ON THE STORE — no corpus re-read, no re-tokenize
+    (what makes periodic merging affordable at 100 TB: tokenize cost
+    is paid once at ingest; the merge is relational algebra over
+    (doc_id, word, tf, positions) rows). Output is the compacted
+    layout: (word, doc_id, tf, positions_fp, pos, df) where ``pos``
+    is the document's 1-based address within the term's
+    doc_id-sorted posting list and ``df`` the list length — together
+    the seek structure a scorer reads. All shuffles bounded by store
+    size, never corpus size.
+
+    Zipf note for 100 TB: a bare per-term window would leave the
+    heaviest stopword's run (df up to n_docs) sorting in ONE task —
+    the batch index (search_q.build_text_index) shards STORAGE by
+    crc32(word) bucket, but that never balances a single term's
+    addressing. compact_postings_store therefore computes addresses
+    with the deterministic bucket-stitch (local ranks per (word,
+    doc-range bucket) + an offset window over the bounded per-bucket
+    COUNT relation — operators/neighborhood.py's offset-stitch
+    discipline), so the largest per-task unit is a term's slice
+    within one bucket, and the only per-term-keyed work is
+    n_buckets rows per term. The gate pins the address ALGEBRA;
+    bucket granularity never changes it (tested at 1 and 7).
+
+    Gate: the compacted layout must hash-match the one-shot global
+    tokenize + window addressing in DuckDB — proving the merge
+    erased every trace of the segment boundaries.
+    tests/test_streaming_postings.py additionally pins compacted ==
+    one-shot inside Spark, store-only plan reads, and batch-count +
+    re-delivery agnosticism with a duplicated 4-segment store.
+
+    The streamed store is memoized per (session, corpus plan) — the
+    compactor convention: a production merge runs against a store
+    that already exists; first invocation per session still executes
+    the true readStream ingest. Dead-path discipline as the
+    siblings: a reaped dir refreshes the memo (re-runs the stream)
+    instead of serving the dead path."""
+    from ..session import plan_key, plan_memo
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stage = _staged_halves(spark, raw, "post", "doc_id")
+
+    def build() -> _StagedDir:
+        return _StagedDir(_run_postings_ingest_stream(spark, raw, stage))
+
+    key = plan_key(raw, "post_stream_store")
+    wd = plan_memo(spark, key, build)
+    if not os.path.isdir(wd.path):
+        wd = plan_memo(spark, key, build, refresh=True)
+    return compact_postings_store(spark.read.parquet(wd.path))
+
+
+def compact_postings_store(postings: DataFrame,
+                           n_buckets: int = 32) -> DataFrame:
+    """Compact an append-only postings store: ``postings`` (doc_id,
+    word, tf, positions — any number of per-batch segments, possibly
+    with whole segments duplicated by at-least-once re-delivery) ->
+    the compacted clustered layout (word, doc_id, tf, positions_fp,
+    pos, df). Pure relational algebra over the store relation (see
+    q_streaming_postings_compact for the plan-shape and gating
+    story); segment-count and re-delivery agnostic — tests prove a
+    4-segment store with one segment appended twice compacts to the
+    same layout as the 2-segment streamed one and the one-shot fold.
+
+    Duplicate suppression is exact-row dedup: a segment row is a
+    FUNCTION of its document's text, so a re-delivered batch appends
+    byte-identical rows and ``distinct`` is the whole upsert story.
+    The position array is rendered to its canonical fingerprint
+    BEFORE the distinct so the dedup and all downstream algebra stay
+    inside whole-stage codegen on scalar columns.
+
+    Addressing is the Zipf-safe BUCKET-STITCH form, not a bare
+    per-term window (whose heaviest stopword run — df up to n_docs —
+    would sort in ONE task at 100 TB): each posting gets a
+    deterministic doc-id range bucket (monotone fixed-width over the
+    store's [min, max] doc_id span — no sampled range partitioner,
+    so re-computation of a shared subtree cannot disagree with
+    itself), local ranks are computed per (word, bucket) — the hot
+    term split across ``n_buckets`` parallel window partitions — and
+    the global address is local rank + the exclusive running sum of
+    earlier buckets' counts, stitched by a window over the per-(word,
+    bucket) COUNT relation (at most ``n_buckets`` rows per word, so
+    the only per-term-keyed work is bounded by the bucket count, not
+    by df). Same offset-stitch discipline as
+    operators/neighborhood.py's distributed sorted-neighborhood; the
+    min/max doc_id probe is one column-pruned scalar aggregate (a
+    bounded 2-value driver crossing). Bucket granularity only affects
+    parallelism, never the addresses — tests pin n_buckets=1 and
+    n_buckets=7 byte-equal."""
+    from pyspark.sql import Window
+
+    lo, hi = postings.agg(
+        F.min("doc_id"), F.max("doc_id")
+    ).first()
+    lo = 0 if lo is None else lo
+    span = max(1, (hi if hi is not None else 0) - lo + 1)
+    uniq = postings.select(
+        "doc_id",
+        "word",
+        "tf",
+        F.concat_ws(",", "positions").alias("positions_fp"),
+    ).distinct()
+    b = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col("doc_id") - F.lit(lo)) * n_buckets / F.lit(span)).cast(
+            "long"
+        ),
+    )
+    bucketed = uniq.withColumn("__bkt", b)
+    wl = Window.partitionBy("word", "__bkt").orderBy("doc_id")
+    local = bucketed.withColumn("lpos", F.row_number().over(wl))
+    counts = bucketed.groupBy("word", "__bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ww = Window.partitionBy("word")
+    wcum = ww.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "word",
+        "__bkt",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).cast("long").alias(
+            "off"
+        ),
+        F.sum("c").over(ww).cast("long").alias("df"),
+    )
+    return local.join(offs, ["word", "__bkt"]).select(
+        "word",
+        "doc_id",
+        "tf",
+        "positions_fp",
+        (F.col("lpos") + F.col("off")).cast("long").alias("pos"),
+        "df",
+    )
+
+
+QUERIES["streaming_postings_compact"] = q_streaming_postings_compact
+
+
+# Shared tokenize CTEs: the same single-space split + 0-based slot
+# semantics as the Spark fold (and as search_q's corpus-direct
+# oracles: 1-based t[i] probes, slot = i - 1, empty tokens hold
+# their slot but emit no posting).
+_POSTINGS_TF_CTES = """tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, t[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+  FROM tk, UNNEST(generate_series(1, len(t))) AS u(i)
+  WHERE t[i] <> ''
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_fp
+  FROM toks GROUP BY doc_id, word
+)"""
+
+
+def _postings_insert_batch_oracle() -> str:
+    return f"""
+WITH {_POSTINGS_TF_CTES},
+dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word)
+SELECT t.doc_id, t.word, t.tf, t.positions_fp, d.df
+FROM tf t JOIN dfr d USING (word)
+"""
+
+
+ORACLES["streaming_postings_insert"] = _postings_insert_batch_oracle()
+
+
+def _postings_compact_batch_oracle() -> str:
+    return f"""
+WITH {_POSTINGS_TF_CTES}
+SELECT word, doc_id, tf, positions_fp,
+       CAST(row_number() OVER (
+           PARTITION BY word ORDER BY doc_id) AS BIGINT) AS pos,
+       CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
+FROM tf
+"""
+
+
+ORACLES["streaming_postings_compact"] = _postings_compact_batch_oracle()
