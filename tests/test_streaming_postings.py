@@ -128,3 +128,90 @@ def test_compact_postings_store_bucket_granularity_invariant(spark, sf_dir):
         map(tuple, compact_postings_store(store, n_buckets=7).collect())
     )
     assert one and one == seven
+
+
+def _streamed_store_positions(store, word):
+    """Posting-list probe of the compacted streamed store: one term's
+    doc_ids + positions, the fingerprint decoded back to the real
+    array<long> (the store's gated rendering is the comma-joined
+    canonical form)."""
+    return store.filter(F.col("word") == word).select(
+        "doc_id",
+        F.transform(
+            F.split("positions_fp", ","), lambda x: x.cast("long")
+        ).alias("positions"),
+    )
+
+
+def test_streamed_store_serves_bm25(spark, sf_dir):
+    """End of the loop: the streamed + compacted postings store must
+    be a FUNCTIONAL index, not just a gated layout — BM25 top-k
+    served from the store alone (tf probe + dl/stats rollups, the
+    identical scoring tail) equals the corpus-scan q_bm25_search."""
+    from vizlinc_ingester_spark.suite.search_q import (
+        TERMS,
+        _bm25_topk,
+        q_bm25_search,
+    )
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_postings_compact,
+    )
+
+    store = q_streaming_postings_compact(spark, sf_dir)
+    tf = store.filter(F.col("word").isin(*TERMS)).select(
+        "doc_id", "word", "tf"
+    )
+    dl = store.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    served = sorted(map(tuple, _bm25_topk(tf, dl, stats).collect()))
+    scanned = sorted(map(tuple, q_bm25_search(spark, sf_dir).collect()))
+    assert served and served == scanned
+
+
+def test_streamed_store_serves_phrase(spark, sf_dir):
+    """The positional half: exact-phrase adjacency answered from the
+    streamed store's position lists (decoded fingerprints, the same
+    shifted-intersect chain as search_q.search_phrase_indexed) equals
+    the batch positional index's q_phrase_search_indexed."""
+    from vizlinc_ingester_spark.suite.search_q import (
+        PHRASE,
+        q_phrase_search_indexed,
+    )
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_postings_compact,
+    )
+
+    store = q_streaming_postings_compact(spark, sf_dir)
+    out = _streamed_store_positions(store, PHRASE[0]).withColumnRenamed(
+        "positions", "p0"
+    )
+    chain = F.col("p0")
+    for k, w in enumerate(PHRASE[1:], start=1):
+        out = out.join(
+            _streamed_store_positions(store, w).withColumnRenamed(
+                "positions", f"p{k}"
+            ),
+            "doc_id",
+        )
+        chain = F.array_intersect(
+            chain, F.transform(F.col(f"p{k}"), lambda x: x - k)
+        )
+    served = sorted(
+        map(
+            tuple,
+            out.select(
+                "doc_id", F.size(chain).cast("long").alias("n_occurrences")
+            )
+            .filter(F.col("n_occurrences") > 0)
+            .collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, q_phrase_search_indexed(spark, sf_dir).collect())
+    )
+    assert served and served == batch
