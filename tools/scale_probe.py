@@ -86,7 +86,15 @@ def main() -> None:
     ap.add_argument("--sf1-dir", default="/tmp/sf1_probe")
     ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--probes",
+        default=None,
+        help="comma-separated query names to probe instead of the "
+        "default five-heaviest set",
+    )
     args = ap.parse_args()
+    if args.probes:
+        PROBES[:] = [p for p in args.probes.split(",") if p]
     ensure_sf1(args.sf01_dir, args.sf1_dir)
 
     from vizlinc_ingester_spark.session import get_spark
