@@ -218,7 +218,14 @@ import weakref
 #: suite session holds ~12 stage outputs + ~15 trained-model/index
 #: artifacts + events/truth/membership projections per sf_dir, and a
 #: host cycling several sf_dirs would otherwise grow without bound.
-PLAN_MEMO_MAX_ENTRIES = 96
+#: Re-measured r14 after the third streaming store family landed: a
+#: bench session (full headline sweep at sf0.001 warm-up + sf0.1)
+#: peaks at 88 distinct keys — 8 below the old bound of 96, i.e. one
+#: more store family away from silent LRU churn, whose symptom is
+#: exactly the uniform many-query inflation the r12 phantom
+#: regression taught us to distrust. Raised with headroom; the bound
+#: still exists only to cap a host cycling MANY sf_dirs.
+PLAN_MEMO_MAX_ENTRIES = 128
 
 _PLAN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
