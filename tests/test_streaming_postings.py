@@ -215,3 +215,35 @@ def test_streamed_store_serves_phrase(spark, sf_dir):
         map(tuple, q_phrase_search_indexed(spark, sf_dir).collect())
     )
     assert served and served == batch
+
+
+def test_streaming_tempdirs_bounded_across_invocations(spark, sf_dir):
+    """Self-review r14 (the ADVICE-r12 leak class, per-invocation
+    side): repeated invocations of streaming queries must NOT grow
+    /tmp — every per-invocation checkpoint, fold-state work dir and
+    at-ingest store lives in a rotating session-owned slot that
+    deletes its predecessor. Round 2 must create zero net dirs."""
+    import glob
+
+    from vizlinc_ingester_spark.suite.streaming_q import (
+        q_streaming_kmv,
+        q_streaming_postings_insert,
+    )
+
+    def n_dirs():
+        return len(
+            glob.glob("/tmp/vl_stream_*") + glob.glob("/tmp/vl_ck_*")
+        )
+
+    def round_trip():
+        q_streaming_postings_insert(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        q_streaming_kmv(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    round_trip()  # populate every rotating slot
+    before = n_dirs()
+    round_trip()  # every slot must rotate in place
+    assert n_dirs() == before

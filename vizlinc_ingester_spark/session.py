@@ -318,9 +318,9 @@ def plan_memo(
     returning plans over a memoized store (``streaming_lsh_compact``,
     ``streaming_ivf_compact``) therefore re-check ``os.path.isdir``
     at construction and refresh a dead memo, but a result held across
-    96+ intervening distinct-key memoizations must be executed (or
-    written out) before that; don't hand such plans to arbitrarily
-    delayed consumers.
+    PLAN_MEMO_MAX_ENTRIES+ intervening distinct-key memoizations must
+    be executed (or written out) before that; don't hand such plans
+    to arbitrarily delayed consumers.
 
     Builder contract for auxiliary persists (driver ADVICE r12): a
     builder that persists an intermediate NOT reachable from the

@@ -96,8 +96,43 @@ def _staged_halves(spark: SparkSession, df: DataFrame, tag: str,
     return staged.path
 
 
-def _fresh_ck(tag: str) -> str:
-    return os.path.join(tempfile.mkdtemp(prefix=f"vl_ck_{tag}_"), "_ck")
+def _rotating_dir(spark: SparkSession, slot: str, prefix: str) -> str:
+    """One session-owned tempdir per ``slot``, rotated per call: each
+    invocation deletes the previous invocation's dir (plan_memo
+    refresh -> _StagedDir.unpersist -> rmtree) and registers a fresh
+    one, so a long sweep session holds at most ONE live dir per slot
+    instead of leaking one tempdir per call (self-review r14 — the
+    ADVICE-r12 staging-dir leak class on the per-invocation side:
+    checkpoints, fold-state work dirs, and at-ingest store dirs).
+    Rotation is session-wide, not per-input plan: a slot's previous
+    dir is always dead by rotation time, because every stream here is
+    started AND drained inside the query call that created the dir
+    (checkpoints die with their availableNow drain; work/store
+    contents are consumed by the same invocation, or — for the
+    insert-store slots — by the next prompt execution, the documented
+    _StagedDir promptness contract). Memoized MULTI-invocation state
+    (the compactors' streamed stores, _staged_halves stagings) keeps
+    its own non-rotating keys and is never touched by this."""
+    from ..session import plan_memo
+
+    wd = plan_memo(
+        spark,
+        ("rotating_dir", slot),
+        lambda: _StagedDir(tempfile.mkdtemp(prefix=prefix)),
+        refresh=True,
+    )
+    return wd.path
+
+
+def _fresh_ck(spark: SparkSession, tag: str) -> str:
+    """Fresh checkpoint dir for ONE availableNow stream run, in a
+    rotating session slot: a checkpoint is dead the moment its stream
+    drains (every invocation starts a new one), and every stream in
+    this module is drained inside the query call that started it, so
+    rotation only ever reclaims an already-dead checkpoint."""
+    return os.path.join(
+        _rotating_dir(spark, f"ck_{tag}", f"vl_ck_{tag}_"), "_ck"
+    )
 
 
 def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +162,7 @@ def q_streaming_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -217,7 +252,7 @@ def q_streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -268,7 +303,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.expr("ts div 1000000000").cast("long")).alias("tss"),
     )
     max_s = src.agg(F.max(F.unix_timestamp("tss")).alias("m")).collect()[0].m
-    stage = tempfile.mkdtemp(prefix="vl_stream_sess_")
+    stage = _rotating_dir(spark, "stage_sess", "vl_stream_sess_")
     src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)
@@ -319,7 +354,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -355,7 +390,7 @@ def q_streaming_incremental_coref(spark: SparkSession, sf_dir: str) -> DataFrame
     derived entity table per batch (idempotent)."""
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "coref", "doc_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_coref_work_")
+    work = _rotating_dir(spark, "work_coref", "vl_stream_coref_work_")
 
     from ..operators import coref, mentions as mops
 
@@ -380,7 +415,7 @@ def q_streaming_incremental_coref(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q = (
         stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -428,7 +463,7 @@ def q_streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).collect()[0]
     cut = (bounds.lo + bounds.hi) // 2
-    stage = tempfile.mkdtemp(prefix="vl_stream_sess_state_")
+    stage = _rotating_dir(spark, "stage_sess_state_", "vl_stream_sess_state_")
     src.filter(F.col("ts") <= cut).coalesce(1).write.mode("overwrite").parquet(
         stage
     )
@@ -472,7 +507,7 @@ def q_streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -504,7 +539,7 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", "text"
     )
     stage = _staged_halves(spark, raw, "dedup", "doc_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_dedup_work_")
+    work = _rotating_dir(spark, "work_dedup", "vl_stream_dedup_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -539,7 +574,7 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "user_id"
     )
     stage = _staged_halves(spark, raw, "kmv", "event_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_kmv_work_")
+    work = _rotating_dir(spark, "work_kmv", "vl_stream_kmv_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -565,7 +600,7 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -591,7 +626,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id"
     )
     stage = _staged_halves(spark, raw, "bloom", "event_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_bloom_work_")
+    work = _rotating_dir(spark, "work_bloom", "vl_stream_bloom_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -615,7 +650,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -723,7 +758,7 @@ def q_streaming_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "quality", "doc_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_quality_work_")
+    work = _rotating_dir(spark, "work_quality", "vl_stream_quality_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -745,7 +780,7 @@ def q_streaming_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -791,7 +826,7 @@ def q_streaming_lang_quality_report(
     keys = ("source", "lang")
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "langq", "doc_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_langq_work_")
+    work = _rotating_dir(spark, "work_langq", "vl_stream_langq_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -813,7 +848,7 @@ def q_streaming_lang_quality_report(
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -862,7 +897,7 @@ def q_streaming_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist per invocation; r10 ADVICE)
     enc = _fertility_enc(spark, sf_dir)
     stage = _staged_halves(spark, raw, "fert", "doc_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_fert_work_")
+    work = _rotating_dir(spark, "work_fert", "vl_stream_fert_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -884,7 +919,7 @@ def q_streaming_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -925,7 +960,7 @@ def q_streaming_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "kn", "doc_id")
-    work = tempfile.mkdtemp(prefix="vl_stream_kn_work_")
+    work = _rotating_dir(spark, "work_kn", "vl_stream_kn_work_")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -948,7 +983,7 @@ def q_streaming_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -994,7 +1029,10 @@ def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     interchangeable stores."""
     raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     stage = _staged_halves(spark, raw, "ivf", "vec_id")
-    store = _run_ivf_ingest_stream(spark, raw, stage)
+    store = _run_ivf_ingest_stream(
+        spark, raw, stage,
+        _rotating_dir(spark, "live_ivf", "vl_stream_ivf_store_"),
+    )
     postings = spark.read.parquet(store)
     n_list = postings.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_list")
@@ -1061,7 +1099,7 @@ def _ivf_centroid_broadcast(spark: SparkSession, raw: DataFrame):
 
 
 def _run_ivf_ingest_stream(spark: SparkSession, raw: DataFrame,
-                           stage: str) -> str:
+                           stage: str, work: str) -> str:
     """The at-ingest IVF maintenance stream shared by
     ``streaming_ivf_insert`` (which finalizes the live store) and
     ``streaming_ivf_compact`` (which compacts it): consume the staged
@@ -1073,9 +1111,7 @@ def _run_ivf_ingest_stream(spark: SparkSession, raw: DataFrame,
     (measured: the fold form cost ~7 s/invocation at sf0.1, the
     matmul form is the same shape kmeans_clusters_vec measured 11x
     faster)."""
-    store = os.path.join(
-        tempfile.mkdtemp(prefix="vl_stream_ivf_store_"), "postings"
-    )
+    store = os.path.join(work, "postings")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1092,7 +1128,7 @@ def _run_ivf_ingest_stream(spark: SparkSession, raw: DataFrame,
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1153,13 +1189,17 @@ def q_streaming_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _staged_halves(spark, raw, "ivf", "vec_id")
 
     def build() -> _StagedDir:
-        return _StagedDir(_run_ivf_ingest_stream(spark, raw, stage))
+        wd = _StagedDir(tempfile.mkdtemp(prefix="vl_stream_ivf_store_"))
+        _run_ivf_ingest_stream(spark, raw, stage, wd.path)
+        return wd
 
     key = plan_key(raw, "ivf_stream_store")
     wd = plan_memo(spark, key, build)
     if not os.path.isdir(wd.path):
         wd = plan_memo(spark, key, build, refresh=True)
-    return compact_ivf_store(spark.read.parquet(wd.path))
+    return compact_ivf_store(
+        spark.read.parquet(os.path.join(wd.path, "postings"))
+    )
 
 
 def compact_ivf_store(postings: DataFrame) -> DataFrame:
@@ -1299,7 +1339,10 @@ def q_streaming_lsh_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     for steady-state index-maintenance cost."""
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "lsh", "doc_id")
-    work = _run_lsh_ingest_stream(spark, raw, stage)
+    work = _run_lsh_ingest_stream(
+        spark, raw, stage,
+        _rotating_dir(spark, "live_lsh", "vl_stream_lsh_store_"),
+    )
     bands = spark.read.parquet(os.path.join(work, "bands"))
     sizes = bands.groupBy("band_key").agg(
         F.sum("n_members").cast("long").alias("n_bucket")
@@ -1316,17 +1359,19 @@ QUERIES["streaming_lsh_insert"] = q_streaming_lsh_insert
 
 
 def _run_lsh_ingest_stream(spark: SparkSession, raw: DataFrame,
-                           stage: str) -> str:
+                           stage: str, work: str) -> str:
     """The at-ingest LSH maintenance stream shared by
     ``streaming_lsh_insert`` (which finalizes the live store) and
     ``streaming_lsh_compact`` (which compacts it): consume the staged
     corpus as a 2-micro-batch file stream and fold each batch into
-    the append-only store. Returns the store work dir containing
+    the append-only store under CALLER-OWNED ``work`` (the insert
+    rotates a live-store slot, the compactor builds inside its
+    memoized _StagedDir — self-review r14: the helper-owned mkdtemp
+    leaked one store per invocation). Returns ``work``, containing
     ``bands`` (rep, band_key, n_members — one rep per distinct
     signature PER BATCH) and ``members`` (rep, doc_id)."""
     from ..operators import dedup as dd
 
-    work = tempfile.mkdtemp(prefix="vl_stream_lsh_store_")
     bands_store = os.path.join(work, "bands")
     members_store = os.path.join(work, "members")
     src = (
@@ -1370,7 +1415,7 @@ def _run_lsh_ingest_stream(spark: SparkSession, raw: DataFrame,
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1421,7 +1466,9 @@ def q_streaming_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _staged_halves(spark, raw, "lsh", "doc_id")
 
     def build() -> _StagedDir:
-        return _StagedDir(_run_lsh_ingest_stream(spark, raw, stage))
+        wd = _StagedDir(tempfile.mkdtemp(prefix="vl_stream_lsh_store_"))
+        _run_lsh_ingest_stream(spark, raw, stage, wd.path)
+        return wd
 
     key = plan_key(raw, "lsh_stream_store")
     wd = plan_memo(spark, key, build)
@@ -1579,7 +1626,7 @@ def _postings_segment(batch: DataFrame) -> DataFrame:
 
 
 def _run_postings_ingest_stream(spark: SparkSession, raw: DataFrame,
-                                stage: str) -> str:
+                                stage: str, work: str) -> str:
     """The at-ingest postings maintenance stream shared by
     ``streaming_postings_insert`` (which finalizes the live store)
     and ``streaming_postings_compact`` (which compacts it): consume
@@ -1589,9 +1636,7 @@ def _run_postings_ingest_stream(spark: SparkSession, raw: DataFrame,
     positions). Per-batch work is one tokenize + one map-side-
     combinable groupBy — the linear ingest path; nothing global is
     touched until compaction."""
-    store = os.path.join(
-        tempfile.mkdtemp(prefix="vl_stream_post_store_"), "postings"
-    )
+    store = os.path.join(work, "postings")
     src = (
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1603,7 +1648,7 @@ def _run_postings_ingest_stream(spark: SparkSession, raw: DataFrame,
 
     q = (
         src.writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", _fresh_ck("s"))
+        .option("checkpointLocation", _fresh_ck(spark, "s"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1627,7 +1672,10 @@ def q_streaming_postings_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stance); the store-reusing form is streaming_postings_compact."""
     raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "post", "doc_id")
-    store = _run_postings_ingest_stream(spark, raw, stage)
+    store = _run_postings_ingest_stream(
+        spark, raw, stage,
+        _rotating_dir(spark, "live_post", "vl_stream_post_store_"),
+    )
     postings = spark.read.parquet(store)
     dfreq = postings.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -1698,13 +1746,17 @@ def q_streaming_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _staged_halves(spark, raw, "post", "doc_id")
 
     def build() -> _StagedDir:
-        return _StagedDir(_run_postings_ingest_stream(spark, raw, stage))
+        wd = _StagedDir(tempfile.mkdtemp(prefix="vl_stream_post_store_"))
+        _run_postings_ingest_stream(spark, raw, stage, wd.path)
+        return wd
 
     key = plan_key(raw, "post_stream_store")
     wd = plan_memo(spark, key, build)
     if not os.path.isdir(wd.path):
         wd = plan_memo(spark, key, build, refresh=True)
-    return compact_postings_store(spark.read.parquet(wd.path))
+    return compact_postings_store(
+        spark.read.parquet(os.path.join(wd.path, "postings"))
+    )
 
 
 def compact_postings_store(postings: DataFrame,
