@@ -602,6 +602,23 @@ def q_hybrid_search_rrf(spark, sf_dir):
         F.floor(score * SCALE).cast("long").alias("bm25_micro"),
         "tfidf_micro",
     )
+    # r14 optimization (guide §2.4 duplicated subtree): the two
+    # TakeOrdered top-k branches below each re-derived the whole
+    # front end (corpus tokenize -> dl/stats/tf/df -> score) — the
+    # before-plan shows 8 parquet scan nodes, zero cached relations.
+    # ``scored`` is bounded (one row per doc containing >= 1 query
+    # term, i.e. posting-list-sized, never corpus-sized), so persist
+    # it through the returned plan; the rotating registry slot
+    # releases the previous invocation's copy, and eviction is safe
+    # (an unpersisted cache recomputes). One front-end pass instead
+    # of two, at any scale.
+    from ..session import plan_memo
+
+    scored = plan_memo(
+        spark, ("hybrid_rrf_scored_slot",),
+        lambda: scored.persist(), refresh=True,
+    )
+    scored.count()  # materialize before the two concurrent top-k branches
 
     def _ranked(col: str, out: str) -> DataFrame:
         top = scored.orderBy(F.desc(col), F.asc("doc_id")).limit(TOPK)

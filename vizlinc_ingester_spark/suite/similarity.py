@@ -1353,24 +1353,36 @@ def q_ann_recall_eval(spark, sf_dir):
 
 def _recall_metrics(truth: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared metric layer: per-query recall@RECALL_K + true-NN
-    reciprocal rank of ``approx`` against ``truth``."""
+    reciprocal rank of ``approx`` against ``truth``.
+
+    ONE truth⋈approx join feeds both metrics (r14 optimization,
+    guide §2.4): the original two-join form (hits; then a second
+    join filtered to t_rank == 1 for the reciprocal rank) evaluated
+    the ``approx`` subtree TWICE per action — and approx is the full
+    ANN pipeline under test, the most expensive lineage in each
+    recall eval (ann_recall_eval_ivfrpq's before-plan shows the
+    doubled IVF+RPQ scoring subtree: 18 parquet scan nodes / ~104
+    exchanges). The merged aggregation is value-identical: truth has
+    exactly one t_rank == 1 row per query, so
+    max(when(t_rank == 1, div(1e6, a_rank))) over the matched rows
+    is that row's reciprocal rank (or NULL when the index missed the
+    true NN — coalesced to 0, as before)."""
     qids = truth.select("query_id").distinct()
-    hits = (
+    matched = (
         truth.join(approx, ["query_id", "cand_id"])
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    rr = (
-        truth.filter(F.col("t_rank") == 1)
-        .join(approx, ["query_id", "cand_id"])
-        .select(
-            "query_id",
-            F.expr("div(1000000, a_rank)").cast("long").alias("rr_micro"),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max(
+                F.when(
+                    F.col("t_rank") == 1,
+                    F.expr("div(1000000, a_rank)"),
+                )
+            ).cast("long").alias("rr_micro"),
         )
     )
     return (
-        qids.join(hits, "query_id", "left")
-        .join(rr, "query_id", "left")
+        qids.join(matched, "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),

@@ -141,12 +141,7 @@ def q_extract_text_formats(spark, sf_dir):
     invert the formats (the reference's Tika front door,
     src/TextExtractor.groovy:12-28: "Microsoft Office files, PDF,
     plaintext, XML and many other formats")."""
-    from ..io.sources import (
-        extract_text, render_doc, render_docx, render_eml, render_epub,
-        render_ics, render_mbox, render_msg, render_odt, render_pdf,
-        render_ppt, render_pptx, render_vcf, render_xls, render_xlsx,
-        rtf_render,
-    )
+    from ..io.sources import extract_text, rtf_render
     from ..session import ship_package
 
     ship_package(spark)
@@ -174,53 +169,91 @@ def q_extract_text_formats(spark, sf_dir):
         esc_html,
         F.lit("</p></body></html>"),
     )
-    # Renders are built as per-format FILTERED SLICES, NOT a when-chain
-    # over the pandas-UDF renderers: Spark hoists each ArrowEvalPython
-    # node out of a conditional and evaluates it on EVERY row, so the
-    # when-chain form ran all ~11 container renderers over the full
-    # corpus and discarded 13/14 of the work (the same hazard
-    # extract_text_auto documents on the extract side; r11 review).
-    renders = {
-        "txt": F.encode(F.col("text"), "UTF-8"),
-        "html": F.encode(html_doc, "UTF-8"),
-        "rtf": F.encode(rtf_render(F.col("text")), "UTF-8"),
-        # half the PDFs Flate-compressed (doc_id % 34 == 2), half
-        # uncompressed (== 19): one gate proves both branches
-        "pdf": render_pdf(F.col("text"), F.col("doc_id") % 34 == 2),
-        "docx": render_docx(F.col("text")),
-        "odt": render_odt(F.col("text")),
-        "doc": render_doc(F.col("text")),
-        "xls": render_xls(F.col("text")),
-        "ppt": render_ppt(F.col("text")),
-        "xlsx": render_xlsx(F.col("text")),
-        "pptx": render_pptx(F.col("text")),
-        "epub": render_epub(F.col("text")),
-        "msg": render_msg(F.col("text")),
-        "eml": render_eml(F.col("text")),
-        "ics": render_ics(F.col("text")),
-        "vcf": render_vcf(F.col("text")),
-        "mbox": render_mbox(F.col("text")),
-    }
+    # Renders are per-format FILTERED SLICES, NOT a when-chain over
+    # pandas-UDF renderers: Spark hoists each ArrowEvalPython node out
+    # of a conditional and evaluates it on EVERY row, so the when-chain
+    # form ran all ~11 container renderers over the full corpus and
+    # discarded 13/14 of the work (the same hazard extract_text_auto
+    # documents on the extract side; r11 review).
+    #
+    # r14 optimization (guide §4.1/§4.2 — cross the Python boundary
+    # once, not 14 times): the per-slice form planned 14 SEPARATE
+    # ArrowEvalPython subtrees (one render + one extract node per
+    # binary format) over 17 scans of the same parquet — 28 Python
+    # crossings per action (plans/r14/extract_text_formats_before.txt).
+    # The 14 binary formats now run as ONE mapInPandas pass over ONE
+    # filtered scan, dispatching per row to the IDENTICAL per-row
+    # kernels the registered extractors wrap (_pdf_bytes_of_text /
+    # _pdf_text_of_bytes etc. — the render->extract round-trip is
+    # byte-for-byte the same); the 3 Column-expression formats
+    # (txt/html/rtf) keep their pure-JVM branches through the real
+    # ``extract_text`` front door. 17 scans + 28 Python nodes ->
+    # 4 scans + 1 MapInPandas.
+    from ..io import sources as _src
+
     tagged = d.withColumn("__fmt", fmt)
     parts = []
-    for f, x in (
-        ("txt", "utf8"), ("html", "html"), ("pdf", "pdf"),
-        ("docx", "docx"), ("odt", "odt"), ("rtf", "rtf"),
-        ("doc", "doc"), ("xls", "xls"), ("ppt", "ppt"),
-        ("xlsx", "xlsx"), ("pptx", "pptx"),
-        ("epub", "epub"), ("msg", "msg"), ("eml", "eml"),
-        ("ics", "ics"), ("vcf", "vcf"), ("mbox", "mbox"),
-    ):
+    for f, x in (("txt", "utf8"), ("html", "html"), ("rtf", "rtf")):
+        render = {
+            "txt": F.encode(F.col("text"), "UTF-8"),
+            "html": F.encode(html_doc, "UTF-8"),
+            "rtf": F.encode(rtf_render(F.col("text")), "UTF-8"),
+        }[f]
         files = tagged.filter(F.col("__fmt") == f).select(
             F.concat(
                 F.lit("mem://corpus/"), F.col("doc_id").cast("string"),
                 F.lit("."), F.col("__fmt"),
             ).alias("path"),
-            renders[f].alias("content"),
+            render.alias("content"),
         )
-        parts.append(extract_text(files, extractor=x))
-    out = parts[0]
-    for p in parts[1:]:
+        parts.append(extract_text(files, extractor=x).select("name", "text"))
+
+    _kernels = {
+        # text -> container bytes -> extracted text, same kernels the
+        # registered pandas-UDF extractors call row-by-row
+        "pdf": lambda t, d: _src._pdf_text_of_bytes(
+            # half Flate-compressed (doc_id % 34 == 2), half
+            # uncompressed (== 19): one gate proves both branches
+            _src._pdf_bytes_of_text(t, d % 34 == 2)
+        ),
+        "docx": lambda t, d: _src._docx_text_of_bytes(_src._docx_bytes_of_text(t)),
+        "odt": lambda t, d: _src._odt_text_of_bytes(_src._odt_bytes_of_text(t)),
+        "doc": lambda t, d: _src._doc_text_of_bytes(_src._doc_bytes_of_text(t)),
+        "xls": lambda t, d: _src._xls_text_of_bytes(_src._xls_bytes_of_text(t)),
+        "ppt": lambda t, d: _src._ppt_text_of_bytes(_src._ppt_bytes_of_text(t)),
+        "xlsx": lambda t, d: _src._xlsx_text_of_bytes(_src._xlsx_bytes_of_text(t)),
+        "pptx": lambda t, d: _src._pptx_text_of_bytes(_src._pptx_bytes_of_text(t)),
+        "epub": lambda t, d: _src._epub_text_of_bytes(_src._epub_bytes_of_text(t)),
+        "msg": lambda t, d: _src._msg_text_of_bytes(_src._msg_bytes_of_text(t)),
+        "eml": lambda t, d: _src._eml_text_of_bytes(_src._eml_bytes_of_text(t)),
+        "ics": lambda t, d: _src._ics_text_of_bytes(_src._ics_bytes_of_text(t)),
+        "vcf": lambda t, d: _src._vcf_text_of_bytes(_src._vcf_bytes_of_text(t)),
+        "mbox": lambda t, d: _src._mbox_text_of_bytes(_src._mbox_bytes_of_text(t)),
+    }
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            names, texts = [], []
+            for doc_id, f, t in zip(
+                pdf["doc_id"], pdf["__fmt"], pdf["text"]
+            ):
+                names.append(f"{doc_id}.{f}")
+                texts.append(
+                    None if t is None else _kernels[f](t, int(doc_id))
+                )
+            yield pd.DataFrame({"name": names, "text": texts})
+
+    binary = (
+        tagged.filter(F.col("__fmt").isin(*_kernels))
+        .select("doc_id", "__fmt", "text")
+        .mapInPandas(roundtrip, "name string, text string")
+    )
+    out = binary
+    for p in parts:
         out = out.unionByName(p)
     return out.select("name", "text")
 
@@ -1652,24 +1685,35 @@ def q_perplexity_buckets(spark, sf_dir):
     selection reproduces the global window exactly (the sort key is
     unique, so assignment is deterministic)."""
     from ..operators.selection import exact_rank_keys, ntile_boundaries
+    from ..session import plan_memo
 
-    scores = q_lm_doc_scores(spark, sf_dir).select(
-        "doc_id", "avg_nll_micro"
+    # r14 optimization (guide §1.2 "don't compute things you throw
+    # away"): the original persisted ``scores`` only for the boundary
+    # pass, unpersisted it, then RETURNED a fresh q_lm_doc_scores
+    # lineage — so every action re-paid the full scoring pipeline
+    # (tokenize + model join + per-doc agg) a second time. Keep the
+    # persisted relation alive through the returned plan instead; the
+    # rotating registry slot releases the PREVIOUS invocation's copy
+    # (exactly one resident per session, the _rotating_dir stance),
+    # and an eviction is safe — an unpersisted cache just recomputes.
+    scores = plan_memo(
+        spark,
+        ("perplexity_scores_slot",),
+        lambda: q_lm_doc_scores(spark, sf_dir)
+        .select("doc_id", "avg_nll_micro")
+        .persist(),
+        refresh=True,
     )
-    scores = scores.persist()
-    try:
-        n = scores.count()
-        if n == 0:
-            return scores.select(
-                "doc_id", "avg_nll_micro", F.lit(1).alias("decile")
-            ).limit(0)
-        bounds = exact_rank_keys(
-            scores,
-            [F.asc("avg_nll_micro"), F.asc("doc_id")],
-            ntile_boundaries(n, 10),
-        )
-    finally:
-        scores.unpersist()
+    n = scores.count()
+    if n == 0:
+        return scores.select(
+            "doc_id", "avg_nll_micro", F.lit(1).alias("decile")
+        ).limit(0)
+    bounds = exact_rank_keys(
+        scores,
+        [F.asc("avg_nll_micro"), F.asc("doc_id")],
+        ntile_boundaries(n, 10),
+    )
     after = [
         (F.col("avg_nll_micro") > b["avg_nll_micro"])
         | (
@@ -1681,7 +1725,7 @@ def q_perplexity_buckets(spark, sf_dir):
     decile = F.lit(1)
     for a in after:
         decile = decile + a.cast("int")
-    return q_lm_doc_scores(spark, sf_dir).select(
+    return scores.select(
         "doc_id", "avg_nll_micro", decile.cast("int").alias("decile")
     )
 
