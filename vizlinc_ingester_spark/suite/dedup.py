@@ -839,38 +839,39 @@ def _allpairs_core(d):
     from pyspark.sql import Window
 
     d = d.filter(F.size("t") >= SIMJOIN_N)
-    grams = d.select(
+    # r14 optimization (guide §2.4 remove shuffles outright): the
+    # per-doc distinct sorted shingle set is a pure function of one
+    # row, so build it IN-ROW (array_distinct + array_sort over the
+    # shingle transform) instead of explode -> corpus-wide DISTINCT
+    # exchange -> collect_set groupBy exchange. That deletes the two
+    # heaviest shuffles of the old plan — both carried the full gram
+    # stream (corpus-token-count rows) — and drops one of the three
+    # per-invocation materialization jobs: ``sets`` is now THE
+    # checkpointed relation (it feeds freq, prefix and both verify
+    # legs; the k-core lineage discipline), and the exploded gram
+    # stream is derived from it shuffle-free, already distinct
+    # per doc by construction.
+    sets = d.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (SIMJOIN_N - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i),
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                ),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SIMJOIN_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
             )
-        ).alias("g"),
-    ).distinct()
-    # grams (the scan + explode + distinct) feeds every downstream
-    # branch — sets, freq, prefix, and through them the verify — and
-    # would re-run per branch; localCheckpoint materializes it once
-    # per call (the k-core lineage discipline; best measured variant:
-    # 10.0 -> 9.4 s at sf0.1 — the A/B also tried checkpointing
-    # rep_docs and sets, both worse, see PLANS.md). At real scale
-    # this is the materialize-the-hashed-relation trade
-    # minhash_lsh_verified makes with its persisted shingle table.
-    grams = grams.localCheckpoint()
-    sets = grams.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("g")).alias("s"),
-        F.count(F.lit(1)).cast("long").alias("sz"),
-    )
+        ).alias("s"),
+    ).withColumn("sz", F.size("s").cast("long")).localCheckpoint()
+    grams = sets.select("doc_id", "sz", F.explode("s").alias("g"))
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
     prefix = (
-        grams.join(freq, "g")
-        .join(sets.select("doc_id", "sz"), "doc_id")
+        grams.join(freq, "g")  # sz already rides on the gram rows
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= F.col("sz") - F.expr("(4 * sz + 9) div 10") + 1)
         .select("doc_id", "g", "sz", "rn")

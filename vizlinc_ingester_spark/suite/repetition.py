@@ -56,7 +56,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -108,106 +108,114 @@ def _gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _inject_repetition(_docs(spark, sf_dir))
 
 
-def _grams(base: DataFrame, n: int) -> DataFrame:
-    """(doc_id, pos, gram): all n-grams with their 0-based start slot.
-    Scan-stage: sequence + slice HOFs over the token array, then one
-    posexplode — no shuffle, no Python."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("t") - n),
-        lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
-    )
-    return (
-        base.filter(F.size("t") >= n)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
-    )
-
-
 def _repetition_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared lineage for both queries: per-doc n_tokens, top-2-gram
     identity/count/coverage, duplicated-5-gram coverage.
 
-    Plan shape (iterated — the first version groupBy'd per-(doc,gram)
-    counts and joined them BACK to a re-derived gram stream, costing 5
-    corpus scans): each gram stream is materialized ONCE and every
-    per-gram quantity is a window over it — count(*) over (doc, gram),
-    dense_rank over (doc) ordered by (count desc, gram asc) whose
-    rank-1 rows are exactly the top gram's positions, lead(pos) for
-    the union-coverage step. All three windows cluster on doc_id, so
-    EnsureRequirements plans ONE hash exchange per stream
-    (HashPartitioning(doc_id) satisfies the (doc_id, gram) clustering
-    too) and the corpus is scanned 3x total (base + one per gram
-    order) instead of 5x, with zero join-backs. A/B warm best-of-3 at
-    sf0.1, same session config (PLANS.md r9): repetition_stats
-    1.92 -> 1.38 s, gopher_quality_filter 2.10 -> 1.53 s."""
+    Plan shape, third iteration (r14 optimization round, guide
+    §2.4/§4.2): v1 joined per-(doc,gram) counts back to re-derived
+    gram streams (5 corpus scans); v2 (r9) expressed every per-gram
+    quantity as doc_id-clustered windows over materialized gram
+    streams (3 scans, 3 hash exchanges; repetition_stats 1.92 ->
+    1.38 s). v3 observes that EVERY output is a pure function of one
+    document's token array — no cross-doc state at all — so the
+    whole core now runs as ONE Arrow-batched ``mapInPandas`` pass in
+    the scan stage: per doc, gram counts via a hash map, the
+    (count desc, gram asc) top-2-gram pick, and both union-coverage
+    sweeps over sorted positions, all exact ints. ZERO shuffles
+    (v2's three doc_id exchanges carried the full exploded gram
+    stream — corpus-token-count rows — through the network; at
+    100 TB that is the entire cost of the operator), one corpus
+    scan, same oracle. Same-box A/B at sf0.1: repetition_stats
+    1.28 -> see OPTIMIZATION_r14.md."""
     return _repetition_core_corpus(_gated_corpus(spark, sf_dir))
 
 
+def _space_toks(text: str) -> list:
+    return [x for x in text.split(" ") if x != ""]
+
+
+def _union_cov(positions: list, n: int) -> int:
+    """Union coverage of fixed-length-n intervals at sorted start
+    ``positions``: sum over consecutive starts of min(n, next - pos),
+    last start contributes n — the same lag algebra as the v2 window
+    form, computed in-row."""
+    if not positions:
+        return 0
+    cov = 0
+    for i in range(len(positions) - 1):
+        step = positions[i + 1] - positions[i]
+        cov += n if step > n else step
+    return cov + n
+
+
+def _rep_measures(t: list) -> tuple:
+    """(top2_gram, top2_cnt, cov2, cov5) for one token list — the
+    exact algebra of the v2 window form: top 2-gram by (count desc,
+    gram asc), union coverage of its occurrences; union coverage of
+    all >=2-count 5-grams."""
+    from collections import Counter
+
+    top2_gram, top2_cnt, cov2 = "", 0, 0
+    if len(t) >= 2:
+        g2 = [t[i] + " " + t[i + 1] for i in range(len(t) - 1)]
+        counts = Counter(g2)
+        # max count, tie -> lexicographically smallest gram (ASCII
+        # binary order == Spark UTF8 binary order == DuckDB binary)
+        top2_gram, top2_cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        cov2 = _union_cov(
+            [i for i, g in enumerate(g2) if g == top2_gram], 2
+        )
+    cov5 = 0
+    if len(t) >= 5:
+        g5 = [" ".join(t[i:i + 5]) for i in range(len(t) - 4)]
+        c5 = Counter(g5)
+        cov5 = _union_cov(
+            [i for i, g in enumerate(g5) if c5[g] >= 2], 5
+        )
+    return top2_gram, top2_cnt, cov2, cov5
+
+
+def _rep_core_map(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            t = _space_toks(text)
+            n = len(t)
+            gram, cnt, cov2, cov5 = _rep_measures(t)
+            rows.append((
+                int(doc_id), n, gram, cnt,
+                cov2 * 1000000 // n if n else 0,
+                cov5 * 1000000 // n if n else 0,
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_tokens", "top2_gram", "top2_cnt",
+                "top2_cov_micro", "dup5_rate_micro",
+            ],
+        )
+
+
+_REP_CORE_SCHEMA = (
+    "doc_id long, n_tokens long, top2_gram string, top2_cnt long, "
+    "top2_cov_micro long, dup5_rate_micro long"
+)
+
+
 def _repetition_core_corpus(corpus: DataFrame) -> DataFrame:
-    base = corpus.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
-    ).select("doc_id", "t", F.size("t").cast("long").alias("n_tokens"))
+    from ..session import ship_package, spread_if_narrow
 
-    w_cnt = Window.partitionBy("doc_id", "gram")
-    w_pos = Window.partitionBy("doc_id").orderBy("pos")
-
-    def _step(n):
-        return F.when(F.col("nxt").isNull(), F.lit(n)).otherwise(
-            F.least(F.lit(n), F.col("nxt") - F.col("pos"))
-        )
-
-    g2 = _grams(base, 2).withColumn(
-        "c", F.count(F.lit(1)).over(w_cnt).cast("long")
-    )
-    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
-    top2 = (
-        g2.withColumn("rk", F.dense_rank().over(w_rank))
-        .filter(F.col("rk") == 1)
-        .withColumn("nxt", F.lead("pos").over(w_pos))
-        .groupBy("doc_id")
-        .agg(
-            F.min("gram").alias("top2_gram"),
-            F.max("c").cast("long").alias("c"),
-            F.sum(_step(2)).cast("long").alias("cov2"),
-        )
-    )
-
-    cov5 = (
-        _grams(base, 5)
-        .withColumn("c", F.count(F.lit(1)).over(w_cnt))
-        .filter(F.col("c") >= 2)
-        .withColumn("nxt", F.lead("pos").over(w_pos))
-        .groupBy("doc_id")
-        .agg(F.sum(_step(5)).cast("long").alias("cov5"))
-    )
-
-    # integer div, not float /: Spark's long `div` truncation equals
-    # DuckDB's integer `//` floor on these non-negative operands, with
-    # no double-rounding hazard on exact quotients
-    return (
-        base.select("doc_id", "n_tokens")
-        .join(top2, "doc_id", "left")
-        .join(cov5, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("top2_gram", F.lit("")).alias("top2_gram"),
-            F.coalesce("c", F.lit(0)).cast("long").alias("top2_cnt"),
-            # n_tokens = 0 guard (empty/whitespace-only doc): Spark 4
-            # ANSI mode THROWS on div-by-zero while DuckDB yields
-            # NULL — an unguarded div would crash here and silently
-            # diverge there on a future regenerated fixture
-            F.expr(
-                "CASE WHEN n_tokens = 0 THEN 0L "
-                "ELSE coalesce(cov2, 0L) * 1000000 div n_tokens END"
-            ).cast("long").alias("top2_cov_micro"),
-            F.expr(
-                "CASE WHEN n_tokens = 0 THEN 0L "
-                "ELSE coalesce(cov5, 0L) * 1000000 div n_tokens END"
-            ).cast("long").alias("dup5_rate_micro"),
-        )
-    )
+    ship_package(corpus.sparkSession)
+    return spread_if_narrow(
+        corpus.select("doc_id", "text"), "doc_id"
+    ).mapInPandas(_rep_core_map, _REP_CORE_SCHEMA)
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -226,57 +234,122 @@ def q_gopher_quality_filter(spark, sf_dir):
     return gopher_flags(_docs(spark, sf_dir))
 
 
+def _gopher_flags_map(key_cols: tuple, key_types: tuple):
+    """mapInPandas body computing EVERY gopher rule input + flag per
+    document in one scan-stage pass (r14 optimization: the v2 form
+    joined a Column-computed base relation against the windowed
+    repetition core on doc_id — two more exchanges; every rule input
+    is a pure function of one document's text, so nothing here needs
+    a shuffle at all). ``key_cols`` pass through untouched so the
+    per-(keys) counter rollup needs no join back to the corpus."""
+    import re
+
+    stop_en = frozenset(tx.STOPWORDS["en"])
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def flags(batches):
+        import pandas as pd
+
+        cols = [
+            "doc_id", *key_cols, "n_words", "mean_wlen_micro",
+            "stop_hits", "top2_cov_micro", "dup5_rate_micro",
+            "ok_words", "ok_wlen", "ok_stop", "ok_top2", "ok_dup5",
+            "keep",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for tup in zip(
+                pdf["doc_id"], pdf["text"],
+                *[pdf[k] for k in key_cols],
+            ):
+                doc_id, text, keys = tup[0], tup[1], tup[2:]
+                t = _space_toks(text)
+                n_words = len(t)
+                wlen = (
+                    sum(len(x) for x in t) * 1000000 // n_words
+                    if n_words else 0
+                )
+                # tx.tokens semantics: split(lower(text), "[^a-z0-9]+"),
+                # empties dropped; hits counted WITH multiplicity
+                stop_hits = sum(
+                    1 for w in tok_re.split(text.lower())
+                    if w and w in stop_en
+                )
+                _g, _c, cov2, cov5 = _rep_measures(t)
+                top2 = cov2 * 1000000 // n_words if n_words else 0
+                dup5 = cov5 * 1000000 // n_words if n_words else 0
+                ok_words = MIN_WORDS <= n_words <= MAX_WORDS
+                ok_wlen = (
+                    MIN_MEAN_WLEN_MICRO <= wlen <= MAX_MEAN_WLEN_MICRO
+                )
+                ok_stop = stop_hits >= MIN_STOP_HITS
+                ok_top2 = top2 <= MAX_TOP2_COV_MICRO
+                ok_dup5 = dup5 <= MAX_DUP5_RATE_MICRO
+                rows.append((
+                    int(doc_id), *keys, n_words, wlen, stop_hits,
+                    top2, dup5, ok_words, ok_wlen, ok_stop, ok_top2,
+                    ok_dup5,
+                    ok_words and ok_wlen and ok_stop and ok_top2
+                    and ok_dup5,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = ", ".join(
+        ["doc_id long"]
+        + [f"{k} {ty}" for k, ty in zip(key_cols, key_types)]
+        + [
+            "n_words long", "mean_wlen_micro long", "stop_hits long",
+            "top2_cov_micro long", "dup5_rate_micro long",
+            "ok_words boolean", "ok_wlen boolean", "ok_stop boolean",
+            "ok_top2 boolean", "ok_dup5 boolean", "keep boolean",
+        ]
+    )
+    return flags, schema
+
+
+def _gopher_flags_with(d: DataFrame, keys: tuple = ()) -> DataFrame:
+    """gopher_flags with ``keys`` columns carried through the single
+    Arrow pass (so per-key rollups skip the doc_id join-back). The
+    repetition injection stays a Column expression below the pass —
+    one corpus scan, zero exchanges."""
+    from ..session import ship_package, spread_if_narrow
+
+    ship_package(d.sparkSession)
+    in_types = {f.name: f.dataType.simpleString() for f in d.schema.fields}
+    fn, schema = _gopher_flags_map(
+        tuple(keys), tuple(in_types[k] for k in keys)
+    )
+    corpus = _inject_repetition_keyed(d, keys)
+    return spread_if_narrow(corpus, "doc_id").mapInPandas(fn, schema)
+
+
+def _inject_repetition_keyed(d: DataFrame, keys: tuple) -> DataFrame:
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    head = F.concat_ws(" ", F.slice(toks, 1, REPEAT_SLICE))
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % REPEAT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" "), head),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        *keys,
+    )
+
+
 def gopher_flags(d: DataFrame) -> DataFrame:
     """Per-doc rule flags for an arbitrary docs relation (doc_id,
     text, ...) — the relation-level form the streaming per-batch
     maintenance calls; q_gopher_quality_filter is this over the full
     corpus. Flags depend on the document ALONE (every rule is
     per-doc), which is exactly what makes the per-source counters
-    mergeable across micro-batches."""
-    corpus = _inject_repetition(d)
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    base = corpus.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).alias("n_word_chars"),
-        tx.stopword_hits(tx.tokens(F.col("text")), "en")
-        .cast("long")
-        .alias("stop_hits"),
-    ).select(
-        "doc_id",
-        "n_words",
-        F.expr(
-            "CASE WHEN n_words = 0 THEN 0L "
-            "ELSE n_word_chars * 1000000 div n_words END"
-        ).alias("mean_wlen_micro"),
-        "stop_hits",
-    )
-    rep = _repetition_core_corpus(corpus).select(
-        "doc_id", "top2_cov_micro", "dup5_rate_micro"
-    )
-    j = base.join(rep, "doc_id")
-    rules = {
-        "ok_words": (F.col("n_words") >= MIN_WORDS)
-        & (F.col("n_words") <= MAX_WORDS),
-        "ok_wlen": (F.col("mean_wlen_micro") >= MIN_MEAN_WLEN_MICRO)
-        & (F.col("mean_wlen_micro") <= MAX_MEAN_WLEN_MICRO),
-        "ok_stop": F.col("stop_hits") >= MIN_STOP_HITS,
-        "ok_top2": F.col("top2_cov_micro") <= MAX_TOP2_COV_MICRO,
-        "ok_dup5": F.col("dup5_rate_micro") <= MAX_DUP5_RATE_MICRO,
-    }
-    out = j
-    for name, cond in rules.items():
-        out = out.withColumn(name, cond)
-    keep = rules["ok_words"]
-    for name in list(rules)[1:]:
-        keep = keep & F.col(name)
-    return out.withColumn("keep", keep).select(
-        "doc_id", "n_words", "mean_wlen_micro", "stop_hits",
-        "top2_cov_micro", "dup5_rate_micro",
-        "ok_words", "ok_wlen", "ok_stop", "ok_top2", "ok_dup5", "keep",
-    )
+    mergeable across micro-batches — and (r14) what lets the whole
+    rule evaluation run as ONE scan-stage Arrow pass with zero
+    shuffles (see _gopher_flags_map)."""
+    return _gopher_flags_with(d, ())
 
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -427,12 +500,16 @@ def quality_counters(d: DataFrame, keys: tuple = ("source",)) -> DataFrame:
     batch rollup relies on — same algebra, two execution modes.
     ``keys`` defaults to the per-source dashboard; the per-language
     feed-health twin passes ("source", "lang") — the group space stays
-    bounded by the (source x language) lattice, never the corpus."""
-    flags = gopher_flags(d)
-    src = d.select("doc_id", *keys)
+    bounded by the (source x language) lattice, never the corpus.
+
+    r14: the key columns ride through the single gopher Arrow pass
+    (``_gopher_flags_with``), so the rollup goes scan -> flags ->
+    groupBy with NO doc_id join-back (the v2 form shuffled the flags
+    AND the corpus a second time just to re-attach the keys)."""
+    flags = _gopher_flags_with(d, tuple(keys))
     cnt = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long")
     return (
-        flags.join(src, "doc_id")
+        flags
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
