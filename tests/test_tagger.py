@@ -190,7 +190,12 @@ def test_viterbi_decode_plan_shape(spark, sf_dir):
             assert "HashAggregate(keys=[]" in above, (
                 "non-scalar SinglePartition exchange:\n" + above
             )
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    # r14: the DP crossing is a shuffle-free MapInPandas (the old
+    # FlatMapGroupsInPandas tail paid a doc-bucket exchange to
+    # re-cluster rows the window lineage already delivers contiguous)
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 0
+    assert "hashpartitioning(__vb" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
@@ -341,3 +346,67 @@ def test_hmm_init_perceptron_beats_both_baselines(spark, sf_dir):
     a_avg = acc("ner_perceptron_avg")
     assert a_ft > a_avg + 0.05, (a_ft, a_avg)
     assert a_ft >= a_hmm - 0.005, (a_ft, a_hmm)
+
+
+def test_doc_clustered_decode_equals_bucketed_across_batches(spark):
+    """r14 decode-tail equivalence: with ``doc_clustered=True`` the
+    shuffle-free doc-run streaming decode must emit exactly the
+    bucketed applyInPandas decode's rows — including when a document
+    spans Arrow batch boundaries (forced here with a 3-row batch
+    size, so the carry/concat buffering path actually runs)."""
+    import random
+
+    from vizlinc_ingester_spark.operators.tagger import apply_viterbi
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for doc in range(5):
+        for i in range(7):
+            rows.append((doc, i, rng.choice(vocab), "PERSON"))
+    trans, emis, defaults = _hmm_from_rows(spark, rows)
+    tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+    toks = [
+        (doc, i, rng.choice(vocab + ["zzz"]))
+        for doc in range(4)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        toks, "doc_id long, idx long, token string"
+    ).coalesce(1)  # doc-contiguous single partition
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        fast = apply_viterbi(
+            df, tmat, emis, defaults, doc_clustered=True
+        ).collect()
+    finally:
+        spark.conf.set(key, old)
+    slow = apply_viterbi(df, tmat, emis, defaults).collect()
+    k = lambda r: (r["doc_id"], r["idx"])  # noqa: E731
+    assert sorted(
+        (r["doc_id"], r["idx"], r["token"], r["pred_tag"]) for r in fast
+    ) == sorted(
+        (r["doc_id"], r["idx"], r["token"], r["pred_tag"]) for r in slow
+    )
+    assert len(fast) == len(toks)
+
+
+def test_doc_clustered_decode_guards_noncontiguous(spark):
+    """The contiguity contract is guarded, not assumed: interleaved
+    doc runs inside one partition must raise loudly (the silent
+    alternative is decoding a document in fragments)."""
+    import pytest
+
+    from vizlinc_ingester_spark.operators.tagger import apply_viterbi
+
+    rows = [(d, i, t, "PERSON") for d in (1, 2) for i, t in ((0, "a"), (1, "b"))]
+    trans, emis, defaults = _hmm_from_rows(spark, rows)
+    tmat = {(r["ptag"], r["tag"]): r["score"] for r in trans.collect()}
+    interleaved = [(1, 0, "a"), (2, 0, "a"), (1, 1, "b"), (2, 1, "b")]
+    df = spark.createDataFrame(
+        interleaved, "doc_id long, idx long, token string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="not doc-contiguous"):
+        apply_viterbi(df, tmat, emis, defaults, doc_clustered=True).collect()

@@ -178,8 +178,8 @@ def train_tagger_ctx(
 #  - emission scoring = a vocab-bounded LEFT JOIN (the token stream
 #    probes the model, exactly like apply_tagger) — stays JVM-side;
 #  - the only Python crossing is the per-document DP itself
-#    (Arrow-batched applyInPandas over doc buckets, numpy int64,
-#    vectorized across the bucket's documents);
+#    (Arrow-batched shuffle-free mapInPandas, numpy int64,
+#    vectorized across each batch's documents);
 #  - the transition matrix is (K+1)xK = 20 integers — the one O(1)
 #    driver crossing, same stance as the PQ codebook.
 
@@ -190,7 +190,7 @@ VIT_TAGS = ("LOCATION", "O", "ORGANIZATION", "PERSON")
 #: single-char path codes (G = ORGANIZATION; order matches VIT_TAGS)
 VIT_CODES = ("L", "O", "G", "P")
 VIT_BOS = "<B>"
-VIT_BUCKETS = 64  # applyInPandas group fan-out (docs per Arrow batch)
+VIT_BUCKETS = 64  # doc-bucket fan-out of the non-doc_clustered decode path
 
 
 def train_hmm(
@@ -352,6 +352,88 @@ def train_hmm_features(
     return trans, emis_wide, defaults, suf_wide, suf_defaults
 
 
+def _decode_doc_runs(scored: DataFrame, decode, out_schema: str) -> DataFrame:
+    """Run a per-complete-documents pandas kernel over ``scored`` with
+    ``mapInPandas``, buffering the trailing partial document across
+    Arrow batch boundaries (r14 optimization, guide §2.4): the decode
+    input is ALREADY doc-clustered — every caller's token stream comes
+    off a doc_id-keyed window (or a per-doc posexplode), so all rows
+    of a document are consecutive within their partition — and the
+    old ``groupBy(doc_id % VIT_BUCKETS).applyInPandas`` tail re-paid a
+    full token-stream exchange just to re-establish that property.
+
+    Contiguity is load-bearing for correctness, so it is GUARDED, not
+    assumed: each kernel call checks that doc ids form one run each
+    (run count == distinct count) and that no document re-appears
+    after its run closed earlier in the partition; a violation raises
+    with the offending doc_id rather than silently decoding a
+    document in fragments. What the guard CANNOT see is a document
+    split ACROSS partitions (each side looks like a clean run), which
+    is why callers must opt in via ``doc_clustered=True`` — the
+    default decode path keeps the explicit doc-bucket exchange."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        carry = None
+        done: set = set()
+
+        def check_and_decode(pdf):
+            ids = pdf["doc_id"].to_numpy()
+            uniq = np.unique(ids)
+            n_runs = int((ids[1:] != ids[:-1]).sum()) + 1
+            if n_runs != len(uniq):
+                raise ValueError(
+                    "viterbi decode input not doc-contiguous: "
+                    f"{n_runs} runs over {len(uniq)} docs in one batch"
+                )
+            reappeared = done.intersection(uniq.tolist())
+            if reappeared:
+                raise ValueError(
+                    "viterbi decode input not doc-contiguous: doc_ids "
+                    f"{sorted(reappeared)[:5]} re-appeared after their "
+                    "run closed"
+                )
+            done.update(uniq.tolist())
+            return decode(pdf)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            earlier = np.nonzero(ids != ids[-1])[0]
+            head_n = int(earlier[-1]) + 1 if len(earlier) else 0
+            carry = pdf.iloc[head_n:]
+            if head_n:
+                yield check_and_decode(pdf.iloc[:head_n])
+        if carry is not None and len(carry):
+            yield check_and_decode(carry)
+
+    return scored.mapInPandas(run, out_schema)
+
+
+def _decode_tail(
+    scored: DataFrame, decode, out_schema: str, doc_clustered: bool
+) -> DataFrame:
+    """Route the decode kernel: shuffle-free doc-run streaming when
+    the caller vouches its rows are doc-clustered per partition
+    (every ner.py stream: doc_id-window or per-doc-explode lineage),
+    else the always-correct doc-bucket exchange."""
+    if doc_clustered:
+        return _decode_doc_runs(scored, decode, out_schema)
+    return (
+        scored.withColumn(
+            "__vb", F.pmod(F.col("doc_id"), F.lit(VIT_BUCKETS)).cast("int")
+        )
+        .groupBy("__vb")
+        .applyInPandas(decode, out_schema)
+    )
+
+
 def apply_viterbi(
     tokens: DataFrame,
     trans_scores: dict,
@@ -360,16 +442,22 @@ def apply_viterbi(
     carry_cols: tuple = (),
     suf_wide: DataFrame | None = None,
     suf_defaults: DataFrame | None = None,
+    doc_clustered: bool = False,
 ) -> DataFrame:
     """Decode (doc_id, idx, token [, carry...]) with the trained HMM:
     emission scores arrive via a vocab-bounded LEFT JOIN (unseen
     tokens take the broadcast 1-row defaults), then one Arrow-batched
-    ``applyInPandas`` over ``doc_id % VIT_BUCKETS`` buckets runs the
-    integer Viterbi DP vectorized across each bucket's documents
-    (numpy int64; np.argmax's first-max = the VIT_TAGS tie order).
-    Adds ``pred_tag``; ``carry_cols`` pass through untouched. The
-    token stream shuffles ONCE (the bucket exchange); per-bucket state
-    is that bucket's docs x K scores — flat, never a corpus sort.
+    ``mapInPandas`` pass (``_decode_doc_runs``) runs the integer
+    Viterbi DP vectorized across each batch's documents (numpy int64;
+    np.argmax's first-max = the VIT_TAGS tie order). Adds
+    ``pred_tag``; ``carry_cols`` pass through untouched. With
+    ``doc_clustered=True`` (every ner.py stream: doc_id-window or
+    per-doc-explode lineage) the token stream does NOT shuffle here
+    at all — r14: the old doc-bucket ``applyInPandas`` exchange
+    re-clustered rows those callers already deliver doc-contiguous;
+    the default keeps the bucket exchange for arbitrary inputs.
+    Per-batch state is that batch's docs x K scores — flat, never a
+    corpus sort.
 
     ``suf_wide``/``suf_defaults`` (from ``train_hmm_features``) add a
     CRF-style SUFFIX emission feature under a naive-Bayes
@@ -471,14 +559,7 @@ def apply_viterbi(
         res["pred_tag"] = pred
         return res
 
-    return (
-        scored.withColumn(
-            "__vb", F.pmod(F.col("doc_id"), F.lit(VIT_BUCKETS)).cast("int")
-        )
-        .groupBy("__vb")
-        .applyInPandas(decode, out_schema)
-    )
-
+    return _decode_tail(scored, decode, out_schema, doc_clustered)
 
 
 def train_hmm2(
@@ -551,13 +632,14 @@ def apply_viterbi2(
     emis_wide: DataFrame,
     defaults: DataFrame,
     carry_cols: tuple = (),
+    doc_clustered: bool = False,
 ) -> DataFrame:
     """Second-order Viterbi decode: DP state = the TAG PAIR
     (t_{i-1}, t_i) — K^2 = 16 states — scored with the trigram
     transitions from ``train_hmm2``. Same execution shape as the
-    first-order ``apply_viterbi`` (vocab-bounded emission join, one
-    doc-bucket shuffle, Arrow-batched numpy DP vectorized across each
-    bucket's documents; exact int64 scores); the per-doc DP cost grows
+    first-order ``apply_viterbi`` (vocab-bounded emission join,
+    shuffle-free ``_decode_doc_runs`` mapInPandas, numpy DP vectorized
+    across each batch's documents; exact int64 scores); the per-doc DP cost grows
     K-fold (K^3 candidate lattice per step) and the backpointer array
     is (docs, steps, K, K) int8 — still ~2 KB per 124-token document.
     Tie-breaks mirror the oracle exactly: argmax over the predecessor
@@ -650,13 +732,7 @@ def apply_viterbi2(
         res["pred_tag"] = pred
         return res
 
-    return (
-        scored.withColumn(
-            "__vb", F.pmod(F.col("doc_id"), F.lit(VIT_BUCKETS)).cast("int")
-        )
-        .groupBy("__vb")
-        .applyInPandas(decode, out_schema)
-    )
+    return _decode_tail(scored, decode, out_schema, doc_clustered)
 
 
 def apply_tagger_ctx(

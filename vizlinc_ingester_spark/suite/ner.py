@@ -476,6 +476,7 @@ def q_ner_learned_viterbi(spark, sf_dir):
         emis_wide,
         defaults,
         carry_cols=("gold_tag",),
+        doc_clustered=True,
     )
     return decoded.select(
         "doc_id",
@@ -812,6 +813,7 @@ def q_ner_viterbi_spans(spark, sf_dir):
         emis_wide,
         defaults,
         carry_cols=("gold_tag",),
+        doc_clustered=True,
     )
     return decoded.select(
         "doc_id",
@@ -904,6 +906,7 @@ def q_ner_viterbi_spans2(spark, sf_dir):
         emis_wide,
         defaults,
         carry_cols=("gold_tag",),
+        doc_clustered=True,
     )
     return decoded.select(
         "doc_id",
@@ -1204,6 +1207,7 @@ def q_ner_viterbi_feats(spark, sf_dir):
         carry_cols=("gold_tag",),
         suf_wide=suf_wide,
         suf_defaults=suf_defaults,
+        doc_clustered=True,
     )
     return decoded.select(
         "doc_id",
@@ -1326,6 +1330,7 @@ def _perc_weights(spark: SparkSession, labeled: DataFrame, epochs: int):
         tmat1,
         ew1,
         _perc_zero_defaults(spark),
+        doc_clustered=True,
     )
     ppairs = pred1.select(
         F.coalesce(F.lag("pred_tag").over(w), F.lit(VIT_BOS)).alias("ptag"),
@@ -1392,6 +1397,7 @@ def _q_perceptron(epochs: int):
             ew,
             _perc_zero_defaults(spark),
             carry_cols=("gold_tag",),
+            doc_clustered=True,
         )
         return decoded.select(
             "doc_id",
@@ -1915,6 +1921,7 @@ def _perc_weights_avg(spark: SparkSession, labeled: DataFrame, epochs: int):
             tmat,
             ew_k,
             _perc_zero_defaults(spark),
+            doc_clustered=True,
         ).localCheckpoint()
         ppairs = pred.select(
             F.coalesce(F.lag("pred_tag").over(w), F.lit(VIT_BOS)).alias(
@@ -1996,6 +2003,7 @@ def q_ner_perceptron_avg(spark, sf_dir):
         ew,
         _perc_zero_defaults(spark),
         carry_cols=("gold_tag",),
+        doc_clustered=True,
     )
     return decoded.select(
         "doc_id",
@@ -2142,7 +2150,8 @@ def _perc_weights_ft(
 
     for _k in range(1, epochs + 1):
         pred = apply_viterbi(
-            labeled.select("doc_id", "idx", "token"), tmat, ew_of(), defaults
+            labeled.select("doc_id", "idx", "token"), tmat, ew_of(),
+            defaults, doc_clustered=True,
         ).localCheckpoint()
         ptc = {
             (r["ptag"], r["tag"]): r["c"]
@@ -2218,6 +2227,7 @@ def q_ner_perceptron_ft(spark, sf_dir):
         ew,
         defaults,
         carry_cols=("gold_tag",),
+        doc_clustered=True,
     )
     return decoded.select(
         "doc_id",
