@@ -305,24 +305,44 @@ def jaccard_verify_hashed(hs_docs: DataFrame, pairs: DataFrame) -> DataFrame:
     shingles (long joins, not string joins — and the oracle joins the
     identical hashes, so results stay symmetric even in the
     astronomically-unlikely collision case).
-    jaccard_micro = (|A∩B| * 1e6) // |A∪B| (exact integer math)."""
-    sh = hs_docs.select(
-        "doc_id", F.explode(F.array_distinct("hs")).alias("h")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), F.col("h"))
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), F.col("h"))
-    inter = (
-        pairs.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    jaccard_micro = (|A∩B| * 1e6) // |A∪B| (exact integer math).
+
+    r14 optimization (guide §2.4, §3.3 "join first on the
+    un-exploded key and explode after" — here the explode disappears
+    entirely): the old form exploded the corpus shingle stream and
+    shuffled it through the intersection join + groupBy per action;
+    the candidate PAIR set is bucket-bounded and tiny next to the
+    corpus, so the verify now joins the pairs against the per-doc
+    DISTINCT shingle ARRAYS (two doc_id-keyed joins, pair side
+    broadcastable) and computes |A∩B| in-row with array_intersect —
+    the simjoin_allpairs verify shape. Value-identical: a doc with an
+    empty shingle set was absent from the old per-doc size aggregate
+    (inner join dropped its pairs), matched here by the n_sh > 0
+    filter; array_intersect is distinct-set semantics, same as the
+    old distinct-explode count."""
+    sets_ = (
+        hs_docs.select("doc_id", F.array_distinct("hs").alias("s"))
+        .withColumn("n_sh", F.size("s").cast("long"))
+        .filter(F.col("n_sh") > 0)
     )
     out = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        pairs.join(
+            sets_.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s").alias("s_a"), F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s").alias("s_b"), F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("s_a", "s_b")).cast("long")
+        )
     )
     union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return out.select(
