@@ -506,18 +506,32 @@ def q_bloom_users(spark, sf_dir):
     from .relational import _events
 
     e = _events(spark, sf_dir)
-    keys = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+    # r14 optimization (guide §2.4): no .distinct() before the word
+    # fold or the membership probe — bit_or is idempotent and the
+    # probe is a semi-join, so duplicate keys change NO value, while
+    # the distinct's full-key exchange was the only corpus-sized
+    # shuffle in the query.
+    keys = e.select(F.col("user_id").cast("string").alias("k"))
     return bloom_finalize(bloom_words(keys), keys, e.sparkSession)
 
 
 def bloom_words(keys: DataFrame) -> DataFrame:
-    """Distinct string keys -> the filter's (word_idx, bits) words.
-    Words from any key subsets merge by word-wise bit_or — the
-    streaming twin folds per-batch words into its store this way."""
-    bits = None
-    for r in range(BLOOM_D):
-        br = keys.select(_bloom_bit(r, F.col("k")).alias("bit"))
-        bits = br if bits is None else bits.unionByName(br)
+    """String keys -> the filter's (word_idx, bits) words (duplicate
+    keys are harmless: bit_or is idempotent). Words from any key
+    subsets merge by word-wise bit_or — the streaming twin folds
+    per-batch words into its store this way.
+
+    r14 optimization (guide §2.4): the BLOOM_D bit rows come from ONE
+    in-row explode instead of a BLOOM_D-way union — the union form
+    re-evaluated the whole ``keys`` subtree once per hash function
+    (3 corpus passes for one filter build). Multiset-identical bit
+    stream, and the per-word rollup stays map-side combinable
+    (<= BLOOM_W rows cross the shuffle at any corpus size)."""
+    bits = keys.select(
+        F.explode(
+            F.array(*[_bloom_bit(r, F.col("k")) for r in range(BLOOM_D)])
+        ).alias("bit")
+    )
     return (
         bits.select(
             F.expr("bit div 32").cast("long").alias("word_idx"),
@@ -531,9 +545,23 @@ def bloom_words(keys: DataFrame) -> DataFrame:
 
 
 def bloom_finalize(words: DataFrame, keys: DataFrame, spark) -> DataFrame:
-    """Filter words + the exact key set -> the gated probe table."""
-    n_set = words.agg(
-        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_bits_set")
+    """Filter words + the exact key set -> the gated probe table.
+
+    r14 optimization (guide §2.4, §3.1): the words relation used to be
+    consumed TWICE (the popcount aggregate and the probe join — two
+    full evaluations of the corpus word-fold lineage per action); it
+    now folds once into a single broadcast row carrying the word map
+    AND the popcount. The exact-presence semi-join is flipped so the
+    broadcast side is the fixed 64-row probe set (the old form had
+    the corpus-sized key relation on the right of a left-semi, an
+    unbroadcastable shuffle join). Values unchanged: element_at on
+    the map is the old left-join NULL semantics, the semi-join +
+    distinct is duplicate-insensitive."""
+    frow = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("wmap"),
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_bits_set"),
     )
     lows = spark.range(BLOOM_PROBE_N)
     probes = (
@@ -542,12 +570,13 @@ def bloom_finalize(words: DataFrame, keys: DataFrame, spark) -> DataFrame:
         ).select(F.col("id").alias("probe_id"))
     )
     pk = F.col("probe_id").cast("string")
-    pbits = None
-    for r in range(BLOOM_D):
-        row = probes.select(
-            "probe_id", _bloom_bit(r, pk).alias("bit")
-        )
-        pbits = row if pbits is None else pbits.unionByName(row)
+    pbits = probes.select(
+        "probe_id",
+        F.explode(
+            F.array(*[_bloom_bit(r, pk) for r in range(BLOOM_D)])
+        ).alias("bit"),
+    )
+    wbits = F.expr("element_at(wmap, word_idx)")
     hit = (
         pbits.select(
             "probe_id",
@@ -556,12 +585,13 @@ def bloom_finalize(words: DataFrame, keys: DataFrame, spark) -> DataFrame:
                 "shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"
             ).alias("mask"),
         )
-        .join(F.broadcast(words), "word_idx", "left")
+        .crossJoin(F.broadcast(frow))
         .select(
             "probe_id",
+            "n_bits_set",
             F.when(
-                F.col("bits").isNotNull()
-                & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+                wbits.isNotNull()
+                & (wbits.bitwiseAND(F.col("mask")) == F.col("mask")),
                 F.lit(1),
             )
             .otherwise(F.lit(0))
@@ -569,16 +599,19 @@ def bloom_finalize(words: DataFrame, keys: DataFrame, spark) -> DataFrame:
             .alias("b"),
         )
         .groupBy("probe_id")
-        .agg((F.min("b") == 1).cast("long").alias("bloom_hit"))
+        .agg(
+            (F.min("b") == 1).cast("long").alias("bloom_hit"),
+            F.min("n_bits_set").alias("n_bits_set"),
+        )
     )
-    exact = probes.join(
-        keys.select(F.col("k").cast("long").alias("probe_id")),
-        "probe_id",
-        "left_semi",
-    ).select("probe_id", F.lit(1).cast("long").alias("exact_present"))
+    exact = (
+        keys.select(F.col("k").cast("long").alias("probe_id"))
+        .join(F.broadcast(probes), "probe_id", "left_semi")
+        .distinct()
+        .select("probe_id", F.lit(1).cast("long").alias("exact_present"))
+    )
     return (
-        hit.join(exact, "probe_id", "left")
-        .crossJoin(F.broadcast(n_set))
+        hit.join(F.broadcast(exact), "probe_id", "left")
         .select(
             "probe_id",
             "bloom_hit",

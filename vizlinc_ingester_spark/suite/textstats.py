@@ -1583,17 +1583,29 @@ def q_source_drift_kl(spark, sf_dir):
     Plan at 100 TB: token counts are one (source, word) rollup with
     map-side combine; the term grid is |vocab| x |sources| —
     Heaps-bounded, never corpus-sized; corpus-side counts broadcast.
-    One pass over the corpus total."""
+    One pass over the corpus total.
+
+    r14 optimization (guide §2.4, §5 "localCheckpoint cuts lineage"):
+    the old form re-tokenized and re-aggregated the corpus token
+    stream FIVE times per action (cs, cg, ns, stats, and the grid's
+    distinct-sources branch each re-derived it — join-key null
+    filters make the subtrees canonically unequal, so ReuseExchange
+    cannot dedup them). cs — the Heaps-bounded (source, word) counts
+    table, never corpus-sized — is now materialized once with
+    localCheckpoint, and cg/ns/stats/grid are exact rollups OF cs
+    (sum of c_s per w / per source == count of positions). One
+    corpus tokenize+shuffle per action instead of five. Values
+    unchanged."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "source", F.explode(tx.tokens(F.col("text"))).alias("w")
     )
     cs = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c_s")
-    )
-    cg = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_g"))
-    ns = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_s")
+    ).localCheckpoint()
+    cg = cs.groupBy("w").agg(F.sum("c_s").cast("long").alias("c_g"))
+    ns = cs.groupBy("source").agg(
+        F.sum("c_s").cast("long").alias("n_s")
     )
     stats = cg.agg(
         F.sum("c_g").cast("long").alias("n_g"),
