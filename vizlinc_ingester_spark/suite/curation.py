@@ -352,8 +352,19 @@ def q_curation_funnel(spark, sf_dir):
         "content_md5",
         F.spark_partition_id().alias("_nd"),
     )
-    keeper = scored.groupBy("content_md5").agg(
-        F.min("doc_id").alias("keep_doc_id")
+    # r14 optimization (guide §2.4): the keeper used to be a separate
+    # groupBy(content_md5) + broadcast join back, so the heavy staged
+    # scoring projections (tokenize + per-language stopword hits +
+    # gram arrays) evaluated TWICE per action — once under each
+    # consumer. min(doc_id) over a content_md5 window computes the
+    # same keeper in the SAME pass: one scoring sweep, one slim
+    # corpus exchange on the md5 key (7 narrow columns), values
+    # identical (per-group min is per-group min).
+    from pyspark.sql import Window
+
+    kept = scored.withColumn(
+        "keep_doc_id",
+        F.min("doc_id").over(Window.partitionBy("content_md5")),
     )
     # One combined filter with a never-true nondeterministic guard
     # (`_nd < 0`; spark_partition_id() is always >= 0): Catalyst does
@@ -363,7 +374,7 @@ def q_curation_funnel(spark, sf_dir):
     # _nd and PushPredicateThroughProject re-inlines the full scoring
     # expressions into the scan filter — single-threaded on the
     # single-split testdata parquet (measured 6.3 s vs ~1 s).
-    kept = scored.join(F.broadcast(keeper), "content_md5").filter(
+    kept = kept.filter(
         (
             (F.col("doc_id") == F.col("keep_doc_id"))
             & (F.col("quality_micro") >= QUALITY_MIN_MICRO)
@@ -589,38 +600,46 @@ def _scd2_snapshots(d):
     rewrite %7, add %13 under +1e12 ids); t=2 then rewrites %5 and
     drops %19, so the history contains adds, edits, deletes AND a
     delete-then-still-absent tail."""
-    snap0 = d.select(
-        F.lit(0).cast("long").alias("t"), "doc_id",
-        F.md5("text").alias("content_md5"),
-    )
+    # r14 optimization (guide §2.4): the union-of-branches form
+    # scanned documents FIVE times per action (snap0, the two s1
+    # branches, and both s1 branches again under snap2) — five full
+    # text reads + md5 passes. Every snapshot row is a pure function
+    # of ONE document row, so all of them are now generated in-row
+    # (array of conditional structs, NULL-filtered, exploded): one
+    # corpus scan, identical (t, doc_id, content_md5) multiset.
+    did = F.col("doc_id")
+    new_id = did + F.lit(10**12)
     t1_text = F.when(
-        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        did % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
     ).otherwise(F.col("text"))
-    s1 = (
-        d.filter(F.col("doc_id") % 11 != 0)
-        .select("doc_id", t1_text.alias("text"))
-        .unionByName(
-            d.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
-                F.concat(F.lit("new:"), F.col("text")).alias("text"),
-            )
+    new_text = F.concat(F.lit("new:"), F.col("text"))
+
+    def rev3(txt, idc):
+        return F.when(
+            idc % 5 == 0, F.concat(txt, F.lit(" [rev3]"))
+        ).otherwise(txt)
+
+    def row(cond, t, idc, txt):
+        s = F.struct(
+            F.lit(t).cast("long").alias("t"),
+            idc.cast("long").alias("doc_id"),
+            F.md5(txt).alias("content_md5"),
         )
+        return s if cond is None else F.when(cond, s)
+
+    rows = F.array(
+        row(None, 0, did, F.col("text")),
+        row(did % 11 != 0, 1, did, t1_text),
+        row(did % 13 == 0, 1, new_id, new_text),
+        row((did % 11 != 0) & (did % 19 != 0), 2, did, rev3(t1_text, did)),
+        row(
+            (did % 13 == 0) & (new_id % 19 != 0),
+            2, new_id, rev3(new_text, new_id),
+        ),
     )
-    snap1 = s1.select(
-        F.lit(1).cast("long").alias("t"), "doc_id",
-        F.md5("text").alias("content_md5"),
-    )
-    t2_text = F.when(
-        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev3]"))
-    ).otherwise(F.col("text"))
-    snap2 = (
-        s1.filter(F.col("doc_id") % 19 != 0)
-        .select(
-            F.lit(2).cast("long").alias("t"), "doc_id",
-            F.md5(t2_text).alias("content_md5"),
-        )
-    )
-    return snap0.unionByName(snap1).unionByName(snap2)
+    return d.select(
+        F.explode(F.filter(rows, lambda x: x.isNotNull())).alias("s")
+    ).select("s.t", "s.doc_id", "s.content_md5")
 
 
 def scd2_history(snaps) -> "DataFrame":
@@ -1276,11 +1295,17 @@ def q_corpus_budget_allocation(spark, sf_dir):
     from ..functions import text as tx
 
     d = _docs(spark, sf_dir)
+    # r14 optimization (guide §2.4, §5): t (the source-bounded totals,
+    # ~|sources| rows) is consumed by stats, the rank window AND the
+    # final join lineage — the before-plan re-ran the corpus
+    # token-count scan 4 times per action. localCheckpoint pins the
+    # tiny relation; one corpus pass, everything downstream operates
+    # on |sources| rows.
     t = d.groupBy("source").agg(
         F.sum(tx.whitespace_token_count(F.col("text")))
         .cast("long")
         .alias("t_tokens")
-    )
+    ).localCheckpoint()
     stats = t.agg(
         F.sum("t_tokens").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -678,29 +678,37 @@ def q_dedup_segments(spark, sf_dir):
         .filter(F.col("nd") >= BOILER_K)
         .select("stext")
     )
-    kept = seg.join(F.broadcast(boiler), "stext", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("slen").cast("long").alias("kept_tokens"),
+    # r14 optimization (guide §2.4): the old form ran THREE corpus
+    # passes — boiler build, a left_anti join re-deriving seg, and a
+    # third base scan for per-doc totals joined back at the end. The
+    # anti-join is now a broadcast LEFT join marker and ONE
+    # conditional aggregation computes totals and reassembly in the
+    # same pass (collect_list skips the NULLed boiler segments; every
+    # doc has >= 1 segment so the groupBy covers all docs). 3 corpus
+    # passes -> 2, one join fewer; values identical. At 100 TB the
+    # remaining improvement is keying the boiler rollup on a segment
+    # hash so its shuffle carries 16 bytes/segment instead of the
+    # text (the exact_substr window-hash discipline) — not taken here
+    # because the text-keyed form is exactly what the oracle states.
+    flagged = seg.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(1))), "stext", "left"
+    )
+    keep = F.col("__boiler").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.coalesce(
+            F.sum(F.when(keep, F.col("slen"))), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("si", "stext"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("si", "stext")))
+                ),
                 lambda x: x.getField("stext"),
             ),
             " ",
         ).alias("cleaned_text"),
-    )
-    totals = base.select(
-        "doc_id",
-        (F.floor((F.col("n") - 1) / SEG_L) + 1).cast("long").alias("n_segments"),
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id", "n_segments",
-        (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long").alias("n_removed"),
-        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
-        .alias("kept_tokens"),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
 
 

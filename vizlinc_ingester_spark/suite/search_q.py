@@ -465,9 +465,15 @@ def q_tfidf_topk(spark, sf_dir):
     join, rank window partitioned BY DOC (bounded partitions — this
     is not a corpus-wide window)."""
     t = _toks(spark, sf_dir)
+    # r14 optimization (guide §2.4, §8 "decide with small rows"): tf
+    # is consumed twice (the df rollup and the scored join), and the
+    # two subtrees don't canonicalize equal (the join inserts a
+    # word-isnotnull filter), so the corpus tokenize+explode+shuffle
+    # ran TWICE per action. localCheckpoint materializes the slim
+    # (doc_id, word, tf) relation once; both consumers read it.
     tf = t.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint()
     df_ = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

@@ -82,9 +82,13 @@ def q_token_cms(spark, sf_dir):
     # derive from this vocabulary-sized table (cell count = sum of
     # counts of tokens hashing there — identical values to hashing
     # the raw stream, at vocab cost instead of corpus cost x CMS_D).
+    # r14 optimization (guide §2.4, §5): the counts table used to be
+    # CONSUMED twice per action (cells fan-out + heavy probes), each
+    # consumer re-running the corpus explode+groupBy; localCheckpoint
+    # materializes the vocab-bounded table once — 2 corpus passes -> 1.
     tok_counts = toks.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
-    )
+    ).localCheckpoint()
     cells = (
         tok_counts.select(
             "exact_cnt",
@@ -212,9 +216,18 @@ def q_hll_users(spark, sf_dir):
         bw.withColumn("rho", rho.cast("long"))
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint()
     )
-    # all HLL_M registers, absent buckets at 0
-    types = e.select("event_type").distinct()
+    # all HLL_M registers, absent buckets at 0.
+    # r14 optimization (guide §2.4, §5): regs is bounded
+    # (<= |types| x HLL_M rows) and consumed twice (type list + the
+    # grid left join), so localCheckpoint pins it — the corpus
+    # register sweep runs once. The type list derives from regs
+    # instead of a THIRD corpus scan + full-width distinct shuffle —
+    # every event type has >= 1 user, so regs carries every type.
+    # 3 corpus passes -> 2 (registers + the exact countDistinct the
+    # gate requires).
+    types = regs.select("event_type").distinct()
     grid = types.crossJoin(
         F.broadcast(
             spark.range(HLL_M).select(F.col("id").alias("bucket"))
@@ -389,7 +402,15 @@ def q_kmv_users(spark, sf_dir):
 def kmv_finalize(kept: DataFrame, events: DataFrame) -> DataFrame:
     """Registers -> gated output: estimate from h_K (or the exact
     small-set branch), plus the exact_users verification rider
-    recomputed over ``events``."""
+    recomputed over ``events``.
+
+    r14 optimization (guide §2.4, §5): ``kept`` is consumed twice
+    (the summary rollup AND the output join), re-running the whole
+    register lineage — for the batch query that was the corpus
+    distinct+rank sweep twice per action. The register set is
+    bounded (<= |types| x KMV_K rows), so localCheckpoint pins it;
+    one registers pass + the exact countDistinct pass remain."""
+    kept = kept.localCheckpoint()
     summ = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("h").alias("h_max"),
@@ -716,11 +737,18 @@ def q_value_histogram(spark, sf_dir):
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # r14 optimization (guide §2.4, §5): bounds is consumed FOUR
+    # times (bucket index, cum join, est, final output) and cells
+    # twice (cum chain + output) — each broadcast branch re-evaluated
+    # its corpus rollup. Both are bounded (|types| rows; |types| x
+    # HIST_B cells), so localCheckpoint pins them: the corpus is
+    # bucketed once and bounded once, plus the exact-percentile
+    # rider's own pass.
     bounds = e.groupBy("event_type").agg(
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
-    )
+    ).localCheckpoint()
     w_expr = "(hi - lo + 1)"
     idx = F.expr(
         f"least({HIST_B - 1}, ((cents - lo) * {HIST_B}) div {w_expr})"
@@ -730,6 +758,7 @@ def q_value_histogram(spark, sf_dir):
         .select("event_type", idx.alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
     wcum = (
         Window.partitionBy("event_type")

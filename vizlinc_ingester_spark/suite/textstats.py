@@ -1146,22 +1146,58 @@ def q_pmi_collocations(spark, sf_dir):
     rollups; N and B are 1-row broadcast stats; the unigram side
     joins twice on the word key (vocabulary-sized, AQE chooses
     broadcast where it fits); top-k is TakeOrdered with the rank
-    window over the K survivors only."""
+    window over the K survivors only.
+
+    r14 optimization (guide §2.3 "aggregate before you shuffle",
+    §2.4): the old form ran THREE independent corpus tokenize passes
+    per action — the bigram explode (c12), the unigram explode (c1)
+    and the size aggregate (stats). Every one of those is an exact
+    rollup of ONE position stream: each token position i emits
+    (w = t[i], nw = t[i+1] or NULL at doc end), so
+    c1(w) = sum of pair counts by w (every position contributes
+    exactly one row), c12 = the non-NULL pair counts,
+    n_tok = sum of all counts, n_big = sum of non-NULL counts. The
+    position stream is folded once into the (w, nw) pair-count table
+    — bigram-type-bounded (+ vocab rows for the doc-end NULLs),
+    never corpus-sized — which is materialized with localCheckpoint
+    and feeds everything downstream. 3 corpus passes -> 1; counts
+    are exact integers, values unchanged."""
     d = _docs(spark, sf_dir)
-    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
+    toked = d.select(tx.tokens(F.col("text")).alias("_t")).filter(
         F.size("_t") >= 2
     )
-    big = _doc_bigrams(d).select("w1", "w2")
-    uni = toked.select(F.explode("_t").alias("w"))
+    pairs = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t")),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w"),
+                    F.when(
+                        i < F.size("_t"), F.element_at("_t", i + 1)
+                    ).alias("nw"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w", "p.nw")
+    cpair = (
+        pairs.groupBy("w", "nw")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     c12 = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        cpair.filter(F.col("nw").isNotNull())
+        .select(
+            F.col("w").alias("w1"), F.col("nw").alias("w2"),
+            F.col("c").alias("c12"),
+        )
         .filter(F.col("c12") >= PMI_MIN_COUNT)
     )
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    stats = toked.agg(
-        F.sum(F.size("_t")).cast("long").alias("n_tok"),
-        F.sum(F.size("_t") - 1).cast("long").alias("n_big"),
+    c1 = cpair.groupBy("w").agg(F.sum("c").cast("long").alias("c"))
+    stats = cpair.agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("nw").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("n_big"),
     )
     j = (
         c12.join(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
