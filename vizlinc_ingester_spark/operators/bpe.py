@@ -79,24 +79,86 @@ def _merge_fold(l: str, r: str) -> "F.Column":
     )
 
 
+#: vocabularies at or below this row count learn their merges in the
+#: driver (one bounded collect, zero per-iteration Spark jobs); above
+#: it the distributed per-iteration loop below runs. The headline
+#: callers pass a top-BPE_VOCAB_TOP (2000-row) vocabulary, which is
+#: constant at ANY corpus size — the cap exists so an arbitrary-vocab
+#: caller can never turn the collect into a driver OOM.
+BPE_LOCAL_VOCAB_CAP = 65536
+
+
+def _learn_merges_local(rows, n_merges: int) -> list[tuple]:
+    """Driver-side twin of the distributed loop over a COLLECTED
+    vocabulary [(cnt, symbols)]. Same algebra, same tie-break
+    (pair_count desc, l asc, r asc), same greedy left-to-right fold
+    (``_merge_fold``'s last==l AND current==r rule, including the
+    "aaaa" -> [aa, aa] run case); the symbol arrays are collected
+    from the SAME Spark `split` expression the distributed path
+    folds over, so split edge semantics (empty-string elements) are
+    identical by construction."""
+    vocab = [(int(cnt), list(sym)) for cnt, sym in rows]
+    merges: list[tuple] = []
+    for it in range(1, n_merges + 1):
+        counts: dict = {}
+        for cnt, sym in vocab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (best_l, best_r), best_c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((it, best_l, best_r, best_c))
+        merged = best_l + best_r
+        for row in vocab:
+            sym = row[1]
+            out: list = []
+            for x in sym:
+                if out and out[-1] == best_l and x == best_r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            sym[:] = out
+    return merges
+
+
 def learn_bpe_merges(
     words: DataFrame, n_merges: int, checkpoint_every: int = 8
 ) -> list[tuple]:
     """words(word, cnt) -> [(iteration, left, right, pair_count)].
 
-    The base vocabulary is persisted once; iterations chain their
-    merge folds LAZILY on top of it and re-materialize (persist +
-    count, dropping the previous cache) only every
-    ``checkpoint_every`` iterations — the same keep-lineage-short
-    discipline as PageRank (suite/graph_q.py), but without paying a
+    Bounded vocabularies (<= BPE_LOCAL_VOCAB_CAP rows — always true
+    for the top-BPE_VOCAB_TOP headline callers) collect ONCE and
+    learn in the driver (r14, guide §1.2 "driver round-trips":
+    the distributed loop paid n_merges pair-count jobs + argmax
+    collects over a 2000-row cached table — pure scheduling overhead;
+    the merge decision is inherently global and tiny either way).
+    The corpus is still touched exactly once, by the vocabulary
+    rollup feeding this function — per invocation, from parquet.
+
+    Larger vocabularies keep the distributed loop: the base
+    vocabulary is persisted once; iterations chain their merge folds
+    LAZILY on top of it and re-materialize (persist + count, dropping
+    the previous cache) only every ``checkpoint_every`` iterations —
+    the same keep-lineage-short discipline as PageRank
+    (suite/graph_q.py), but without paying a
     persist/count/unpersist round-trip per iteration (measured: the
     per-iteration cache churn was most of the wall clock at small
     vocab sizes; re-running <= checkpoint_every folds over the cached
     vocabulary is cheaper than one driver-side unpersist)."""
-    vocab = words.select(
+    sym_words = words.select(
         "word", F.col("cnt").cast("long").alias("cnt"),
         F.split("word", "").alias("symbols"),
-    ).persist()
+    )
+    probe = sym_words.select("cnt", "symbols").limit(
+        BPE_LOCAL_VOCAB_CAP + 1
+    ).collect()
+    if len(probe) <= BPE_LOCAL_VOCAB_CAP:
+        return _learn_merges_local(probe, n_merges)
+
+    vocab = sym_words.persist()
     vocab.count()
     checkpointed = vocab
 

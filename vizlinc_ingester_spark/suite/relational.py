@@ -486,13 +486,16 @@ def q_events_approx_profile(spark, sf_dir):
       it; rank acceptance is exactly what the sketch promises, at any
       n and any distribution, in pure integer arithmetic.
 
-    Plan shape: three map-side-combinable passes over the projected
+    Plan shape: TWO map-side-combinable passes over the projected
     events scan — the sketch agg (collected once: |event_type| rows,
     the bounded-driver-crossing stance, because leaving it lazy made
     Catalyst plan its subtree TWICE, once column-pruned for the rank
-    join and once for the profile — a fourth full corpus scan), the
-    distinct-counts agg, and the rank-count agg against the broadcast
-    estimate literal — joined on the |event_type|-row key. No Expand
+    join and once for the profile — an extra full corpus scan), and
+    ONE exact agg computing the distinct counts AND the rank counts
+    against the broadcast estimate table (r14: these were two
+    separate corpus passes; the rank sums ride the multi-distinct
+    Expand the exact pass already paid) — joined on the
+    |event_type|-row key. No Expand
     through t-digest state (a single combined agg triples every row
     through the hash aggregate: idle-box best-of-4 at sf0.01 is 2.9 s
     combined vs 2.0 s split), and no per-group full-sort exact
@@ -519,15 +522,24 @@ def q_events_approx_profile(spark, sf_dir):
         plan_key(approx_agg, "approx_profile_estimates"),
         lambda: spark.createDataFrame(approx_agg.collect(), approx_agg.schema),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct("cents").alias("n_values"),
-    )
+    # ONE exact pass (r14 optimization, guide §2.3/§2.4): the exact
+    # distinct counts and the rank counts used to be two separate
+    # corpus aggregations; joining the 5-row estimate table below the
+    # SAME groupBy lets both ride one scan. The multi-distinct Expand
+    # this agg plans was already paid by the old exact pass (two
+    # countDistincts), and the rank sums attach to its non-distinct
+    # branch — so the merged pass expands no more rows than the old
+    # exact pass alone, and the old ranks pass's full corpus scan +
+    # shuffle disappear. Values are engine-guaranteed identical
+    # (Spark's distinct-agg rewrite), and every event_type survives
+    # the inner join because `approx` groups the same lineage.
     est = approx.select("event_type", "ap50_cents", "ap99_cents")
-    ranks = (
+    exact = (
         ev.join(F.broadcast(est), "event_type")
         .groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("cents").alias("n_values"),
             F.sum((F.col("cents") < F.col("ap50_cents")).cast("long"))
             .alias("lt50"),
             F.sum((F.col("cents") <= F.col("ap50_cents")).cast("long"))
@@ -538,9 +550,7 @@ def q_events_approx_profile(spark, sf_dir):
             .alias("le99"),
         )
     )
-    prof = approx.join(F.broadcast(exact), "event_type").join(
-        F.broadcast(ranks), "event_type"
-    )
+    prof = approx.join(F.broadcast(exact), "event_type")
     n = F.col("n_events")
 
     def ok(cond):
