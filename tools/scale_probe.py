@@ -65,6 +65,15 @@ COPY (
   FROM read_parquet('<sf0.1>/events.parquet'),
        generate_series(0, 9) AS g(i)
 ) TO '<sf1>/events.parquet' (FORMAT PARQUET);
+-- embeddings (10x, key-shifted; copy 0 keeps the original ids so the
+-- fixed seed/query/centroid prefixes vec_id < C stay the same sets —
+-- the vector payload repeats, which is fine for SCALING probes: the
+-- per-row assignment/signature work is what grows 10x):
+COPY (
+  SELECT vec_id + i*10000000 AS vec_id, embedding, label
+  FROM read_parquet('<sf0.1>/embeddings.parquet'),
+       generate_series(0, 9) AS g(i)
+) TO '<sf1>/embeddings.parquet' (FORMAT PARQUET);
 """
 
 
