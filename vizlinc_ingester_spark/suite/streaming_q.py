@@ -1677,15 +1677,22 @@ def q_streaming_postings_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rotating_dir(spark, "live_post", "vl_stream_post_store_"),
     )
     postings = spark.read.parquet(store)
-    dfreq = postings.groupBy("word").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    return postings.join(dfreq, "word").select(
+    from pyspark.sql import Window
+
+    # df as a word-partitioned window count (r14, guide §2.4): the
+    # old groupBy(word) + join-back consumed the store twice — one
+    # exchange for the rollup plus the probe side of the join (an
+    # SMJ re-shuffle whenever the vocab-sized dfreq outgrows the
+    # broadcast cap, i.e. always at scale). The window is ONE
+    # word-clustered exchange of the store; count over the whole
+    # partition is the same df value per posting by definition.
+    w_df = Window.partitionBy("word")
+    return postings.select(
         "doc_id",
         "word",
         "tf",
         F.concat_ws(",", "positions").alias("positions_fp"),
-        "df",
+        F.count(F.lit(1)).over(w_df).cast("long").alias("df"),
     )
 
 
