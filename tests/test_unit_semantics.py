@@ -489,3 +489,56 @@ def test_perceptron_apply_plan_shape(spark, sf_dir):
     )
     assert "Exchange SinglePartition" not in plan, plan[:4000]
     assert "BroadcastExchange" in plan, plan[:4000]
+
+
+def test_bpe_local_learning_matches_distributed(spark, monkeypatch):
+    """r14: bounded vocabularies learn BPE merges in the driver (one
+    collect, zero per-iteration jobs). The local path must produce
+    the EXACT merge list of the distributed loop — same pair algebra,
+    same (count desc, l asc, r asc) tie-break, same greedy
+    last==l/current==r fold including the "aaaa" -> [aa, aa] run
+    case and the split-expression edge semantics (both paths fold
+    the same Spark `split` symbol arrays)."""
+    from vizlinc_ingester_spark.operators import bpe
+
+    words = spark.createDataFrame(
+        [
+            ("aaaa", 3),       # run case: merging (a,a) greedily
+            ("aaa", 2),
+            ("banana", 5),     # (a,n)/(n,a) interplay
+            ("bandana", 4),
+            ("tie", 7),        # forces count ties against "the"-ish pairs
+            ("the", 7),
+            ("then", 2),
+            ("x", 9),          # len<2 after split: contributes no pairs
+        ],
+        "word string, cnt long",
+    )
+    n_merges = 5
+    local = bpe.learn_bpe_merges(words, n_merges)
+    monkeypatch.setattr(bpe, "BPE_LOCAL_VOCAB_CAP", 0)
+    distributed = bpe.learn_bpe_merges(words, n_merges)
+    assert local == distributed
+    assert len(local) == n_merges
+
+
+def test_kmeans_vec_trained_centroids_are_memoized(spark, sf_dir):
+    """r14: q_kmeans_clusters_vec memoizes its TRAINED final-round
+    centroid arrays (the _pq_train trained-artifact stance) so warm
+    invocations pay only the final assignment pass. Pin the
+    internals: the memo entry exists after a call, and a second call
+    returns bit-identical rows from the memoized arrays."""
+    from vizlinc_ingester_spark import session as S
+    from vizlinc_ingester_spark.suite.similarity import (
+        q_kmeans_clusters_vec,
+    )
+
+    a = q_kmeans_clusters_vec(spark, sf_dir).toPandas()
+    per = S._PLAN_MEMO.get(spark, {})
+    keys = [k for k in per if "kmeans_vec_centroids" in str(k)]
+    assert keys, f"no memoized centroid entry; keys={list(per)[:5]}"
+    ids, cents = per[keys[0]]
+    assert len(ids) == len(cents) > 0
+    b = q_kmeans_clusters_vec(spark, sf_dir).toPandas()
+    key = lambda df: sorted(map(tuple, df[sorted(df.columns)].values.tolist()))  # noqa: E731
+    assert key(a) == key(b)
