@@ -1809,39 +1809,53 @@ def xml_to_token_tags(tagged_docs: DataFrame, xml_col: str = "xml") -> DataFrame
     order is preserved by (seg_pos, tok_pos) so the TSV sink can write
     the original sequence.
     """
-    segs = tagged_docs.select(
-        "doc_id",
-        F.posexplode(
+    # the four column expressions are pure functions of xml_col —
+    # memoized per session (session.expr_memo): every NER query
+    # rebuilds this tokenizer stream at construction (~0.1 s of py4j
+    # chatter x 11 queries per bench sweep)
+    from ..session import expr_memo
+
+    seg_expr = expr_memo(
+        ("xml_tt_seg", xml_col),
+        lambda: F.posexplode(
             F.regexp_extract_all(F.col(xml_col), F.lit(_SEGMENT_RE), F.lit(0))
-        ).alias("seg_pos", "segment"),
+        ),
     )
-    segs = segs.select(
-        "doc_id",
-        "seg_pos",
-        F.when(
+    tag_expr = expr_memo(
+        ("xml_tt_tag",),
+        lambda: F.when(
             F.col("segment").startswith("<"),
             F.regexp_extract("segment", _SEGMENT_RE, 1),
         )
         .otherwise("O")
         .alias("tag"),
-        F.when(
+    )
+    seg_text_expr = expr_memo(
+        ("xml_tt_seg_text",),
+        lambda: F.when(
             F.col("segment").startswith("<"),
             F.regexp_extract("segment", _SEGMENT_RE, 2),
         )
         .otherwise(F.col("segment"))
         .alias("seg_text"),
     )
-    toks = segs.select(
-        "doc_id",
-        "seg_pos",
-        "tag",
-        F.posexplode(
+    tok_expr = expr_memo(
+        ("xml_tt_tok",),
+        lambda: F.posexplode(
             F.regexp_extract_all(F.col("seg_text"), F.lit(_TOKEN_RE), F.lit(0))
-        ).alias("tok_pos", "token"),
+        ),
     )
-    return toks.select(
-        "doc_id",
-        "token",
-        "tag",
-        (F.col("seg_pos") * 100000 + F.col("tok_pos")).alias("token_seq"),
+    seq_expr = expr_memo(
+        ("xml_tt_seq",),
+        lambda: (F.col("seg_pos") * 100000 + F.col("tok_pos")).alias(
+            "token_seq"
+        ),
     )
+    segs = tagged_docs.select(
+        "doc_id", seg_expr.alias("seg_pos", "segment")
+    )
+    segs = segs.select("doc_id", "seg_pos", tag_expr, seg_text_expr)
+    toks = segs.select(
+        "doc_id", "seg_pos", "tag", tok_expr.alias("tok_pos", "token")
+    )
+    return toks.select("doc_id", "token", "tag", seq_expr)

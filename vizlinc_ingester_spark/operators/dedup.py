@@ -57,7 +57,7 @@ def shingles(c: Column, k: int = SHINGLE_K) -> Column:
     return shingles_from_tokens(tokens(c), k)
 
 
-def minhash_signature_array(hashes_col: Column) -> Column:
+def minhash_signature_array(hashes_col) -> Column:
     """array<long> of the 16 MinHash values from an array<long> of
     shingle hashes (already reduced mod P).
 
@@ -65,7 +65,18 @@ def minhash_signature_array(hashes_col: Column) -> Column:
     of 16 separate array_min(transform(...)) projections: the latter
     blows whole-stage codegen past janino's 64 KB method limit
     (observed), costing ~15 s of compile+fallback on first execution.
-    """
+
+    Accepts a Column or a column NAME; name inputs memoize the built
+    tree per session (session.expr_memo — the fold is ~60 py4j round
+    trips per construction)."""
+    if isinstance(hashes_col, str):
+        from ..session import expr_memo
+
+        name = hashes_col
+        return expr_memo(
+            ("minhash_signature_array", name),
+            lambda: minhash_signature_array(F.col(name)),
+        )
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_PERMS])
     b_arr = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_PERMS])
     init = F.array_repeat(F.lit(P).cast("long"), N_PERMS)
@@ -95,7 +106,7 @@ def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     """documents -> (doc_id, mh0..mh15); docs with no shingles dropped."""
     hashed = hashed_shingle_docs(documents, text_col)
     return _sig_to_cols(
-        hashed.select("doc_id", minhash_signature_array(F.col("hs")).alias("sig"))
+        hashed.select("doc_id", minhash_signature_array("hs").alias("sig"))
     )
 
 
@@ -286,18 +297,26 @@ def hashed_shingle_docs(documents: DataFrame, text_col: str = "text") -> DataFra
     # task. Probe-gated (session.spread_if_narrow): an already-wide
     # input (always, at real scale) skips the extra full-corpus
     # shuffle.
-    from ..session import spread_if_narrow
+    from ..session import expr_memo, spread_if_narrow
 
-    with_toks = spread_if_narrow(documents, "doc_id").filter(
-        F.size(tokens(F.col(text_col))) >= SHINGLE_K
-    ).select("doc_id", tokens(F.col(text_col)).alias("_toks"))
-    return with_toks.select(
-        "doc_id",
-        F.transform(
+    # the tokenize filter/projection and the shingle+md5 transform are
+    # pure functions of the text column name — memoized per session
+    # (expr_memo): together ~0.1 s of py4j chatter per construction,
+    # rebuilt by every dedup/decontaminate/streaming-LSH caller
+    toks_expr = expr_memo(
+        ("hsd_toks", text_col), lambda: tokens(F.col(text_col))
+    )
+    hs_expr = expr_memo(
+        ("hsd_hs",),
+        lambda: F.transform(
             shingles_from_tokens(F.col("_toks")),
             lambda s: stable_hash64(s) % F.lit(P),
-        ).alias("hs"),
+        ),
     )
+    with_toks = spread_if_narrow(documents, "doc_id").filter(
+        F.size(toks_expr) >= SHINGLE_K
+    ).select("doc_id", toks_expr.alias("_toks"))
+    return with_toks.select("doc_id", hs_expr.alias("hs"))
 
 
 def jaccard_verify_hashed(hs_docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -412,7 +431,7 @@ def _minhash_lsh_verified(
     else:
         sigs = _sig_to_cols(
             hs_docs.select(
-                "doc_id", minhash_signature_array(F.col("hs")).alias("sig")
+                "doc_id", minhash_signature_array("hs").alias("sig")
             )
         )
     pairs = lsh_candidate_pairs(sigs, memo=memo)
@@ -436,12 +455,23 @@ def _hashed_tokens(documents: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, _h: array<long>, _n) — the shared tokenize+hash
     projection for both simhash paths. ONE definition so the JVM fold
     and the numpy sweep stay bit-identical by construction."""
+    from ..session import expr_memo
+
+    toks_expr = expr_memo(
+        ("hsd_toks", text_col), lambda: tokens(F.col(text_col))
+    )
+    h_expr = expr_memo(
+        ("hashed_tokens_h",),
+        lambda: F.transform(
+            "_toks", lambda t: stable_hash64(t) % F.lit(P)
+        ),
+    )
     with_toks = documents.select(
-        "doc_id", tokens(F.col(text_col)).alias("_toks")
+        "doc_id", toks_expr.alias("_toks")
     ).filter(F.size("_toks") > 0)
     return with_toks.select(
         "doc_id",
-        F.transform("_toks", lambda t: stable_hash64(t) % F.lit(P)).alias("_h"),
+        h_expr.alias("_h"),
         F.size("_toks").cast("long").alias("_n"),
     )
 

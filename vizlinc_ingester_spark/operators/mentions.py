@@ -37,6 +37,17 @@ TYPE_BUCKETS = [
 
 
 def _type_from_word(word):
+    """md5-bucket entity type. Accepts a Column or a column NAME —
+    name inputs memoize the built when-chain per session
+    (session.expr_memo; it is ~40 py4j round trips and every NER gold
+    stream rebuilds it per query construction)."""
+    if isinstance(word, str):
+        from ..session import expr_memo
+
+        name = word
+        return expr_memo(
+            ("type_from_word", name), lambda: _type_from_word(F.col(name))
+        )
     h = F.substring(F.md5(word), 1, 1)
     expr = None
     for chars, t in TYPE_BUCKETS:

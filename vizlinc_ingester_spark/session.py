@@ -140,6 +140,57 @@ def scan_splits_estimate(spark: SparkSession, path: str) -> int:
     return max(len(files), math.ceil(total / max(1, mpb))) if total else 1
 
 
+def _stat_fingerprint(path: str):
+    """Cheap content key for an input path (file or directory): the
+    sorted (relpath, size, mtime_ns) of every regular file. Used to
+    key memoized input reads so an in-session rewrite of the files
+    behind an unchanged path still yields a fresh read (the same
+    freshness discipline search_q._corpus_fingerprint applies to the
+    persisted index). Returns None for paths this process cannot stat
+    (e.g. an hdfs:// URI on a real cluster) — callers then skip the
+    memo."""
+    try:
+        if os.path.isdir(path):
+            entries = []
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    st = os.stat(p)
+                    entries.append(
+                        (os.path.relpath(p, path), st.st_size, st.st_mtime_ns)
+                    )
+            return tuple(sorted(entries))
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
+def read_table(spark: SparkSession, path: str):
+    """Memoized ``spark.read.parquet`` for immutable input tables.
+
+    Constructing a parquet read is pure driver-side work (py4j round
+    trip + footer/schema read) measured at 70-90 ms per call on this
+    box — and bench/suite sessions re-read the same fixture tables
+    hundreds of times per sweep (r15 profile: input re-reads alone
+    were ~0.1-0.3 s of every query's construction). The returned
+    DataFrame is an immutable PLAN over the path — no data is cached
+    (nothing is persisted; every action still scans parquet) — so
+    handing every caller the same object changes no result, only the
+    redundant driver work (guide §5: the driver should do almost no
+    work; §7.3: repeated listing/planning is driver-side cost).
+    Freshness: the memo key carries a stat fingerprint of the files,
+    so rewriting them in-session yields a fresh read."""
+    fp = _stat_fingerprint(path)
+    if fp is None:
+        return spark.read.parquet(path)
+    return plan_memo(
+        spark,
+        ("read_table", os.path.abspath(path), fp),
+        lambda: spark.read.parquet(path),
+    )
+
+
 def read_spread(
     spark: SparkSession, path: str, key: str, heavy: bool = True
 ):
@@ -157,14 +208,30 @@ def read_spread(
     parallelizes through its own shuffle; measured locally the spread
     costs more than it buys: token_topk 0.37 s -> 0.59 s). Callers
     declare (b) with ``heavy=False``; (a) is probed per path.
-    """
-    df = spark.read.parquet(path)
-    if not heavy:
+
+    The (read + probe + spread decision) is memoized per (session,
+    path content, key, heavy) — the read_table stance: the value is a
+    pure unpersisted plan, the probe is a pure function of the file
+    listing the fingerprint already keys, and re-deriving both cost
+    ~0.1 s of driver time per construction."""
+    fp = _stat_fingerprint(path)
+
+    def build():
+        df = spark.read.parquet(path)
+        if not heavy:
+            return df
+        par = spark.sparkContext.defaultParallelism
+        if scan_splits_estimate(spark, path) < max(2, par // 4):
+            df = df.repartition(par, key)
         return df
-    par = spark.sparkContext.defaultParallelism
-    if scan_splits_estimate(spark, path) < max(2, par // 4):
-        df = df.repartition(par, key)
-    return df
+
+    if fp is None:
+        return build()
+    return plan_memo(
+        spark,
+        ("read_spread", os.path.abspath(path), fp, key, heavy),
+        build,
+    )
 
 
 def spread_if_narrow(df, key: str):
@@ -351,6 +418,34 @@ def plan_memo(
         _evicted_key = next(iter(per_session))
         _unpersist_quietly(per_session.pop(_evicted_key))
     return value
+
+
+#: Per-session cache for PURE unresolved Column expression trees.
+#: Building the big higher-order folds (the 8-hyperplane signature,
+#: the cosine fold, the 16-permutation MinHash aggregate) costs
+#: 0.1-0.4 s of py4j round-trips PER CONSTRUCTION (r15 profile:
+#: q_ann_lsh spent 1.2 s of its 0.8 s/call construction budget across
+#: 3 calls inside functions.transform/aggregate plumbing). An
+#: unresolved Column is an immutable expression tree — reusing the
+#: same object across plans (or twice within one plan) is exactly the
+#: documented `c = F.col(...)`-reuse pattern, so caching changes no
+#: result, only the redundant driver chatter. Kept OUTSIDE plan_memo:
+#: its eviction hook walks `_vl_owned`/`unpersist`, both of which a
+#: Column intercepts via __getattr__ (returning field-access Columns),
+#: so Columns must never enter that registry.
+_EXPR_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def expr_memo(key, builder):
+    """Memoize a pure Column expression per active session (falls back
+    to a plain build when no session is active, e.g. import time)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return builder()
+    d = _EXPR_MEMO.setdefault(spark, {})
+    if key not in d:
+        d[key] = builder()
+    return d[key]
 
 
 def invalidate_plan_memo(spark: SparkSession) -> None:

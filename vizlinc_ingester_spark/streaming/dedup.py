@@ -37,7 +37,7 @@ def _find_new_pairs(
         return None
     idempotent_append(hs_new, batch_id, hs_path)
     sigs_new = dd._sig_to_cols(
-        hs_new.select("doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig"))
+        hs_new.select("doc_id", dd.minhash_signature_array("hs").alias("sig"))
     )
     bands_new = dd.lsh_band_buckets(sigs_new).persist()
     idempotent_append(bands_new, batch_id, bands_path)

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import read_table as _read_table
 from ..operators.curation import (
     CHUNK_STRIDE,
     CHUNK_TOKENS,
@@ -40,7 +41,7 @@ _PHONE_RE = r"\+?[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def q_doc_chunking(spark, sf_dir):
@@ -1126,8 +1127,8 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     from ..operators import dedup as dd
     from ..session import own_aux, plan_key, plan_memo
 
-    base = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
+    base = _read_table(
+        spark, os.path.join(sf_dir, "documents.parquet")
     ).select("doc_id", "text")
     leaked = base.filter(F.col("doc_id") % BENCH_MOD == 0).select(
         (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
@@ -1152,7 +1153,7 @@ def q_decontaminate_fuzzy(spark, sf_dir):
         hs.count()  # materialize before concurrent consumers (r11 lesson)
         sigs = dd._sig_to_cols(
             hs.select(
-                "doc_id", dd.minhash_signature_array(F.col("hs")).alias("sig")
+                "doc_id", dd.minhash_signature_array("hs").alias("sig")
             )
         )
         bands = dd.lsh_band_buckets(sigs)

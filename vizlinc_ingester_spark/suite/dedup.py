@@ -274,6 +274,17 @@ def _dot(a, b):
 
 
 def cos_micro(a, b):
+    """Exact-FP cosine in integer micro-units. ``a``/``b`` may be
+    Columns or column NAMES — name args make the expression a pure
+    function of two strings, so the built tree (3 higher-order folds,
+    ~0.12 s of py4j chatter) is memoized per session
+    (session.expr_memo) instead of rebuilt per query construction."""
+    if isinstance(a, str) and isinstance(b, str):
+        from ..session import expr_memo
+
+        return expr_memo(
+            ("cos_micro", a, b), lambda: cos_micro(F.col(a), F.col(b))
+        )
     cos = _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
     return F.floor(cos * 1000000.0).cast("long")
 
@@ -292,7 +303,7 @@ def q_dedup_embedding(spark, sf_dir):
     a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"))
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    cm = cos_micro(F.col("emb_a"), F.col("emb_b"))
+    cm = cos_micro("emb_a", "emb_b")
     return pairs.select(
         "vec_a", "vec_b", F.col("label").cast("long").alias("label"),
         cm.alias("cos_micro"),

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import xml_to_token_tags
+from ..session import read_table as _read_table
 from ..operators.mentions import _type_from_word
 from ..operators.tagger import SUFFIX_LEN, TAG_CLASSES, apply_tagger, train_tagger
 from ..oracle import _sql_type_case
@@ -117,7 +118,7 @@ def _vit_code_at(ci: int, j: int, idx_expr: str) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def _tagged_xml(d: DataFrame) -> DataFrame:
@@ -137,9 +138,13 @@ def _tagged_xml(d: DataFrame) -> DataFrame:
             ),
         ).otherwise(w)
 
-    return d.select(
-        "doc_id", F.concat_ws(" ", F.transform(F.split("text", " "), wrap)).alias("xml")
+    from ..session import expr_memo
+
+    xml_expr = expr_memo(
+        ("tagged_xml_expr",),
+        lambda: F.concat_ws(" ", F.transform(F.split("text", " "), wrap)),
     )
+    return d.select("doc_id", xml_expr.alias("xml"))
 
 
 def _models(spark: SparkSession, sf_dir: str):
@@ -292,8 +297,13 @@ def _ctx_tokens(d: DataFrame) -> DataFrame:
 
 
 def _gold_ctx_tag():
-    t = _type_from_ctx(F.col("prev"), F.col("token"))
-    return F.when(t.isin(*TAG_CLASSES), t).otherwise(F.lit("O"))
+    from ..session import expr_memo
+
+    def build():
+        t = _type_from_ctx(F.col("prev"), F.col("token"))
+        return F.when(t.isin(*TAG_CLASSES), t).otherwise(F.lit("O"))
+
+    return expr_memo(("gold_ctx_tag",), build)
 
 
 def _models_ctx(spark: SparkSession, sf_dir: str):
@@ -768,7 +778,7 @@ def _span_gold(toks: DataFrame) -> DataFrame:
     the doc ('O' before the first typed word)."""
     from pyspark.sql import Window
 
-    c = _type_from_word(F.col("token"))
+    c = _type_from_word("token")
     typed = F.when(c.isin(*TAG_CLASSES), c)
     w = (
         Window.partitionBy("doc_id")

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from ..session import read_table
+
+    return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # The normalized events projection is cached per (session, sf_dir)

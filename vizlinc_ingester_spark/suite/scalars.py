@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dates as dt
+from ..session import read_table as _read_table
 from ..functions import geo
 from ..functions.dates import MONTH_LONG, MONTH_SHORT
 from ..functions.normalize import cleanup_leading_dash
@@ -46,7 +47,7 @@ def _spanish_date_str() -> "F.Column":
 
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10 — render orders dates as 4 Spanish text shapes, parse back."""
-    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    o = _read_table(spark, os.path.join(sf_dir, "orders.parquet"))
     return o.select(
         "o_orderkey",
         _spanish_date_str().alias("date_str"),
@@ -105,7 +106,7 @@ def _dms_place() -> "F.Column":
 def q_dms_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 — construct DMS strings from lineitem keys, parse lat/lon.
     Variant 4 is a plain place name and must yield nulls."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = _read_table(spark, os.path.join(sf_dir, "lineitem.parquet"))
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("row_id"),
         _dms_place().alias("place"),
@@ -164,7 +165,7 @@ _GAZ_INDEXED_SQL = (
 def _locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic location mentions from customer keys: exact
     country names, '... <COUNTRY>' suffix forms, and non-matching."""
-    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    c = _read_table(spark, os.path.join(sf_dir, "customer.parquet"))
     gaz = _indexed_gazetteer(spark)
     c = c.withColumn("rn", (F.col("c_custkey") % GAZ_N + 1).cast("long"))
     j = c.join(F.broadcast(gaz), "rn")
@@ -229,7 +230,7 @@ def q_geo_resolver_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — ordered resolver chain: DMS parse, else exact gazetteer,
     else suffix gazetteer, else not found (src/Geocoder.groovy:154-187),
     with C9 leading-dash cleanup applied first."""
-    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    c = _read_table(spark, os.path.join(sf_dir, "customer.parquet"))
     gaz = _indexed_gazetteer(spark)
     cc = c.withColumn("rn", (F.col("c_custkey") % GAZ_N + 1).cast("long"))
     j = cc.join(F.broadcast(gaz), "rn")
@@ -372,7 +373,7 @@ def q_osm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the hash gate (src/OSMFetcher.groovy:9-37)."""
     from ..operators import geocode as gc
 
-    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    c = _read_table(spark, os.path.join(sf_dir, "customer.parquet"))
     n_places = F.col("c_custkey") % 3
     places = F.slice(
         F.array(_osm_place_xml(0), _osm_place_xml(1)), 1, n_places.cast("int")

@@ -287,14 +287,19 @@ def build_text_index(spark: SparkSession, sf_dir: str) -> str:
     )
     # doclens/stats derive from the WRITTEN postings (dl = sum tf per
     # doc), not a second tokenize pass over the corpus — one scan +
-    # explode total for the whole build.
+    # explode total for the whole build. r15 (guide §2.4 repeated
+    # subtree): stats now derives from the WRITTEN doclens (a
+    # doc-count-sized read), not from the un-persisted ``dl`` lineage
+    # — that lineage re-read the whole postings store and re-ran the
+    # doc rollup a second time per build (measured: the dl+stats
+    # phase was ~1.0 s of the 2.3 s cold build; halved by this).
     dl = (
         spark.read.parquet(os.path.join(tmp, "postings"))
         .groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("dl"))
     )
     dl.write.mode("overwrite").parquet(os.path.join(tmp, "doclens"))
-    dl.agg(
+    spark.read.parquet(os.path.join(tmp, "doclens")).agg(
         F.sum("dl").cast("long").alias("sum_dl"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     ).write.mode("overwrite").parquet(os.path.join(tmp, "stats"))
@@ -471,9 +476,16 @@ def q_tfidf_topk(spark, sf_dir):
     # word-isnotnull filter), so the corpus tokenize+explode+shuffle
     # ran TWICE per action. localCheckpoint materializes the slim
     # (doc_id, word, tf) relation once; both consumers read it.
+    # r15: LAZY checkpoint — the eager form ran the materialization
+    # as a separate construction-time job that serialized ahead of
+    # the main action (interleaved A/B at sf0.1: eager 1.14 min /
+    # lazy 1.00 / no-checkpoint 0.90 — and the r14 driver record had
+    # flagged the eager form 0.84x vs r13). Lazy keeps the
+    # single-corpus-pass plan at scale and folds the checkpoint into
+    # the timed action itself.
     tf = t.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

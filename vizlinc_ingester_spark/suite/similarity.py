@@ -56,7 +56,7 @@ def q_ann_cosine_topk(spark, sf_dir):
         e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
     ).filter(F.col("query_id") != F.col("cand_id"))
     scored = pairs.select(
-        "query_id", "cand_id", cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro")
+        "query_id", "cand_id", cos_micro("q_emb", "c_emb").alias("cos_micro")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
     return (
@@ -105,7 +105,7 @@ def _ivf_assigned(spark, sf_dir):
             .crossJoin(F.broadcast(cent))
             .select(
                 "vec_id", "embedding", "centroid_id",
-                cos_micro(F.col("embedding"), F.col("cent_emb")).alias("cm"),
+                cos_micro("embedding", "cent_emb").alias("cm"),
             )
         )
         w = Window.partitionBy("vec_id").orderBy(
@@ -143,7 +143,7 @@ def q_ann_ivf(spark, sf_dir):
     pairs = q.join(cands, "centroid_id").filter(F.col("query_id") != F.col("cand_id"))
     scored_p = pairs.select(
         "query_id", "cand_id", "centroid_id",
-        cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+        cos_micro("q_emb", "c_emb").alias("cos_micro"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
     return (
@@ -199,16 +199,16 @@ def _hplane_comp(j: int):
     )
 
 
-def q_ann_lsh(spark, sf_dir):
-    """Random-hyperplane (SimHash-for-vectors) LSH ANN: an 8-bit
-    signature from sign(v·h_j) buckets the corpus; queries compare
-    only within their bucket. The shuffle is keyed on the 256-value
-    bucket id — the third scale strategy next to brute-force and IVF
-    (hyperplanes are fixed pseudo-random; recall tunes via
-    bands-of-bits exactly like MinHash banding)."""
-    e = _emb(spark, sf_dir)
+def _hplane_signature(col_name: str):
+    """The 8-plane sign-bit bucket expression over an embedding column
+    NAME — a pure function of the name, memoized per session
+    (session.expr_memo): the 8 aggregate-over-transform folds cost
+    ~0.4 s of py4j chatter per construction, the single biggest
+    construction cost in the LSH ANN family (r15 profile)."""
+    from ..session import expr_memo
 
-    def signature(emb):
+    def build():
+        emb = F.col(col_name)
         bits = []
         for j in range(N_PLANES):
             dot = F.aggregate(
@@ -222,7 +222,20 @@ def q_ann_lsh(spark, sf_dir):
             out = out + b
         return out.cast("long")
 
-    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    return expr_memo(("hplane_signature", col_name), build)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane (SimHash-for-vectors) LSH ANN: an 8-bit
+    signature from sign(v·h_j) buckets the corpus; queries compare
+    only within their bucket. The shuffle is keyed on the 256-value
+    bucket id — the third scale strategy next to brute-force and IVF
+    (hyperplanes are fixed pseudo-random; recall tunes via
+    bands-of-bits exactly like MinHash banding)."""
+    e = _emb(spark, sf_dir)
+    sig = e.select(
+        "vec_id", "embedding", _hplane_signature("embedding").alias("bucket")
+    )
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
     )
@@ -232,7 +245,7 @@ def q_ann_lsh(spark, sf_dir):
     pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("cand_id"))
     scored = pairs.select(
         "query_id", "cand_id", "bucket",
-        cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+        cos_micro("q_emb", "c_emb").alias("cos_micro"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
     return (
@@ -414,7 +427,9 @@ def q_embedding_label_stats(spark, sf_dir):
     unnest-with-position turns the array column into (label, dim,
     micro) rows and the rest is one map-side-combinable aggregation —
     no float nondeterminism, no UDF, one shuffle keyed (label, dim)."""
-    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from ..session import read_table
+
+    e = read_table(spark, os.path.join(sf_dir, "embeddings.parquet"))
     dim_val = F.posexplode(
         F.transform("embedding", lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
     )
@@ -837,7 +852,7 @@ def q_dedup_semantic(spark, sf_dir):
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_b", "vec_a",
-            cos_micro(F.col("emb_a"), F.col("emb_b")).alias("cm"),
+            cos_micro("emb_a", "emb_b").alias("cm"),
         )
         .filter(F.col("cm") >= SEM_THRESH_MICRO)
     )
@@ -1476,22 +1491,7 @@ def q_ann_lsh_banded(spark, sf_dir):
     then pair-distinct before scoring, so a pair colliding in both
     bands is verified once."""
     e = _emb(spark, sf_dir)
-
-    def signature(emb):
-        bits = []
-        for j in range(N_PLANES):
-            dot = F.aggregate(
-                F.transform(emb, _hplane_comp(j)),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("long")
-
-    sig = e.select("vec_id", signature(F.col("embedding")).alias("sig"))
+    sig = e.select("vec_id", _hplane_signature("embedding").alias("sig"))
     bands = sig.select(
         "vec_id", F.lit(0).alias("b"), (F.col("sig") % 16).alias("v")
     ).unionByName(
@@ -1514,7 +1514,7 @@ def q_ann_lsh_banded(spark, sf_dir):
     emb_c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
     scored = pairs.join(emb_q, "query_id").join(emb_c, "cand_id").select(
         "query_id", "cand_id",
-        cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+        cos_micro("q_emb", "c_emb").alias("cos_micro"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("cand_id"))
     return (
@@ -1653,7 +1653,7 @@ def _ivf_pq_scored(spark, sf_dir):
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "centroid_id",
-            cos_micro(F.col("q_emb"), F.col("cent_emb")).alias("cm"),
+            cos_micro("q_emb", "cent_emb").alias("cm"),
         )
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= NPROBE)
@@ -1891,7 +1891,7 @@ def q_ann_ivf_pq_rerank(spark, sf_dir):
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id", "cand_id",
-            cos_micro(F.col("q_emb"), F.col("c_emb")).alias("cos_micro"),
+            cos_micro("q_emb", "c_emb").alias("cos_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2054,7 +2054,7 @@ def _ivf_rpq_scored(spark, sf_dir):
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "centroid_id",
-            cos_micro(F.col("q_emb"), F.col("cent_emb")).alias("cm"),
+            cos_micro("q_emb", "cent_emb").alias("cm"),
         )
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= NPROBE)

@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import read_table as _read_table
 from .relational import _events
 
 
@@ -388,7 +389,7 @@ def q_streaming_incremental_coref(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Exactly-once: file-source checkpoint + full overwrite of the
     derived entity table per batch (idempotent)."""
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "coref", "doc_id")
     work = _rotating_dir(spark, "work_coref", "vl_stream_coref_work_")
 
@@ -535,7 +536,7 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     every pair emitted exactly once."""
     from ..streaming.dedup import incremental_dedup_stream
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
     stage = _staged_halves(spark, raw, "dedup", "doc_id")
@@ -570,7 +571,7 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost the sketch exists to avoid."""
     from .sketches import kmv_finalize, kmv_registers
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+    raw = _read_table(spark, os.path.join(sf_dir, "events.parquet")).select(
         "event_id", "event_type", "user_id"
     )
     stage = _staged_halves(spark, raw, "kmv", "event_id")
@@ -622,7 +623,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_kmv."""
     from .sketches import bloom_finalize, bloom_words
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+    raw = _read_table(spark, os.path.join(sf_dir, "events.parquet")).select(
         "event_id", "user_id"
     )
     stage = _staged_halves(spark, raw, "bloom", "event_id")
@@ -756,7 +757,7 @@ def q_streaming_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_finalize,
     )
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "quality", "doc_id")
     work = _rotating_dir(spark, "work_quality", "vl_stream_quality_work_")
     src = (
@@ -824,7 +825,7 @@ def q_streaming_lang_quality_report(
     )
 
     keys = ("source", "lang")
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "langq", "doc_id")
     work = _rotating_dir(spark, "work_langq", "vl_stream_langq_work_")
     src = (
@@ -891,7 +892,7 @@ def q_streaming_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_fertility_counters,
     )
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     # the static tokenizer artifact — memoized + persisted inside
     # _fertility_enc (one registry entry per session, not one leaked
     # persist per invocation; r10 ADVICE)
@@ -958,7 +959,7 @@ def q_streaming_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, which any LM trainer must hold somewhere)."""
     from .textstats import bigram_counts, kn_model_from_counts
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "kn", "doc_id")
     work = _rotating_dir(spark, "work_kn", "vl_stream_kn_work_")
     src = (
@@ -1027,7 +1028,7 @@ def q_streaming_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes may assign a vector differently; they are parallel gated
     forms (the kmeans_clusters / kmeans_clusters_vec stance), not
     interchangeable stores."""
-    raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "embeddings.parquet"))
     stage = _staged_halves(spark, raw, "ivf", "vec_id")
     store = _run_ivf_ingest_stream(
         spark, raw, stage,
@@ -1185,7 +1186,7 @@ def q_streaming_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     from ..session import plan_key, plan_memo
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "embeddings.parquet"))
     stage = _staged_halves(spark, raw, "ivf", "vec_id")
 
     def build() -> _StagedDir:
@@ -1337,7 +1338,7 @@ def q_streaming_lsh_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``streaming_lsh_compact``, which memoizes the streamed store
     per (session, corpus plan) — compare those two rows, not this one,
     for steady-state index-maintenance cost."""
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "lsh", "doc_id")
     work = _run_lsh_ingest_stream(
         spark, raw, stage,
@@ -1462,7 +1463,7 @@ def q_streaming_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream) instead of serving the dead path."""
     from ..session import plan_key, plan_memo
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "lsh", "doc_id")
 
     def build() -> _StagedDir:
@@ -1670,7 +1671,7 @@ def q_streaming_postings_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-executes the full ingest stream per invocation: the at-ingest
     fold is the operator under the gate (the streaming_lsh_insert
     stance); the store-reusing form is streaming_postings_compact."""
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "post", "doc_id")
     store = _run_postings_ingest_stream(
         spark, raw, stage,
@@ -1749,7 +1750,7 @@ def q_streaming_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of serving the dead path."""
     from ..session import plan_key, plan_memo
 
-    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = _read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     stage = _staged_halves(spark, raw, "post", "doc_id")
 
     def build() -> _StagedDir:

@@ -145,7 +145,9 @@ def q_extract_text_formats(spark, sf_dir):
     from ..session import ship_package
 
     ship_package(spark)
-    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from ..session import read_table
+
+    d = read_table(spark, os.path.join(sf_dir, "documents.parquet"))
     esc_html = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
