@@ -292,7 +292,10 @@ import weakref
 #: exactly the uniform many-query inflation the r12 phantom
 #: regression taught us to distrust. Raised with headroom; the bound
 #: still exists only to cap a host cycling MANY sf_dirs.
-PLAN_MEMO_MAX_ENTRIES = 128
+#: r15: the memoized input reads (read_table/read_spread) add ~12
+#: path keys per sf_dir — ~112 peak in a two-sf_dir bench session —
+#: so the bound rises again to keep the same churn headroom.
+PLAN_MEMO_MAX_ENTRIES = 192
 
 _PLAN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 

@@ -110,63 +110,36 @@ def _shipped(q):
     return wrapped
 
 
-# Round-14 rotation (50 = the driver's observed correctness-record
-# size). The rotation is now PLANNED FROM DATA (judge-r13 item 1):
-# ``python tools/staleness.py`` derives each query's last driver-
-# hash-green round from the CORRECTNESS_r*.json records and writes
-# STALENESS.json; standing policy is *floor >= round - 4*. The r13
-# ledger: r9:7, r10:44, r11:46, r12:49, r13:50. Slot arithmetic this
-# round: 3 new operators (streaming_ivf_compact — the 16th streaming
-# execution, the IVF sibling of r13's LSH store compaction — plus
-# streaming_postings_insert / streaming_postings_compact, the
-# text-index store family, 17th/18th executions) + 1 changed-lineage
-# re-proof (streaming_ivf_insert's ingest fold moved into the shared
-# _run_ivf_ingest_stream helper, mirroring the r13
-# _run_lsh_ingest_stream lift) + ALL 7 r9 deferrals (judge item 1 —
-# bm25_search, revenue_by_nation_salted, minhash_signatures_vec,
-# events_tumbling_window, sn_triangles, audio_chunks,
-# curriculum_interleave) + 39 of the 44 r10 rows = 50. After r14 the
-# floor is r10 with exactly 5 deferrals — within the round-4 policy
-# (r10 >= 14 - 4).
-#
-# The 5 r10 rows deferred to r15 (each with an in-window or fresher
-# same-lineage carrier this round): across_doc_entities_person_simple
-# and within_doc_entities_person_simple (carriers: the in-window
-# non-simple twins — the Simple variants differ only in the distance
-# predicate over the SAME sorted-neighborhood/cluster lineage),
-# sn_triangles_degree (carrier: in-window sn_triangles, the same
-# triangle core, plus in-window sn_degrees for the degree join),
-# across_doc_entities_person_scalable (carrier: in-window
-# across_doc_entities_person — same pipeline, the scalable variant
-# differs only in the range-sort + boundary-stitch physical plan),
-# events_pivot_hourly (carrier: in-window events_unpivot_roundtrip,
-# which runs the SAME pivot lineage and then inverts it). All are
-# locally re-proven every session by tests/test_oracle_parity.py.
+# Round-15 rotation (50 = the driver's observed correctness-record
+# size), planned from STALENESS.json (``python tools/staleness.py``;
+# standing policy *floor >= round - 4*). The post-r14 ledger:
+# r10:5, r11:45, r12:49, r13:50, r14:50 — so the r15 window is
+# exactly the 5 r10 deferrals plus ALL 45 r11 rows (a perfect fit:
+# no deferrals needed this round; after r15 the floor is r12,
+# within round-4 of 15). No new operators this round — r15 is the
+# second optimization round, so the window also re-proves the
+# heaviest optimized lineages on their changed plans (ANN family,
+# tfidf_topk, dedup_minhash_lsh, streaming_lang_quality_report, the
+# NER decode rows).
 DRIVER_WINDOW = [
-    # (a) new in r14
-    "streaming_ivf_compact",
-    "streaming_postings_compact", "streaming_postings_insert",
-    # (b) changed lineage in r14 (shared IVF ingest-stream helper)
-    "streaming_ivf_insert",
-    # (c) the 7 r9 deferrals (freshness floor to r10)
-    "audio_chunks", "bm25_search", "curriculum_interleave",
-    "events_tumbling_window", "minhash_signatures_vec",
-    "revenue_by_nation_salted", "sn_triangles",
-    # (d) 39 of the 44 r10 rows
-    "across_doc_entities_location", "across_doc_entities_org",
-    "across_doc_entities_person",
-    "bpe_fertility", "corpus_budget_allocation", "created_by_filter",
-    "curriculum_interleave_lang", "customer_order_histogram",
-    "customer_value_quartiles_scalable", "decontaminate_ngrams",
-    "document_entity_counts", "events_cube",
-    "events_sliding_window", "events_unpivot_roundtrip",
-    "global_id_clusters", "idle_rich_customers", "lm_doc_scores",
-    "min_docs_filter", "nation_trade_volume", "ner_learned_viterbi",
-    "ner_viterbi_spans", "part_supplier_breadth", "pq_codebooks",
-    "pq_codes", "promo_revenue", "repetition_scores", "sn_degrees",
-    "snapshot_diff", "social_network", "social_network_filtered",
-    "source_quality_report", "streaming_bpe_fertility",
-    "streaming_quality_report", "user_outliers", "users_intersect",
-    "within_doc_entities_location", "within_doc_entities_org",
-    "within_doc_entities_person", "within_doc_entities_person_merged",
+    # (a) the 5 r10 deferrals (carriers documented in the r14 window)
+    "across_doc_entities_person_scalable",
+    "across_doc_entities_person_simple", "events_pivot_hourly",
+    "sn_triangles_degree", "within_doc_entities_person_simple",
+    # (b) all 45 r11 rows
+    "ann_cosine_topk", "ann_cosine_topk_vec", "ann_ivf", "ann_ivf_pq",
+    "ann_ivf_pq_rerank", "ann_ivf_rpq", "ann_lsh", "ann_lsh_banded",
+    "ann_pq", "ann_recall_eval", "ann_recall_eval_banded",
+    "ann_recall_eval_ivfpq", "ann_recall_eval_ivfrpq",
+    "candidate_split_person", "cluster_balanced_sample",
+    "country_suffix_join", "dedup_clusters", "dedup_exact",
+    "dedup_exact_substr", "dedup_minhash_lsh", "dedup_semantic",
+    "dict_ner", "dms_parse", "doc_fingerprint", "doc_scan_filter",
+    "dsir_selection", "events_funnel", "kmeans_clusters",
+    "kmeans_clusters_vec", "mention_type_filter", "ner_perceptron",
+    "ner_perceptron2", "ner_viterbi_feats", "ner_viterbi_spans2",
+    "normalize_mentions", "orders_above_customer_avg",
+    "orders_running_revenue", "ptb_tokens", "quality_classifier_nb",
+    "sn_kcore", "streaming_lang_quality_report", "tfidf_topk",
+    "token_topk", "top_mention_per_doc", "value_percentiles",
 ]

@@ -1306,7 +1306,7 @@ def q_corpus_budget_allocation(spark, sf_dir):
         F.sum(tx.whitespace_token_count(F.col("text")))
         .cast("long")
         .alias("t_tokens")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     stats = t.agg(
         F.sum("t_tokens").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -88,7 +88,7 @@ def q_token_cms(spark, sf_dir):
     # materializes the vocab-bounded table once — 2 corpus passes -> 1.
     tok_counts = toks.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cells = (
         tok_counts.select(
             "exact_cnt",
@@ -216,7 +216,7 @@ def q_hll_users(spark, sf_dir):
         bw.withColumn("rho", rho.cast("long"))
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m_j"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # all HLL_M registers, absent buckets at 0.
     # r14 optimization (guide §2.4, §5): regs is bounded
@@ -410,7 +410,7 @@ def kmv_finalize(kept: DataFrame, events: DataFrame) -> DataFrame:
     distinct+rank sweep twice per action. The register set is
     bounded (<= |types| x KMV_K rows), so localCheckpoint pins it;
     one registers pass + the exact countDistinct pass remain."""
-    kept = kept.localCheckpoint()
+    kept = kept.localCheckpoint(eager=False)
     summ = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("h").alias("h_max"),
@@ -748,7 +748,7 @@ def q_value_histogram(spark, sf_dir):
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     w_expr = "(hi - lo + 1)"
     idx = F.expr(
         f"least({HIST_B - 1}, ((cents - lo) * {HIST_B}) div {w_expr})"
@@ -758,7 +758,7 @@ def q_value_histogram(spark, sf_dir):
         .select("event_type", idx.alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wcum = (
         Window.partitionBy("event_type")

@@ -1184,7 +1184,7 @@ def q_pmi_collocations(spark, sf_dir):
     cpair = (
         pairs.groupBy("w", "nw")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c12 = (
         cpair.filter(F.col("nw").isNotNull())
@@ -1640,7 +1640,7 @@ def q_source_drift_kl(spark, sf_dir):
     )
     cs = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c_s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cg = cs.groupBy("w").agg(F.sum("c_s").cast("long").alias("c_g"))
     ns = cs.groupBy("source").agg(
         F.sum("c_s").cast("long").alias("n_s")
